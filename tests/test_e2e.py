@@ -1,0 +1,151 @@
+"""End-to-end compress -> decompress round-trip tests (the cukinia matrix)."""
+import os
+
+import numpy as np
+import pytest
+
+from xsqueezeit_tpu.cli import main as cli_main
+from xsqueezeit_tpu.io.unified import GtInput
+from tests import fixtures
+
+REF_BCF = "/root/reference/test/test_files/test_region_target.bcf"
+
+
+def read_all(path):
+    """Parse a VCF/BCF into a list of (fixed_cols_site_key, gt_list, ploidy)."""
+    inp = GtInput(path)
+    out = []
+    for rec in inp:
+        out.append((rec.n_alleles,
+                    None if rec.gt is None else rec.gt.tolist(), rec.ploidy))
+    inp.close()
+    return out, inp.samples
+
+
+def roundtrip_compare(vcf_path, tmp_path, extra_compress=(), extra_extract=(),
+                      out_ext="vcf"):
+    xsi = str(tmp_path / "out.xsi")
+    out = str(tmp_path / f"roundtrip.{out_ext}")
+    assert cli_main(["-c", "-f", vcf_path, "-o", xsi, *extra_compress]) == 0
+    assert cli_main(["-x", "-f", xsi, "-o", out, *extra_extract]) == 0
+    orig, samples_in = read_all(vcf_path)
+    got, samples_out = read_all(out)
+    assert samples_in == samples_out
+    assert len(orig) == len(got)
+    for i, (o, g) in enumerate(zip(orig, got)):
+        assert o == g, f"record {i} differs:\n  orig {o}\n  got  {g}"
+    return xsi, out
+
+
+@pytest.mark.parametrize("name", sorted(fixtures.ALL_MICRO))
+def test_micro_roundtrip_vcf(name, tmp_path):
+    vcf = fixtures.ALL_MICRO[name](str(tmp_path / f"{name}.vcf"))
+    roundtrip_compare(vcf, tmp_path)
+
+
+@pytest.mark.parametrize("name", ["micro_basic", "micro_missing", "micro_eov"])
+def test_micro_roundtrip_bcf_output(name, tmp_path):
+    vcf = fixtures.ALL_MICRO[name](str(tmp_path / f"{name}.vcf"))
+    roundtrip_compare(vcf, tmp_path, out_ext="bcf", extra_extract=["-O", "b"])
+
+
+def test_micro_roundtrip_wah_missing(tmp_path):
+    vcf = fixtures.micro_missing(str(tmp_path / "m.vcf"))
+    roundtrip_compare(vcf, tmp_path, extra_compress=["--wah-encode-missing"])
+
+
+def test_random_roundtrip(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=127,
+                              n_records=300, seed=1)
+    roundtrip_compare(vcf, tmp_path, extra_compress=["--maf", "0.002"])
+
+
+def test_random_roundtrip_zstd_multiblock(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=63,
+                              n_records=500, seed=2)
+    xsi, _ = roundtrip_compare(
+        vcf, tmp_path,
+        extra_compress=["--zstd", "--variant-block-length", "128"])
+    from xsqueezeit_tpu.format.container import XsiReader
+    r = XsiReader(xsi)
+    assert r.n_blocks() == (500 + 127) // 128
+    assert r.header.zstd
+
+
+def test_bcf_input_roundtrip(tmp_path):
+    """Real htslib-produced BCF input -> xsi -> bcf preserves genotypes."""
+    xsi = str(tmp_path / "ref.xsi")
+    out = str(tmp_path / "ref_out.bcf")
+    assert cli_main(["-c", "-f", REF_BCF, "-o", xsi]) == 0
+    assert cli_main(["-x", "-f", xsi, "-o", out, "-O", "b"]) == 0
+    orig, s_in = read_all(REF_BCF)
+    got, s_out = read_all(out)
+    assert s_in == s_out
+    assert orig == got
+
+
+def test_region_query(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=20,
+                              n_records=100, seed=3)
+    xsi = str(tmp_path / "o.xsi")
+    out = str(tmp_path / "region.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    # positions are 60000 + i*37; select a middle slice
+    cli_main(["-x", "-f", xsi, "-o", out, "-r", "20:60500-61000"])
+    got, _ = read_all(out)
+    orig, _ = read_all(vcf)
+    lo = [i for i in range(100) if 60500 <= 60000 + i * 37 <= 61000]
+    assert len(got) == len(lo)
+    assert got == [orig[i] for i in lo]
+
+
+def test_sample_subset(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=20,
+                              n_records=50, seed=4)
+    xsi = str(tmp_path / "o.xsi")
+    out = str(tmp_path / "subset.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", out, "-s", "S005,S002,S019"])
+    got, samples = read_all(out)
+    assert samples == ["S005", "S002", "S019"]
+    orig, _ = read_all(vcf)
+    for (na_o, gt_o, pl), (na_g, gt_g, _) in zip(orig, got):
+        assert na_o == na_g
+        gt_o = np.array(gt_o).reshape(20, pl)
+        want = gt_o[[5, 2, 19]].reshape(-1).tolist()
+        assert gt_g == want
+
+
+def test_sample_subset_exclude(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=10,
+                              n_records=20, seed=5)
+    xsi = str(tmp_path / "o.xsi")
+    out = str(tmp_path / "subset.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", out, "-s", "^S000,S003"])
+    _, samples = read_all(out)
+    assert samples == [f"S{i:03d}" for i in range(10) if i not in (0, 3)]
+
+
+def test_recompress_to_xsi(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=16,
+                              n_records=60, seed=6)
+    xsi = str(tmp_path / "o.xsi")
+    xsi2 = str(tmp_path / "o2.xsi")
+    out = str(tmp_path / "final.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", xsi2, "-O", "x"])
+    cli_main(["-x", "-f", xsi2, "-o", out])
+    got, _ = read_all(out)
+    orig, _ = read_all(vcf)
+    assert got == orig
+
+
+def test_info_flag(tmp_path, capsys):
+    vcf = fixtures.micro_basic(str(tmp_path / "b.vcf"))
+    xsi = str(tmp_path / "o.xsi")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    assert cli_main(["-i", "-f", xsi]) == 0
+    err = capsys.readouterr().err
+    assert "Haplotype samples  : 20" in err
+    assert "VCF records : 5" in err

@@ -1,0 +1,174 @@
+"""Streaming compression driver: VCF/BCF -> .xsi + _var.bcf.
+
+Mirrors the reference pipeline (gt_compressor_new.hpp NewCompressor /
+GtCompressorStream + xcf.cpp replace_samples_by_pos_in_binary_matrix) in a
+single pass: each input record contributes (1) its site columns + FORMAT/BM
+pointer to the variant BCF and (2) its genotype matrix rows to the current
+GT block, flushed to the container every `block_length` records.
+
+One deliberate fix over the reference: the sparse/arrangement index width
+(A_T) is keyed on N_HAPS everywhere (the reference keys the block encoder on
+num_samples but the header on N_HAPS, which disagree for 32769..65535
+samples; see SURVEY.md "latent reference bug").
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..format.constants import (
+    BM_BLOCK_BITS,
+    DEFAULT_BLOCK_LENGTH,
+    DEFAULT_MAF,
+    DEFAULT_ZSTD_LEVEL,
+    PSEUDO_SAMPLE_NAME,
+    XSI_BCF_VAR_EXTENSION,
+)
+from ..format.container import XsiWriter
+from ..format.header import XsiHeader
+from ..io.bcf import BcfHeader, BcfWriter, patch_shared_sample_counts
+from ..io.sites import encode_bm_indiv
+from ..io.unified import (
+    GtInput,
+    sniff_default_phased,
+    sniff_max_ploidy_first_entry,
+)
+from .gt_block import GtBlockEncoder
+
+
+@dataclass
+class CompressorOptions:
+    maf: float = DEFAULT_MAF
+    block_length: int = DEFAULT_BLOCK_LENGTH
+    zstd: bool = False
+    zstd_level: int = DEFAULT_ZSTD_LEVEL
+    wah_encode_missing: bool = False  # WS_WAH weirdness strategy
+    verbose: bool = False
+
+
+def make_variant_header(src: BcfHeader, xsi_basename: str) -> BcfHeader:
+    """Header for the `_var.bcf` variant file: pseudo-sample + BM + ##XSI.
+
+    The clone *shares* the source header's dictionaries so that shared blocks
+    encoded against the source keep valid indices (records passed through
+    verbatim reference the input header's FILTER/INFO/contig ids).
+    """
+    src.ensure_string("BM", '##FORMAT=<ID=BM,Number=1,Type=Integer,Description='
+                            '"Position in GT Binary Matrix">')
+    h = BcfHeader.from_text(src.to_text())
+    h.samples = [PSEUDO_SAMPLE_NAME]
+    h.lines.append(f"##XSI={xsi_basename}")
+    # Share dictionary objects: any string auto-registered while encoding
+    # records stays consistent between the two headers.
+    h.dict_strings = src.dict_strings
+    h.str2idx = src.str2idx
+    h.dict_contigs = src.dict_contigs
+    h.contig2idx = src.contig2idx
+    return h
+
+
+def compress_file(input_path: str, output_path: str,
+                  opts: CompressorOptions | None = None) -> dict:
+    """Compress `input_path` into `output_path` (+ `_var.bcf`).
+
+    Returns summary stats.
+    """
+    from ..format.constants import WeirdnessStrategy
+
+    opts = opts or CompressorOptions()
+    inp = GtInput(input_path)
+    samples = inp.samples
+    if not samples:
+        raise ValueError(f"File {input_path} has no samples")
+    n_samples = len(samples)
+
+    default_phased = sniff_default_phased(input_path)
+    max_ploidy = sniff_max_ploidy_first_entry(input_path)
+    if max_ploidy == 0:
+        raise ValueError(f"File {input_path} has no GT entries")
+
+    ploidy_for_haps = 2  # A_T selection always assumes diploid (ref parity)
+    n_haps = n_samples * ploidy_for_haps
+    aet_dtype = np.uint16 if n_haps <= 0xFFFF else np.uint32
+    mac_threshold = int(n_haps * opts.maf)
+    ws = (WeirdnessStrategy.WS_WAH if opts.wah_encode_missing
+          else WeirdnessStrategy.WS_SPARSE)
+
+    header = XsiHeader(
+        version=5,
+        ind_bytes=4,
+        aet_bytes=np.dtype(aet_dtype).itemsize,
+        wah_bytes=2,
+        iota_ppa=True,
+        no_sort=False,
+        default_phased=bool(default_phased),
+        ss_rate=opts.block_length,
+        rare_threshold=mac_threshold,
+    )
+    xsi = XsiWriter(output_path, header, samples,
+                    zstd_on=opts.zstd, zstd_level=opts.zstd_level)
+
+    var_path = output_path + XSI_BCF_VAR_EXTENSION
+    var_header = make_variant_header(inp.header, os.path.basename(output_path))
+    var_writer = BcfWriter(var_path, var_header)
+
+    def new_block():
+        return GtBlockEncoder(
+            n_samples, opts.block_length, mac_threshold,
+            default_phasing=default_phased, aet_dtype=aet_dtype,
+            weirdness_strategy=ws)
+
+    block = new_block()
+    entry_counter = 0
+    variant_counter = 0
+    bm_block = 0
+    bm_offset = 0
+    seen_max_ploidy = max_ploidy
+
+    for rec in inp:
+        if rec.gt is None:
+            raise ValueError("Record without GT data cannot be compressed")
+        if rec.ploidy > 2:
+            raise ValueError("Ploidy higher than 2 is not yet supported")
+        seen_max_ploidy = max(seen_max_ploidy, rec.ploidy)
+
+        # variant file entry (BM = block << 15 | offset)
+        if entry_counter and entry_counter % opts.block_length == 0:
+            bm_block += 1
+            bm_offset = 0
+        if bm_offset >> BM_BLOCK_BITS:
+            raise ValueError(
+                f"BM offset cannot be represented on {BM_BLOCK_BITS} bits")
+        bm = (bm_block << BM_BLOCK_BITS) | bm_offset
+        shared = patch_shared_sample_counts(rec.shared, n_fmt=1, n_sample=1)
+        var_writer.write_raw(shared, encode_bm_indiv(var_header, bm))
+
+        # genotype block entry
+        if block.full:
+            xsi.write_block(block.serialize())
+            block = new_block()
+        block.encode_record(rec.gt, rec.n_alleles)
+
+        n_alts = rec.n_alleles - 1
+        bm_offset += n_alts
+        variant_counter += n_alts
+        entry_counter += 1
+        if opts.verbose and entry_counter % 1000 == 0:
+            print(f"Handled {entry_counter} VCF entries (lines)")
+
+    if block.bcf_lines:
+        xsi.write_block(block.serialize())
+    xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
+                 max_ploidy=seen_max_ploidy)
+    var_writer.close()
+    inp.close()
+
+    return {
+        "entries": entry_counter,
+        "variants": variant_counter,
+        "n_samples": n_samples,
+        "xsi_bytes": os.path.getsize(output_path),
+        "variant_bytes": os.path.getsize(var_path),
+    }

@@ -1,0 +1,203 @@
+"""VCF text reader/writer.
+
+Parses VCF into htslib-compatible int32 genotype arrays:
+
+  * allele slot value = (allele_index + 1) << 1 | phased
+  * '.'  -> 0 (missing, allele -1); the phase bit of a missing allele follows
+    its separator like any other allele
+  * samples with fewer alleles than the line maximum are padded with
+    INT32_VECTOR_END (BCF padding semantics)
+  * the first allele of each sample carries no phase information (separator
+    precedes an allele; there is none before the first) -> phase bit 0
+
+Only FORMAT/GT is compressed by the codec (like the reference, which drops
+all other FORMAT fields); the eight fixed columns are carried verbatim.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..format.constants import INT32_VECTOR_END
+from .bgzf import BgzfReader, is_gzip
+
+
+@dataclass
+class VcfRecord:
+    fixed: list[str]          # CHROM POS ID REF ALT QUAL FILTER INFO (8 cols)
+    gt: np.ndarray | None     # int32[n_samples * line_max_ploidy], None if no GT
+    n_alleles: int            # 1 + number of ALTs ('.' ALT counts as 0 ALTs)
+    ploidy: int               # line max ploidy
+
+    @property
+    def chrom(self) -> str:
+        return self.fixed[0]
+
+    @property
+    def pos(self) -> int:
+        return int(self.fixed[1])
+
+
+def _open_text(path: str):
+    if path == "-":
+        import sys
+        return sys.stdin
+    with open(path, "rb") as probe:
+        head = probe.read(2)
+    if head == b"\x1f\x8b":
+        # bgzip and plain gzip both decode with gzip
+        return io.TextIOWrapper(gzip.open(path, "rb"))
+    return open(path, "rt")
+
+
+def parse_gt_field(field: str, scratch: list[int]) -> int:
+    """Parse one sample's GT string into scratch; returns allele count."""
+    n = 0
+    i = 0
+    ln = len(field)
+    phased = 0
+    while i < ln:
+        c = field[i]
+        if c == ":":  # further FORMAT subfields are ignored
+            break
+        if c == ".":
+            scratch[n] = 0 | phased
+            n += 1
+            i += 1
+        else:
+            j = i
+            while j < ln and field[j].isdigit():
+                j += 1
+            allele = int(field[i:j])
+            scratch[n] = ((allele + 1) << 1) | phased
+            n += 1
+            i = j
+        if i < ln:
+            sep = field[i]
+            if sep == "|":
+                phased = 1
+                i += 1
+            elif sep == "/":
+                phased = 0
+                i += 1
+            elif sep == ":":
+                break
+    return n
+
+
+class VcfReader:
+    """Iterates VcfRecord from a .vcf / .vcf.gz file."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.header_lines: list[str] = []
+        self.samples: list[str] = []
+        self._f = _open_text(path)
+        for line in self._f:
+            line = line.rstrip("\n")
+            if line.startswith("##"):
+                self.header_lines.append(line)
+            elif line.startswith("#CHROM"):
+                cols = line.split("\t")
+                self.samples = cols[9:] if len(cols) > 9 else []
+                self._chrom_line_prefix = "\t".join(cols[:9])
+                break
+            else:
+                raise ValueError("VCF: missing #CHROM header line")
+
+    def __iter__(self):
+        n_samples = len(self.samples)
+        scratch = [0] * 64
+        for line in self._f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            cols = line.split("\t")
+            fixed = cols[:8]
+            alt = fixed[4]
+            n_alleles = 1 + (0 if alt in (".", "") else alt.count(",") + 1)
+            if len(cols) <= 9 or n_samples == 0:
+                yield VcfRecord(fixed, None, n_alleles, 0)
+                continue
+            fmt = cols[8]
+            if fmt != "GT" and not fmt.startswith("GT:") and ":GT" not in fmt:
+                yield VcfRecord(fixed, None, n_alleles, 0)
+                continue
+            gt_index = fmt.split(":").index("GT")
+            per_sample: list[list[int]] = []
+            max_ploidy = 1
+            for s in cols[9:9 + n_samples]:
+                f = s if gt_index == 0 else s.split(":")[gt_index]
+                n = parse_gt_field(f, scratch)
+                per_sample.append(scratch[:n])
+                if n > max_ploidy:
+                    max_ploidy = n
+            gt = np.full(n_samples * max_ploidy, INT32_VECTOR_END, np.int32)
+            for i, vals in enumerate(per_sample):
+                gt[i * max_ploidy:i * max_ploidy + len(vals)] = vals
+            yield VcfRecord(fixed, gt, n_alleles, max_ploidy)
+
+    def close(self):
+        self._f.close()
+
+
+def format_gt(gt: np.ndarray, ploidy: int, n_samples: int) -> list[str]:
+    """Render genotype strings from an htslib-style int array."""
+    out = []
+    eov = np.int32(INT32_VECTOR_END)
+    for i in range(n_samples):
+        parts = []
+        for j in range(ploidy):
+            v = int(gt[i * ploidy + j])
+            if v == eov:
+                break
+            allele = (v >> 1) - 1
+            txt = "." if allele < 0 else str(allele)
+            if j == 0:
+                parts.append(txt)
+            else:
+                parts.append(("|" if (v & 1) else "/") + txt)
+        out.append("".join(parts) if parts else ".")
+    return out
+
+
+class VcfWriter:
+    """Writes VCF text (optionally bgzip)."""
+
+    def __init__(self, path: str, header_lines: list[str], samples: list[str],
+                 compress: bool = False):
+        self.samples = samples
+        if path == "-":
+            import sys
+            self._f = sys.stdout
+            self._close = False
+        elif compress:
+            from .bgzf import BgzfWriter
+            self._raw = BgzfWriter(path)
+            self._f = io.TextIOWrapper(self._raw)
+            self._close = True
+        else:
+            self._f = open(path, "wt")
+            self._close = True
+        for line in header_lines:
+            self._f.write(line + "\n")
+        cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
+        if samples:
+            cols += ["FORMAT"] + list(samples)
+        self._f.write("\t".join(cols) + "\n")
+
+    def write_record(self, fixed: list[str], gt: np.ndarray | None,
+                     ploidy: int) -> None:
+        if gt is None or not self.samples:
+            self._f.write("\t".join(fixed) + "\n")
+            return
+        cells = format_gt(gt, ploidy, len(self.samples))
+        self._f.write("\t".join(fixed) + "\tGT\t" + "\t".join(cells) + "\n")
+
+    def close(self):
+        if self._close:
+            self._f.close()
