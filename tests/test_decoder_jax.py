@@ -1,0 +1,81 @@
+"""Device block decoder vs original records and NumPy decoder."""
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from xsqueezeit_tpu.codec.decoder_jax import decode_block_records
+from xsqueezeit_tpu.codec.gt_block import GtBlockEncoder
+from xsqueezeit_tpu.format.constants import WeirdnessStrategy
+from tests.gt_synth import make_record
+
+
+def encode(records, n_samples, mac_threshold=2, ws=WeirdnessStrategy.WS_SPARSE,
+           default_phasing=1, aet=np.uint16):
+    enc = GtBlockEncoder(n_samples, 10_000, mac_threshold,
+                         default_phasing=default_phasing, aet_dtype=aet,
+                         weirdness_strategy=ws)
+    for gt, na in records:
+        enc.encode_record(gt, na)
+    return enc.serialize()
+
+
+def check(records, n_samples, **kw):
+    payload = encode(records, n_samples, **kw)
+    aet = kw.get("aet", np.uint16)
+    outs = decode_block_records(payload, n_samples, n_samples * 2, aet,
+                                [na for _, na in records])
+    for i, ((gt, _), out) in enumerate(zip(records, outs)):
+        np.testing.assert_array_equal(out, gt, err_msg=f"record {i}")
+
+
+def test_common():
+    rng = np.random.default_rng(0)
+    check([make_record(rng, 60, p_alt=0.4) for _ in range(25)], 60)
+
+
+def test_sparse_and_negated():
+    rng = np.random.default_rng(1)
+    recs = ([make_record(rng, 80, p_alt=0.01) for _ in range(10)]
+            + [make_record(rng, 80, p_alt=0.99) for _ in range(10)])
+    check(recs, 80, mac_threshold=5)
+
+
+def test_multiallelic():
+    rng = np.random.default_rng(2)
+    check([make_record(rng, 50, n_alts=3, p_alt=0.5) for _ in range(12)], 50)
+
+
+def test_missing_eov_phase():
+    rng = np.random.default_rng(3)
+    recs = [make_record(rng, 50, p_alt=0.3, p_missing=0.04, p_eov=0.05,
+                        p_phase_flip=0.08) for _ in range(20)]
+    check(recs, 50)
+
+
+def test_missing_wah_strategy():
+    rng = np.random.default_rng(4)
+    recs = [make_record(rng, 50, p_alt=0.3, p_missing=0.05) for _ in range(15)]
+    check(recs, 50, ws=WeirdnessStrategy.WS_WAH)
+
+
+def test_haploid_falls_back():
+    rng = np.random.default_rng(5)
+    recs = [make_record(rng, 40, p_alt=0.4, haploid=(i % 2 == 0))
+            for i in range(10)]
+    check(recs, 40)
+
+
+def test_kitchen_sink():
+    rng = np.random.default_rng(6)
+    recs = []
+    for i in range(40):
+        if i % 5 == 0:
+            recs.append(make_record(rng, 64, n_alts=2, p_alt=0.4,
+                                    p_missing=0.03, p_phase_flip=0.05))
+        elif i % 3 == 0:
+            recs.append(make_record(rng, 64, p_alt=0.004))
+        else:
+            recs.append(make_record(rng, 64, p_alt=0.3, p_missing=0.02,
+                                    p_eov=0.04))
+    check(recs, 64, mac_threshold=3)

@@ -1,0 +1,88 @@
+"""Device block encoder vs NumPy block encoder: byte-identical payloads."""
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from xsqueezeit_tpu.codec.encoder_jax import DeviceBlockEncoder
+from xsqueezeit_tpu.codec.gt_block import GtBlockEncoder
+from xsqueezeit_tpu.format.constants import WeirdnessStrategy
+from tests.gt_synth import make_record
+
+
+def both_encoders(n_samples, mac_threshold, ws=WeirdnessStrategy.WS_SPARSE,
+                  default_phasing=1, aet=np.uint16):
+    kw = dict(block_bcf_lines=10_000, mac_threshold=mac_threshold,
+              default_phasing=default_phasing, aet_dtype=aet,
+              weirdness_strategy=ws)
+    return (GtBlockEncoder(n_samples, **kw), DeviceBlockEncoder(n_samples, **kw))
+
+
+def check_identical(records, n_samples, **kw):
+    ref, dev = both_encoders(n_samples, **kw)
+    for gt, n_alleles in records:
+        ref.encode_record(gt, n_alleles)
+        dev.encode_record(gt, n_alleles)
+    a, b = ref.serialize(), dev.serialize()
+    assert a == b, f"payloads differ: {len(a)} vs {len(b)} bytes"
+
+
+def test_common_variants():
+    rng = np.random.default_rng(0)
+    records = [make_record(rng, 60, p_alt=0.4) for _ in range(25)]
+    check_identical(records, 60, mac_threshold=2)
+
+
+def test_rare_and_negated():
+    rng = np.random.default_rng(1)
+    records = ([make_record(rng, 80, p_alt=0.01) for _ in range(10)]
+               + [make_record(rng, 80, p_alt=0.99) for _ in range(10)])
+    check_identical(records, 80, mac_threshold=5)
+
+
+def test_multiallelic():
+    rng = np.random.default_rng(2)
+    records = [make_record(rng, 50, n_alts=3, p_alt=0.5) for _ in range(12)]
+    check_identical(records, 50, mac_threshold=2)
+
+
+def test_missing_sparse_strategy():
+    rng = np.random.default_rng(3)
+    records = [make_record(rng, 50, p_alt=0.3, p_missing=0.05)
+               for _ in range(15)]
+    check_identical(records, 50, mac_threshold=2)
+
+
+def test_missing_wah_strategy():
+    rng = np.random.default_rng(4)
+    records = [make_record(rng, 50, p_alt=0.3, p_missing=0.05)
+               for _ in range(15)]
+    check_identical(records, 50, mac_threshold=2, ws=WeirdnessStrategy.WS_WAH)
+
+
+def test_eov_and_phase():
+    rng = np.random.default_rng(5)
+    records = [make_record(rng, 50, p_alt=0.3, p_eov=0.05, p_phase_flip=0.1)
+               for _ in range(15)]
+    check_identical(records, 50, mac_threshold=2)
+
+
+def test_kitchen_sink():
+    rng = np.random.default_rng(6)
+    records = []
+    for i in range(40):
+        if i % 5 == 0:
+            records.append(make_record(rng, 64, n_alts=2, p_alt=0.4,
+                                       p_missing=0.03, p_phase_flip=0.05))
+        elif i % 3 == 0:
+            records.append(make_record(rng, 64, p_alt=0.004))
+        else:
+            records.append(make_record(rng, 64, p_alt=0.3, p_missing=0.02,
+                                       p_eov=0.04))
+    check_identical(records, 64, mac_threshold=3)
+
+
+def test_unphased():
+    rng = np.random.default_rng(7)
+    records = [make_record(rng, 40, p_alt=0.3, phased=False) for _ in range(10)]
+    check_identical(records, 40, mac_threshold=2, default_phasing=0)

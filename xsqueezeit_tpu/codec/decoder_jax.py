@@ -1,0 +1,220 @@
+"""Device (JAX) block decoder — whole-block decode on TPU.
+
+Pipeline for one block (the inverse of encoder_jax):
+
+    WAH stream --(one cumsum + searchsorted)--> per-line word offsets
+    offsets --(windowed binary-search expansion)--> y[L, H] arrangement bits
+    y --(pbwt_decode_scan: scatter + partition per line)--> vals[L, H]
+    sparse stream --(vectorised scatter)--> vals rows for sparse lines
+    vals --(per-ALT overlay)--> allele matrix [n_records, H]
+
+Exception overlays (missing / EOV / phase) are applied on host -- they touch
+only flagged records.  Blocks containing haploid lines fall back to the
+NumPy GtBlockDecoder.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import GTDict, INT32_VECTOR_END, WeirdnessStrategy
+from ..format.dictionary import read_dictionary
+from ..ops import pbwt_jax, wah_jax, wah_np
+from .gt_block_decoder import GtBlockDecoder
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _decode_wah_and_scan(stream, line_stream_offsets, is_wah, h, w):
+    """Decode all WAH lines and run the PBWT scan over the whole block.
+
+    stream: uint16[N] padded WAH stream
+    line_stream_offsets: int32[L] word offset per line (0 for sparse lines)
+    is_wah: bool[L]
+    Returns (vals uint8[L, H] natural-order bits for WAH lines, ones int32[L]).
+    """
+    ys = wah_jax.wah_decode_lines(stream, line_stream_offsets, h, w)
+    ys = jnp.where(is_wah[:, None], ys, 0)
+    a0 = jnp.arange(h, dtype=jnp.int32)
+    vals, _ = pbwt_jax.pbwt_decode_scan(ys, is_wah, a0)
+    ones = jnp.sum(ys.astype(jnp.int32), axis=1)
+    return vals, ones
+
+
+class DeviceBlockDecoder:
+    """Decodes a whole GT block into per-record allele matrices."""
+
+    def __init__(self, payload: memoryview | bytes, n_samples: int,
+                 n_haps: int, aet_dtype=np.uint32):
+        self.buf = memoryview(payload)
+        self.n_samples = n_samples
+        self.n_haps = n_haps
+        self.aet_dtype = np.dtype(aet_dtype)
+        # Reuse the NumPy decoder's header/metadata parsing.
+        self.meta = GtBlockDecoder(payload, n_samples, n_haps, aet_dtype)
+        self._decoded: np.ndarray | None = None
+
+    @property
+    def eligible(self) -> bool:
+        """Device path: uniform diploid block, no PBWT-sorted weirdness
+        arrangement (WS_PBWT_WAH v4 files replay on the NumPy path)."""
+        has_weird = self.meta.has_weirdness
+        return (not bool(self.meta.haploid_line.any())
+                and self.meta.binary_lines > 0
+                and not (has_weird and self.meta.weirdness_strat
+                         == WeirdnessStrategy.WS_PBWT_WAH))
+
+    # ------------------------------------------------------------------
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the whole block.
+
+        Returns (alleles int16[L_binary, H] per *binary line* carrier bits
+        folded into per-record allele codes, ones int32[L_binary]).
+
+        The result is cached; use `record_gt` to materialize one record.
+        """
+        m = self.meta
+        H = self.n_haps
+        W = wah_jax.n_words_for(H)
+        L = m.binary_lines
+        is_wah = m.line_is_wah.astype(bool)
+
+        # --- WAH lines (device) ------------------------------------------
+        stream = m.wah_stream if m.wah_stream is not None else \
+            np.zeros(0, np.uint16)
+        padded = np.concatenate([stream, np.zeros(W + 1, np.uint16)])
+        # per-WAH-line offsets within the stream
+        wah_offsets = np.asarray(wah_jax.wah_line_offsets(
+            jnp.asarray(padded), H, W, n_lines=max(int(is_wah.sum()), 1)))
+        line_offsets = np.zeros(L, np.int32)
+        line_offsets[is_wah] = wah_offsets[:int(is_wah.sum())]
+        vals, ones = _decode_wah_and_scan(
+            jnp.asarray(padded), jnp.asarray(line_offsets),
+            jnp.asarray(is_wah), H, W)
+        vals = np.array(vals)  # writable copies (host overlays mutate)
+        ones = np.array(ones)
+
+        # --- sparse lines (vectorised host scatter) -----------------------
+        neg = np.zeros(L, bool)
+        if (~is_wah).any():
+            sp = m.sparse_stream
+            msb = 1 << (self.aet_dtype.itemsize * 8 - 1)
+            sparse_lines = np.flatnonzero(~is_wah)
+            pos = 0
+            heads = np.zeros(len(sparse_lines), np.int64)
+            starts = np.zeros(len(sparse_lines), np.int64)
+            for i in range(len(sparse_lines)):
+                heads[i] = int(sp[pos])
+                starts[i] = pos + 1
+                pos += 1 + (heads[i] & (msb - 1))
+            counts = heads & (msb - 1)
+            negs = (heads & msb) != 0
+            neg[sparse_lines] = negs
+            # one flat scatter for all sparse carriers
+            line_rep = np.repeat(sparse_lines, counts)
+            idx_flat = np.concatenate(
+                [sp[s:s + c] for s, c in zip(starts, counts)]) \
+                if counts.sum() else np.zeros(0, self.aet_dtype)
+            vals[neg] = 1
+            if len(line_rep):
+                vals[line_rep, idx_flat.astype(np.int64)] = \
+                    np.where(neg[line_rep], 0, 1).astype(vals.dtype)
+            ones[sparse_lines] = np.where(negs, H - counts, counts)
+
+        self._vals = vals
+        self._ones = ones
+        self._neg = neg
+        return vals, ones
+
+    def record_alleles(self, first_line: int, n_alleles: int) -> np.ndarray:
+        """Fold a record's binary lines into allele codes [H]."""
+        vals = self._vals
+        out = np.zeros(self.n_haps, np.int16)
+        for j in range(n_alleles - 1):
+            row = vals[first_line + j].astype(bool)
+            out = np.where(row & (out == 0), j + 1, out)
+        return out
+
+
+def decode_block_records(payload, n_samples, n_haps, aet_dtype,
+                         n_alleles_per_record: list[int],
+                         default_phasing_override: int | None = None
+                         ) -> list[np.ndarray]:
+    """Decode every record of a block to htslib gt arrays (device fast path
+    with host overlays).  Falls back to the NumPy decoder when ineligible."""
+    dev = DeviceBlockDecoder(payload, n_samples, n_haps, aet_dtype)
+    m = dev.meta
+    if not dev.eligible:
+        out = []
+        pos = 0
+        for na in n_alleles_per_record:
+            m.seek(pos)
+            out.append(m.fill_genotype_array_advance(na))
+            pos += max(na - 1, 0)
+        return out
+
+    dev.decode_all()
+    dp = m.default_phasing
+    H = n_haps
+    idx = np.arange(H)
+    phase_term = ((idx & 1) & dp).astype(np.int32)
+
+    # host-side exception streams
+    ws = m.weirdness_strat
+    wah_weird = ws in (WeirdnessStrategy.WS_WAH, WeirdnessStrategy.WS_PBWT_WAH)
+    miss_pos = eov_pos = phs_pos = 0
+    a_weird = np.arange(H)
+    msb = 1 << (np.dtype(aet_dtype).itemsize * 8 - 1)
+
+    out = []
+    first_line = 0
+    for na in n_alleles_per_record:
+        alleles = dev.record_alleles(first_line, na)
+        gt = ((alleles.astype(np.int32) + 1) << 1) | phase_term
+
+        if m.line_has_missing is not None and m.line_has_missing[first_line]:
+            if wah_weird:
+                y, used = wah_np.wah_decode(m.missing_wah[miss_pos:], H)
+                sel = y.astype(bool)
+                tgt = a_weird[sel]
+                gt[tgt] = phase_term[tgt]
+            else:
+                head = int(m.missing_sparse[miss_pos])
+                cnt = head & (msb - 1)
+                tgt = m.missing_sparse[miss_pos + 1:miss_pos + 1 + cnt].astype(np.int64)
+                gt[tgt] = phase_term[tgt]
+        if m.line_has_eov is not None and m.line_has_eov[first_line]:
+            if wah_weird:
+                y, _ = wah_np.wah_decode(m.eov_wah[eov_pos:], H)
+                tgt = a_weird[y.astype(bool)]
+            else:
+                head = int(m.eov_sparse[eov_pos])
+                cnt = head & (msb - 1)
+                tgt = m.eov_sparse[eov_pos + 1:eov_pos + 1 + cnt].astype(np.int64)
+            gt[tgt] = np.int32(INT32_VECTOR_END)
+        if m.line_has_nup is not None and m.line_has_nup[first_line]:
+            y, _ = wah_np.wah_decode(m.phase_wah[phs_pos:], H)
+            sel = y.astype(bool) & (gt != np.int32(INT32_VECTOR_END))
+            gt[sel] ^= (idx[sel] & 1).astype(np.int32)
+
+        # advance exception cursors over this record's binary lines
+        for j in range(max(na - 1, 0)):
+            p = first_line + j
+            if m.line_has_missing is not None and m.line_has_missing[p]:
+                if wah_weird:
+                    miss_pos += wah_np.wah_words_consumed(m.missing_wah[miss_pos:], H)
+                else:
+                    miss_pos += 1 + (int(m.missing_sparse[miss_pos]) & (msb - 1))
+            if m.line_has_eov is not None and m.line_has_eov[p]:
+                if wah_weird:
+                    eov_pos += wah_np.wah_words_consumed(m.eov_wah[eov_pos:], H)
+                else:
+                    eov_pos += 1 + (int(m.eov_sparse[eov_pos]) & (msb - 1))
+            if m.line_has_nup is not None and m.line_has_nup[p]:
+                phs_pos += wah_np.wah_words_consumed(m.phase_wah[phs_pos:], H)
+
+        out.append(gt.astype(np.int32))
+        first_line += max(na - 1, 0)
+    return out

@@ -1,0 +1,287 @@
+"""Device (JAX) block encoder — the TPU fast path.
+
+Encodes a whole block of diploid records in one fused device pipeline:
+
+    alleles[L, H] --(pbwt_encode_scan: gather/partition per line)--> y[L, H]
+    y --(pack_bits + wah_compress_words: vectorised RLE)--> words[L, W]
+    alleles --(mask + cumsum compaction)--> sparse indices[L, S]
+
+The host then assembles the byte-exact GT block payload (identical to
+GtBlockEncoder.serialize()).  Exception tracks (missing / end-of-vector /
+non-uniform phasing) are detected on device via per-line flags but encoded
+host-side -- they are rare by construction and sit outside the hot loop.
+
+Eligibility: every record in the block is ploidy-2 (the reference's own
+fast-path assumption); blocks containing haploid lines fall back to the
+NumPy encoder.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..format.constants import (
+    GTDict,
+    INT32_MISSING,
+    INT32_VECTOR_END,
+    WeirdnessStrategy,
+)
+from ..format.dictionary import write_dictionary
+from ..ops import pbwt_jax, wah_jax, wah_np
+from .gt_block import GtBlockEncoder
+
+MISSING_CODE = -1
+EOV_CODE = -2
+
+
+@functools.partial(jax.jit, static_argnames=("sparse_cap",))
+def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
+    """Fused device encode of one block.
+
+    alleles: int8[L, H], alts: int32[L], mac_threshold: int32 scalar.
+    Returns dict of device arrays (see keys below).
+    """
+    L, H = alleles.shape
+    ac = jnp.sum(alleles.astype(jnp.int32) == alts[:, None], axis=1)
+    mac = jnp.minimum(ac, H - ac)
+    is_wah = mac > mac_threshold
+    negated = ac != mac  # REF is the minor allele (sparse lines store REF)
+    sparse_allele = jnp.where(negated, 0, alts)
+
+    # --- WAH path: PBWT scan + pack + RLE ---------------------------------
+    a0 = jnp.arange(H, dtype=jnp.int32)
+    ys, _ = pbwt_jax.pbwt_encode_scan(alleles, alts, is_wah, a0)
+    words = wah_jax.pack_bits(ys)
+    wah_words, wah_len = wah_jax.wah_compress_words(words)
+
+    # --- sparse path: natural-order compaction ----------------------------
+    mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
+    dest = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    sparse_len = jnp.sum(mask, axis=1)
+    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), (L, H))
+    dest = jnp.where(mask, dest, sparse_cap)
+    sparse_idx = jnp.zeros((L, sparse_cap), jnp.int32)
+    sparse_idx = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(
+        sparse_idx, dest, idx)
+
+    # --- per-line feature flags ------------------------------------------
+    has_missing = jnp.any(alleles == MISSING_CODE, axis=1)
+    has_eov = jnp.any(alleles == EOV_CODE, axis=1)
+
+    return {
+        "is_wah": is_wah,
+        "negated": negated,
+        "ac": ac,
+        "wah_words": wah_words,
+        "wah_len": wah_len,
+        "sparse_idx": sparse_idx,
+        "sparse_len": sparse_len,
+        "has_missing": has_missing,
+        "has_eov": has_eov,
+    }
+
+
+def alleles_from_gt(gt_block: np.ndarray) -> np.ndarray:
+    """htslib int32 gt rows -> compact allele codes (missing -1, EOV -2)."""
+    alleles = (gt_block >> 1) - 1
+    alleles = np.where(gt_block == np.int32(INT32_MISSING), MISSING_CODE, alleles)
+    alleles = np.where((gt_block >> 1) == 0, MISSING_CODE, alleles)
+    alleles = np.where(gt_block == np.int32(INT32_VECTOR_END), EOV_CODE, alleles)
+    return alleles.astype(np.int16)
+
+
+class DeviceBlockEncoder:
+    """Block encoder driving the JAX pipeline; host assembles the payload."""
+
+    def __init__(self, n_samples: int, block_bcf_lines: int, mac_threshold: int,
+                 default_phasing: int = 0, aet_dtype=np.uint32,
+                 weirdness_strategy: int = WeirdnessStrategy.WS_SPARSE):
+        self.n_samples = n_samples
+        self.n_haps = n_samples * 2
+        self.block_bcf_lines = block_bcf_lines
+        self.mac_threshold = mac_threshold
+        self.default_phasing = int(default_phasing)
+        self.aet_dtype = np.dtype(aet_dtype)
+        self.weirdness_strategy = weirdness_strategy
+        self._gt_rows: list[np.ndarray] = []
+        self._n_alleles: list[int] = []
+
+    @property
+    def bcf_lines(self) -> int:
+        return len(self._n_alleles)
+
+    @property
+    def full(self) -> bool:
+        return self.bcf_lines >= self.block_bcf_lines
+
+    def eligible(self, ploidy: int) -> bool:
+        return ploidy == 2
+
+    def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
+        assert gt.shape[0] == self.n_haps, "device path requires diploid rows"
+        self._gt_rows.append(np.asarray(gt, np.int32))
+        self._n_alleles.append(n_alleles)
+
+    # ------------------------------------------------------------------
+    def serialize(self) -> bytes:
+        gt_block = np.stack(self._gt_rows)          # [n_rec, H]
+        n_alleles = np.asarray(self._n_alleles)
+        n_alts = np.maximum(n_alleles - 1, 0)
+        H = self.n_haps
+
+        # Expand records to binary lines (one per ALT).
+        rec_of_line = np.repeat(np.arange(len(n_alts)), n_alts)
+        alt_of_line = (np.concatenate([np.arange(1, k + 1) for k in n_alts])
+                       if len(n_alts) else np.zeros(0, np.int64))
+        L = rec_of_line.shape[0]
+        alleles_rec = alleles_from_gt(gt_block)     # [n_rec, H] int16
+        alleles = alleles_rec[rec_of_line]          # [L, H]
+
+        sparse_cap = max(int(self.mac_threshold), 1)
+        out = _encode_block_device(
+            jnp.asarray(alleles), jnp.asarray(alt_of_line, jnp.int32),
+            jnp.int32(self.mac_threshold), sparse_cap)
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        is_wah = out["is_wah"]
+        negated = out["negated"] & ~is_wah
+
+        # --- exception tracks (host; rare) --------------------------------
+        miss_rec = alleles_rec == MISSING_CODE
+        eov_rec = alleles_rec == EOV_CODE
+        rec_has_missing = miss_rec.any(axis=1)
+        rec_has_eov = eov_rec.any(axis=1)
+        second = (np.arange(H) & 1).astype(bool)
+        nup_rec_bits = second[None, :] & (
+            (gt_block & 1) != self.default_phasing)
+        # phase applies only to non-first alleles; specials included (ref parity)
+        rec_has_nup = nup_rec_bits.any(axis=1)
+
+        ws = self.weirdness_strategy
+        wah_weird = ws in (WeirdnessStrategy.WS_WAH, WeirdnessStrategy.WS_PBWT_WAH)
+        if ws == WeirdnessStrategy.WS_PBWT_WAH:
+            raise NotImplementedError(
+                "device encoder supports WS_SPARSE and WS_WAH")
+
+        missing_tracks = []
+        eov_tracks = []
+        phase_tracks = []
+        for r in np.flatnonzero(rec_has_missing):
+            if wah_weird:
+                missing_tracks.append(wah_np.wah_encode(
+                    miss_rec[r].astype(np.uint8)))
+            else:
+                missing_tracks.append(self._sparse_bytes(
+                    np.flatnonzero(miss_rec[r]), False))
+        for r in np.flatnonzero(rec_has_eov):
+            if wah_weird:
+                eov_tracks.append(wah_np.wah_encode(eov_rec[r].astype(np.uint8)))
+            else:
+                eov_tracks.append(self._sparse_bytes(
+                    np.flatnonzero(eov_rec[r]), False))
+        for r in np.flatnonzero(rec_has_nup):
+            phase_tracks.append(wah_np.wah_encode(
+                nup_rec_bits[r].astype(np.uint8)))
+
+        # --- assemble payload ---------------------------------------------
+        d: dict[int, int] = {
+            GTDict.KEY_BCF_LINES: len(n_alts),
+            GTDict.KEY_BINARY_LINES: L,
+            GTDict.KEY_MAX_LINE_PLOIDY: 2,
+            GTDict.KEY_DEFAULT_PHASING: self.default_phasing,
+            GTDict.KEY_WEIRDNESS_STRATEGY: ws,
+            GTDict.KEY_LINE_SORT: GTDict.VAL_UNDEFINED,
+            GTDict.KEY_LINE_SELECT: GTDict.VAL_UNDEFINED,
+            GTDict.KEY_MATRIX_WAH: GTDict.VAL_UNDEFINED,
+            GTDict.KEY_MATRIX_SPARSE: GTDict.VAL_UNDEFINED,
+        }
+        if rec_has_missing.any():
+            d[GTDict.KEY_LINE_MISSING] = GTDict.VAL_UNDEFINED
+            d[GTDict.KEY_MATRIX_MISSING if wah_weird
+              else GTDict.KEY_MATRIX_MISSING_SPARSE] = GTDict.VAL_UNDEFINED
+        if rec_has_eov.any():
+            d[GTDict.KEY_LINE_END_OF_VECTORS] = GTDict.VAL_UNDEFINED
+            d[GTDict.KEY_MATRIX_END_OF_VECTORS if wah_weird
+              else GTDict.KEY_MATRIX_END_OF_VECTORS_SPARSE] = GTDict.VAL_UNDEFINED
+        if rec_has_nup.any():
+            d[GTDict.KEY_LINE_NON_UNIFORM_PHASING] = GTDict.VAL_UNDEFINED
+            d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = GTDict.VAL_UNDEFINED
+
+        dict_bytes = write_dictionary(d)
+        payload = bytearray(dict_bytes)
+
+        def first_line_flags(rec_flags: np.ndarray) -> np.ndarray:
+            v = np.zeros(L, np.uint8)
+            first_lines = np.cumsum(np.concatenate([[0], n_alts[:-1]]))
+            keep = n_alts > 0
+            v[first_lines[keep]] = rec_flags[keep]
+            return v
+
+        d[GTDict.KEY_LINE_SORT] = len(payload)
+        payload.extend(wah_np.wah_encode(is_wah.astype(np.uint8)).tobytes())
+        d[GTDict.KEY_LINE_SELECT] = d[GTDict.KEY_LINE_SORT]
+
+        # WAH matrix: concatenate per-line words (front-packed rows)
+        d[GTDict.KEY_MATRIX_WAH] = len(payload)
+        wah_words, wah_len = out["wah_words"], out["wah_len"]
+        W = wah_words.shape[1]
+        take = (np.arange(W)[None, :] < wah_len[:, None]) & is_wah[:, None]
+        payload.extend(wah_words[take].tobytes())
+
+        # Sparse matrix: [count|neg][indices] per line
+        d[GTDict.KEY_MATRIX_SPARSE] = len(payload)
+        payload.extend(self._assemble_sparse(
+            out["sparse_idx"], out["sparse_len"], negated, ~is_wah))
+
+        if rec_has_missing.any():
+            d[GTDict.KEY_LINE_MISSING] = len(payload)
+            payload.extend(wah_np.wah_encode(
+                first_line_flags(rec_has_missing)).tobytes())
+            d[GTDict.KEY_MATRIX_MISSING if wah_weird
+              else GTDict.KEY_MATRIX_MISSING_SPARSE] = len(payload)
+            for t in missing_tracks:
+                payload.extend(np.ascontiguousarray(t).tobytes())
+        if rec_has_eov.any():
+            d[GTDict.KEY_LINE_END_OF_VECTORS] = len(payload)
+            payload.extend(wah_np.wah_encode(
+                first_line_flags(rec_has_eov)).tobytes())
+            d[GTDict.KEY_MATRIX_END_OF_VECTORS if wah_weird
+              else GTDict.KEY_MATRIX_END_OF_VECTORS_SPARSE] = len(payload)
+            for t in eov_tracks:
+                payload.extend(np.ascontiguousarray(t).tobytes())
+        if rec_has_nup.any():
+            d[GTDict.KEY_LINE_NON_UNIFORM_PHASING] = len(payload)
+            payload.extend(wah_np.wah_encode(
+                first_line_flags(rec_has_nup)).tobytes())
+            d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = len(payload)
+            for t in phase_tracks:
+                payload.extend(np.ascontiguousarray(t).tobytes())
+
+        payload[: len(dict_bytes)] = write_dictionary(d)
+        return bytes(payload)
+
+    def _sparse_bytes(self, indices: np.ndarray, negated: bool) -> np.ndarray:
+        from ..ops.sparse_np import sparse_encode
+        return sparse_encode(indices, negated, self.aet_dtype)
+
+    def _assemble_sparse(self, sparse_idx: np.ndarray, sparse_len: np.ndarray,
+                         negated: np.ndarray, is_sparse: np.ndarray) -> bytes:
+        """Vectorised [head][indices] stream assembly for all sparse lines."""
+        dt = self.aet_dtype
+        msb = 1 << (dt.itemsize * 8 - 1)
+        lens = sparse_len[is_sparse]
+        if lens.shape[0] == 0:
+            return b""
+        heads = lens.astype(np.int64) | np.where(negated[is_sparse], msb, 0)
+        idx_rows = sparse_idx[is_sparse]
+        total = int(lens.sum()) + lens.shape[0]
+        outbuf = np.zeros(total, dt)
+        starts = np.cumsum(np.concatenate([[0], lens[:-1] + 1]))
+        outbuf[starts] = heads.astype(dt)
+        take = np.arange(idx_rows.shape[1])[None, :] < lens[:, None]
+        flat_dest = (starts[:, None] + 1 + np.arange(idx_rows.shape[1])[None, :])
+        outbuf[flat_dest[take]] = idx_rows[take].astype(dt)
+        return outbuf.tobytes()

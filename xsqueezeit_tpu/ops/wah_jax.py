@@ -1,0 +1,169 @@
+"""WAH2 codec — JAX/XLA device kernels (batched over block lines).
+
+TPU-shaped reformulation of the WAH2 run-length format: instead of the
+reference's word-at-a-time C++ loops, whole blocks of lines are processed as
+dense [L, W] arrays with cumulative-sum run detection and scatter/gather
+compaction, so XLA can tile the work onto the VPU.
+
+Encode:  bits[L, H]  ->  (words[L, W], n_words[L])      (fixed-capacity rows)
+Decode:  stream words -> per-line word offsets (one cumsum over the stream)
+         windowed per-line expansion via vectorised binary search
+
+Capacity invariant: a line of H bits never needs more than W = ceil(H/15)
+output words (every emitted word covers >= 15 input bits).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WAH_BITS = 15
+HIGH = 1 << 15
+ONE = 1 << 14
+MAXC = (1 << 14) - 1
+ALL_SET = 0x7FFF
+
+
+def n_words_for(n_bits: int) -> int:
+    return (n_bits + WAH_BITS - 1) // WAH_BITS
+
+
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[..., H] 0/1 -> [..., W] 15-bit LSB-first words (H padded with zeros)."""
+    h = bits.shape[-1]
+    w = n_words_for(h)
+    pad = w * WAH_BITS - h
+    if pad:
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    groups = bits.reshape(*bits.shape[:-1], w, WAH_BITS).astype(jnp.int32)
+    weights = (1 << jnp.arange(WAH_BITS, dtype=jnp.int32))
+    return jnp.sum(groups * weights, axis=-1)
+
+
+def unpack_bits(words: jnp.ndarray, h: int) -> jnp.ndarray:
+    """[..., W] words -> [..., h] bits."""
+    shifts = jnp.arange(WAH_BITS, dtype=jnp.int32)
+    bits = (words[..., :, None] >> shifts) & 1
+    return bits.reshape(*words.shape[:-1], -1)[..., :h].astype(jnp.uint8)
+
+
+def _cummax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def wah_compress_words(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """RLE-compress packed 15-bit words, batched.
+
+    words: int32[L, W] (values 0..0x7FFF)
+    Returns (out_words uint16[L, W], n_out int32[L]); out rows are
+    front-packed, trailing entries zero.
+    """
+    L, W = words.shape
+    is_zero = words == 0
+    is_ones = words == ALL_SET
+    is_fill = is_zero | is_ones
+    idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    # Run detection: class changes or literal words break runs.
+    cls = jnp.where(is_zero, 0, jnp.where(is_ones, 1, 2 + idx))
+    prev_cls = jnp.concatenate([jnp.full((L, 1), -1, cls.dtype), cls[:, :-1]], 1)
+    boundary = cls != prev_cls
+    # Start index of each word's run via cumulative max of boundary positions.
+    run_start = _cummax(jnp.where(boundary, idx, -1), axis=1)
+    pos_in_run = idx - run_start
+    # Split runs at the 16383-word counter limit.
+    sub_boundary = boundary | (is_fill & (pos_in_run > 0)
+                               & (pos_in_run % MAXC == 0))
+    sub_start = _cummax(jnp.where(sub_boundary, idx, -1), axis=1)
+    sub_len = idx - sub_start + 1
+    # A word emits output iff it is the last of its sub-run.
+    next_sub = jnp.concatenate(
+        [sub_boundary[:, 1:], jnp.ones((L, 1), bool)], 1)
+    emit = next_sub
+    fill_word = HIGH | jnp.where(is_ones, ONE, 0) | sub_len
+    out_val = jnp.where(is_fill, fill_word, words)
+
+    dest = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
+    n_out = dest[:, -1] + 1
+    dest = jnp.where(emit, dest, W)  # park non-emitting words out of range
+    out = jnp.zeros((L, W), jnp.int32)
+    out = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(out, dest, out_val)
+    return out.astype(jnp.uint16), n_out
+
+
+def wah_encode_lines(bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """bits uint8[L, H] -> (words uint16[L, W], n_words int32[L])."""
+    return wah_compress_words(pack_bits(bits))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "n_lines"))
+def wah_line_offsets(stream: jnp.ndarray, h: int, w: int,
+                     n_lines: int | None = None) -> jnp.ndarray:
+    """Word offset of each line in a uniform-H WAH stream.
+
+    Every line decodes to exactly w*15 bits (h padded up).  One cumsum over
+    the stream's per-word bit spans + a searchsorted gives all offsets.
+    stream: uint16[N].  Returns int32[L] where L = n_lines or capacity.
+    """
+    s = stream.astype(jnp.int32)
+    is_counter = (s & HIGH) != 0
+    span = jnp.where(is_counter, (s & MAXC) * WAH_BITS, WAH_BITS)
+    cum = jnp.cumsum(span)
+    line_bits = w * WAH_BITS
+    n = n_lines if n_lines is not None else (stream.shape[0])
+    targets = jnp.arange(n, dtype=jnp.int64) * line_bits
+    return jnp.searchsorted(cum, targets, side="right").astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def wah_decode_lines(stream: jnp.ndarray, offsets: jnp.ndarray,
+                     h: int, w: int) -> jnp.ndarray:
+    """Decode L lines of h bits each from a WAH stream.
+
+    stream: uint16[N] (padded; reads beyond the final line's words must stay
+    in bounds -- pad with >= w zero words), offsets: int32[L].
+    Returns bits uint8[L, h].
+    """
+    s = stream.astype(jnp.int32)
+
+    def line(off):
+        win = jax.lax.dynamic_slice(s, (off,), (w,))
+        is_counter = (win & HIGH) != 0
+        span = jnp.where(is_counter, (win & MAXC) * WAH_BITS, WAH_BITS)
+        ends = jnp.cumsum(span)
+        starts = ends - span
+        b = jnp.arange(h, dtype=jnp.int32)
+        widx = jnp.searchsorted(ends, b, side="right")
+        widx = jnp.minimum(widx, w - 1)
+        word = win[widx]
+        within = b - starts[widx]
+        lit_bit = (word >> jnp.minimum(within, WAH_BITS - 1)) & 1
+        fill_bit = (word >> 14) & 1
+        counter = (word & HIGH) != 0
+        return jnp.where(counter, fill_bit, lit_bit).astype(jnp.uint8)
+
+    return jax.vmap(line)(offsets)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def wah_popcount_lines(stream: jnp.ndarray, offsets: jnp.ndarray,
+                       h: int, w: int) -> jnp.ndarray:
+    """Per-line popcount without materializing bits (allele counts)."""
+    s = stream.astype(jnp.int32)
+
+    def line(off):
+        win = jax.lax.dynamic_slice(s, (off,), (w,))
+        is_counter = (win & HIGH) != 0
+        span = jnp.where(is_counter, (win & MAXC) * WAH_BITS, WAH_BITS)
+        starts = jnp.cumsum(span) - span
+        in_line = starts < (w * WAH_BITS)  # mask out the next line's words
+        lit_pop = jax.lax.population_count(win & ALL_SET)
+        fill_pop = jnp.where((win & ONE) != 0, (win & MAXC) * WAH_BITS, 0)
+        pop = jnp.where(is_counter, fill_pop, lit_pop)
+        return jnp.sum(jnp.where(in_line, pop, 0))
+
+    return jax.vmap(line)(offsets)
