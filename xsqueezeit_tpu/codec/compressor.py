@@ -46,6 +46,61 @@ class CompressorOptions:
     zstd_level: int = DEFAULT_ZSTD_LEVEL
     wah_encode_missing: bool = False  # WS_WAH weirdness strategy
     verbose: bool = False
+    device: str = "auto"  # "auto" | "jax" | "numpy"
+
+
+def _device_encoder_cls(device: str):
+    if device == "auto":
+        device = os.environ.get("XSI_DEVICE", "auto")
+    if device == "numpy":
+        return None
+    try:
+        from .encoder_jax import DeviceBlockEncoder
+        return DeviceBlockEncoder
+    except Exception:
+        if device == "jax":
+            raise
+        return None
+
+
+class BlockEncodeDispatcher:
+    """Buffers one block of records and picks the device or NumPy encoder
+    at flush time (device requires a uniformly diploid block)."""
+
+    def __init__(self, n_samples, block_length, mac_threshold,
+                 default_phasing, aet_dtype, weirdness_strategy, device_cls):
+        self._kw = dict(
+            n_samples=n_samples, block_bcf_lines=block_length,
+            mac_threshold=mac_threshold, default_phasing=default_phasing,
+            aet_dtype=aet_dtype, weirdness_strategy=weirdness_strategy)
+        self.n_haps = n_samples * 2
+        self.block_length = block_length
+        self.device_cls = device_cls
+        self.pending: list[tuple[np.ndarray, int]] = []
+
+    @property
+    def full(self) -> bool:
+        return len(self.pending) >= self.block_length
+
+    @property
+    def bcf_lines(self) -> int:
+        return len(self.pending)
+
+    def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
+        self.pending.append((gt, n_alleles))
+
+    def serialize(self) -> bytes:
+        from .gt_block import GtBlockEncoder
+
+        uniform_diploid = all(g.shape[0] == self.n_haps
+                              for g, _ in self.pending)
+        cls = self.device_cls if (self.device_cls and uniform_diploid) \
+            else GtBlockEncoder
+        enc = cls(**self._kw)
+        for gt, na in self.pending:
+            enc.encode_record(gt, na)
+        self.pending.clear()
+        return enc.serialize()
 
 
 def make_variant_header(src: BcfHeader, xsi_basename: str) -> BcfHeader:
@@ -114,13 +169,10 @@ def compress_file(input_path: str, output_path: str,
     var_header = make_variant_header(inp.header, os.path.basename(output_path))
     var_writer = BcfWriter(var_path, var_header)
 
-    def new_block():
-        return GtBlockEncoder(
-            n_samples, opts.block_length, mac_threshold,
-            default_phasing=default_phased, aet_dtype=aet_dtype,
-            weirdness_strategy=ws)
-
-    block = new_block()
+    block = BlockEncodeDispatcher(
+        n_samples, opts.block_length, mac_threshold,
+        default_phasing=default_phased, aet_dtype=aet_dtype,
+        weirdness_strategy=ws, device_cls=_device_encoder_cls(opts.device))
     entry_counter = 0
     variant_counter = 0
     bm_block = 0
@@ -148,7 +200,6 @@ def compress_file(input_path: str, output_path: str,
         # genotype block entry
         if block.full:
             xsi.write_block(block.serialize())
-            block = new_block()
         block.encode_record(rec.gt, rec.n_alleles)
 
         n_alts = rec.n_alleles - 1

@@ -82,19 +82,27 @@ class DeviceBlockDecoder:
         is_wah = m.line_is_wah.astype(bool)
 
         # --- WAH lines (device) ------------------------------------------
+        from ..utils.shapes import bucket
         stream = m.wah_stream if m.wah_stream is not None else \
             np.zeros(0, np.uint16)
-        padded = np.concatenate([stream, np.zeros(W + 1, np.uint16)])
-        # per-WAH-line offsets within the stream
+        # Bucketed padding on both the stream and the line axis keeps the
+        # number of XLA compilations constant across blocks.
+        n_pad = bucket(stream.shape[0] + W + 1)
+        padded = np.concatenate(
+            [stream, np.zeros(n_pad - stream.shape[0], np.uint16)])
+        L_pad = bucket(L)
         wah_offsets = np.asarray(wah_jax.wah_line_offsets(
-            jnp.asarray(padded), H, W, n_lines=max(int(is_wah.sum()), 1)))
-        line_offsets = np.zeros(L, np.int32)
-        line_offsets[is_wah] = wah_offsets[:int(is_wah.sum())]
+            jnp.asarray(padded), H, W, n_lines=L_pad))
+        n_wah = int(is_wah.sum())
+        line_offsets = np.zeros(L_pad, np.int32)
+        line_offsets[:L][is_wah] = wah_offsets[:n_wah]
+        is_wah_p = np.zeros(L_pad, bool)
+        is_wah_p[:L] = is_wah
         vals, ones = _decode_wah_and_scan(
             jnp.asarray(padded), jnp.asarray(line_offsets),
-            jnp.asarray(is_wah), H, W)
-        vals = np.array(vals)  # writable copies (host overlays mutate)
-        ones = np.array(ones)
+            jnp.asarray(is_wah_p), H, W)
+        vals = np.array(vals[:L])  # writable copies (host overlays mutate)
+        ones = np.array(ones[:L])
 
         # --- sparse lines (vectorised host scatter) -----------------------
         neg = np.zeros(L, bool)

@@ -76,6 +76,7 @@ class DecompressorOptions:
     output_type: str = "b"     # b|u|z|v|x
     no_header: bool = False
     verbose: bool = False
+    device: str = "auto"       # "auto" | "jax" | "numpy"
 
 
 class Decompressor:
@@ -157,6 +158,54 @@ class Decompressor:
         dec.seek(offset)
         return dec.fill_allele_counts_advance(n_alleles)
 
+    # ---------------------------------------------------------- batch path
+    def _use_device(self) -> bool:
+        device = self.opts.device
+        if device == "auto":
+            device = os.environ.get("XSI_DEVICE", "auto")
+        if device == "numpy":
+            return False
+        if self.opts.regions or self.opts.targets:
+            return False  # filtered runs use the random-access path
+        try:
+            import jax  # noqa: F401
+            return True
+        except Exception:
+            if self.opts.device == "jax":
+                raise
+            return False
+
+    def iter_decoded_records(self):
+        """Yields (variant_rec, gt) in file order, batching whole blocks on
+        device when possible."""
+        if not self._use_device():
+            for rec, bm in self.iter_variant_records():
+                yield rec, self.decode_bm(bm, rec.n_allele)
+            return
+
+        from .decoder_jax import decode_block_records
+
+        pending: list = []
+        pending_block = -1
+
+        def flush():
+            if not pending:
+                return []
+            payload = self.xsi.gt_block_payload(pending_block)
+            gts = decode_block_records(
+                payload, self.n_samples, self.n_haps, self.xsi.aet_dtype,
+                [r.n_allele for r in pending])
+            return list(zip(pending, gts))
+
+        for rec, bm in self.iter_variant_records():
+            block_id = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS
+            if block_id != pending_block:
+                yield from flush()
+                pending = []
+                pending_block = block_id
+            pending.append(rec)
+        yield from flush()
+
     # ------------------------------------------------------------ records
     def iter_variant_records(self):
         """Yields (rec, bm, chrom, keep) over the variant file."""
@@ -234,8 +283,7 @@ class Decompressor:
                            [] if self.opts.no_header else header.lines,
                            self.output_samples, compress=compress)
         n = 0
-        for rec, bm in self.iter_variant_records():
-            gt = self.decode_bm(bm, rec.n_allele)
+        for rec, gt in self.iter_decoded_records():
             ploidy = self._line_ploidy(gt.shape[0])
             gt = self._subset_gt(gt, ploidy)
             cols = render_vcf_cols(self.var_header, rec)
@@ -272,8 +320,7 @@ class Decompressor:
         n_out = len(self.output_samples)
         writer = BcfWriter(output_path, header)
         n = 0
-        for rec, bm in self.iter_variant_records():
-            gt = self.decode_bm(bm, rec.n_allele)
+        for rec, gt in self.iter_decoded_records():
             ploidy = self._line_ploidy(gt.shape[0])
             gt = self._subset_gt(gt, ploidy)
             shared = patch_shared_sample_counts(rec.shared, 1, n_out)

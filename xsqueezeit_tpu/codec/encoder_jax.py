@@ -140,11 +140,23 @@ class DeviceBlockEncoder:
         alleles_rec = alleles_from_gt(gt_block)     # [n_rec, H] int16
         alleles = alleles_rec[rec_of_line]          # [L, H]
 
+        # Pad the line axis to a power-of-two bucket: one XLA executable
+        # serves every block of the file (multi-allelic blocks vary in L).
+        from ..utils.shapes import bucket
+        L_pad = bucket(L)
+        alleles_p = alleles
+        alts_p = np.asarray(alt_of_line, np.int32)
+        if L_pad != L:
+            alleles_p = np.concatenate(
+                [alleles, np.full((L_pad - L, H), -3, alleles.dtype)])
+            alts_p = np.concatenate(
+                [alts_p, np.full(L_pad - L, -100, np.int32)])
+
         sparse_cap = max(int(self.mac_threshold), 1)
         out = _encode_block_device(
-            jnp.asarray(alleles), jnp.asarray(alt_of_line, jnp.int32),
+            jnp.asarray(alleles_p), jnp.asarray(alts_p),
             jnp.int32(self.mac_threshold), sparse_cap)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        out = {k: np.asarray(v)[:L] for k, v in out.items()}
 
         is_wah = out["is_wah"]
         negated = out["negated"] & ~is_wah
