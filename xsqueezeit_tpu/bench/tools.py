@@ -1,0 +1,168 @@
+"""Benchmark & validation tools — counterparts of the reference's L8 apps.
+
+  loading_time    load every record's genotype array (BCF or XSI path)
+  dot_prod        GWAS-style dot product; XSI path operates directly on the
+                  compressed WAH/sparse forms ("compressive acceleration")
+  af_stats        recompute AC/AN for every record from allele counts only
+  lockstep_load   walk two files (any mix of BCF/XSI) and assert identical
+                  genotypes record by record -- the scalable bit-exactness
+                  checker (reference: lockstep_loader/gt_lockstep_loader.hpp)
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..accessor import Accessor
+from ..format.constants import XSI_BCF_VAR_EXTENSION
+from ..io.bcf import BcfReader
+from ..io.unified import GtInput
+from ..ops import wah_np
+
+
+def _is_xsi(path: str) -> bool:
+    if path.endswith(".xsi"):
+        return True
+    try:
+        with open(path, "rb") as f:
+            import struct
+            head = f.read(8)
+            return len(head) == 8 and head[4:8] == bytes.fromhex("6717edfe")
+    except OSError:
+        return False
+
+
+def iter_genotypes(path: str):
+    """Yields (n_alleles, gt int32 array) for a BCF/VCF or XSI file."""
+    if _is_xsi(path):
+        acc = Accessor(path)
+        reader = BcfReader(acc.variant_filename())
+        for rec in reader:
+            yield rec.n_allele, acc.get_genotypes(rec)
+        reader.close()
+    else:
+        inp = GtInput(path)
+        for rec in inp:
+            yield rec.n_alleles, rec.gt
+        inp.close()
+
+
+def loading_time(path: str) -> dict:
+    """Load every record's gt array; returns timing stats."""
+    t0 = time.perf_counter()
+    n_records = 0
+    n_gt = 0
+    for n_alleles, gt in iter_genotypes(path):
+        n_records += 1
+        if gt is not None:
+            n_gt += gt.shape[0]
+    elapsed = time.perf_counter() - t0
+    return {"records": n_records, "gt_entries": n_gt, "seconds": elapsed,
+            "gt_per_second": n_gt / elapsed if elapsed else 0.0}
+
+
+def dot_prod(path: str, seed: int = 42) -> dict:
+    """Dot product of each bi-allelic variant's dosage with a random
+    phenotype vector.  On XSI input the sums run over the compressed forms:
+    sparse lines sum y at the stored indices; WAH lines walk words, skipping
+    zero fills and bulk-adding one fills through the arrangement."""
+    t0 = time.perf_counter()
+    checksum = 0.0
+    n = 0
+    if _is_xsi(path):
+        acc = Accessor(path)
+        n_samples = len(acc.get_sample_list())
+        rng = np.random.default_rng(seed)
+        y = rng.random(n_samples)
+        reader = BcfReader(acc.variant_filename())
+        for rec in reader:
+            if rec.n_allele != 2:
+                continue
+            bm = acc.position_from_bm_entry(rec)
+            ia = acc.get_internal_access(bm, rec.n_allele)
+            if ia.sparse[0]:
+                stream = ia.pointers[0]
+                msb = 1 << (stream.dtype.itemsize * 8 - 1)
+                head = int(stream[0])
+                cnt = head & (msb - 1)
+                if head & msb:
+                    # negated sparse: full decode fallback (ref parity:
+                    # dot_prod/main.cpp treats negated lines the same way)
+                    gt = acc.fill_genotype_array(bm, rec.n_allele)
+                    alleles = (gt >> 1) - 1
+                    carriers = np.flatnonzero(alleles == 1)
+                    checksum += y[carriers >> 1].sum()
+                else:
+                    idx = stream[1:1 + cnt].astype(np.int64)
+                    checksum += y[idx >> 1].sum()
+            else:
+                words = ia.pointers[0]
+                bits, _ = wah_np.wah_decode(words, acc.n_haps)
+                carriers = ia.a[np.flatnonzero(bits[:acc.n_haps])]
+                checksum += y[carriers >> 1].sum()
+            n += 1
+        reader.close()
+    else:
+        inp = GtInput(path)
+        n_samples = len(inp.samples)
+        rng = np.random.default_rng(seed)
+        y = rng.random(n_samples)
+        for rec in inp:
+            if rec.n_alleles != 2 or rec.gt is None:
+                continue
+            alleles = (rec.gt >> 1) - 1
+            carriers = np.flatnonzero(alleles == 1)
+            checksum += y[carriers // rec.ploidy].sum()
+            n += 1
+        inp.close()
+    return {"variants": n, "checksum": round(float(checksum), 6),
+            "seconds": time.perf_counter() - t0}
+
+
+def af_stats(path: str) -> dict:
+    """Recompute AC/AN per record using allele counts only (no gt arrays)."""
+    t0 = time.perf_counter()
+    out = []
+    if _is_xsi(path):
+        acc = Accessor(path)
+        reader = BcfReader(acc.variant_filename())
+        for rec in reader:
+            counts = acc.get_allele_counts(rec)
+            an = int(counts.sum())
+            out.append((an, [int(c) for c in counts[1:]]))
+        reader.close()
+    else:
+        for n_alleles, gt in iter_genotypes(path):
+            alleles = (gt >> 1) - 1
+            valid = (alleles >= 0) & (gt != np.int32(-0x7FFFFFFF))
+            counts = np.bincount(alleles[valid], minlength=n_alleles)
+            out.append((int(valid.sum()), [int(c) for c in counts[1:n_alleles]]))
+    return {"records": len(out), "stats": out,
+            "seconds": time.perf_counter() - t0}
+
+
+def lockstep_load(path_a: str, path_b: str) -> dict:
+    """Walk two files in lockstep asserting identical genotypes."""
+    t0 = time.perf_counter()
+    n_records = 0
+    n_entries = 0
+    it_a = iter_genotypes(path_a)
+    it_b = iter_genotypes(path_b)
+    import itertools
+    for (na, ga), (nb, gb) in itertools.zip_longest(
+            it_a, it_b, fillvalue=(None, None)):
+        if na is None or nb is None:
+            raise AssertionError(
+                f"files differ in record count at record {n_records}")
+        if na != nb:
+            raise AssertionError(
+                f"record {n_records}: n_allele {na} != {nb}")
+        if (ga is None) != (gb is None):
+            raise AssertionError(f"record {n_records}: GT presence differs")
+        if ga is not None and not np.array_equal(ga, gb):
+            raise AssertionError(f"record {n_records}: genotypes differ")
+        n_records += 1
+        n_entries += 0 if ga is None else ga.shape[0]
+    return {"records": n_records, "gt_entries": n_entries,
+            "identical": True, "seconds": time.perf_counter() - t0}

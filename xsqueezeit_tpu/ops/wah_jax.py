@@ -127,26 +127,44 @@ def wah_decode_lines(stream: jnp.ndarray, offsets: jnp.ndarray,
     stream: uint16[N] (padded; reads beyond the final line's words must stay
     in bounds -- pad with >= w zero words), offsets: int32[L].
     Returns bits uint8[L, h].
+
+    TPU formulation: no per-bit search.  Literal words scatter their 15
+    unpacked bits to their output positions; one-fill runs paint intervals
+    with a +1/-1 delta array and a cumulative sum.  Both are O(w) scatters
+    plus one O(h) cumsum per line, all batched over lines.
     """
     s = stream.astype(jnp.int32)
+    h_pad = w * WAH_BITS
+    # Windowed gather of each line's words: [L, w]
+    win = s[jnp.clip(offsets[:, None] + jnp.arange(w)[None, :], 0,
+                     s.shape[0] - 1)]
+    is_counter = (win & HIGH) != 0
+    span = jnp.where(is_counter, (win & MAXC) * WAH_BITS, WAH_BITS)
+    ends = jnp.cumsum(span, axis=1)
+    starts = ends - span
+    in_line = starts < h_pad  # words past the line end are dropped
 
-    def line(off):
-        win = jax.lax.dynamic_slice(s, (off,), (w,))
-        is_counter = (win & HIGH) != 0
-        span = jnp.where(is_counter, (win & MAXC) * WAH_BITS, WAH_BITS)
-        ends = jnp.cumsum(span)
-        starts = ends - span
-        b = jnp.arange(h, dtype=jnp.int32)
-        widx = jnp.searchsorted(ends, b, side="right")
-        widx = jnp.minimum(widx, w - 1)
-        word = win[widx]
-        within = b - starts[widx]
-        lit_bit = (word >> jnp.minimum(within, WAH_BITS - 1)) & 1
-        fill_bit = (word >> 14) & 1
-        counter = (word & HIGH) != 0
-        return jnp.where(counter, fill_bit, lit_bit).astype(jnp.uint8)
+    # Literal scatter: [L, w, 15] bits -> positions starts + 0..14
+    lit_mask = (~is_counter) & in_line
+    shifts = jnp.arange(WAH_BITS, dtype=jnp.int32)
+    lit_bits = ((win[:, :, None] >> shifts) & 1).astype(jnp.uint8)
+    dest = starts[:, :, None] + shifts
+    dest = jnp.where(lit_mask[:, :, None], dest, h_pad)
+    out = jnp.zeros((win.shape[0], h_pad), jnp.uint8)
+    out = jax.vmap(lambda o, d, v: o.at[d.reshape(-1)].set(
+        v.reshape(-1), mode="drop"))(out, dest, lit_bits)
 
-    return jax.vmap(line)(offsets)
+    # One-fill interval painting: delta +1 at start, -1 at end, cumsum > 0
+    one_fill = is_counter & ((win & ONE) != 0) & in_line
+    plus = jnp.where(one_fill, starts, h_pad)
+    minus = jnp.where(one_fill, jnp.minimum(ends, h_pad), h_pad)
+    delta = jnp.zeros((win.shape[0], h_pad + 1), jnp.int32)
+    delta = jax.vmap(lambda d, p: d.at[p].add(1, mode="drop"))(delta, plus)
+    delta = jax.vmap(lambda d, m: d.at[m].add(-1, mode="drop"))(delta, minus)
+    ones_mask = jnp.cumsum(delta[:, :h_pad], axis=1) > 0
+
+    bits = out | ones_mask.astype(jnp.uint8)
+    return bits[:, :h]
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))

@@ -1,0 +1,132 @@
+"""Multi-chip block parallelism.
+
+Variant blocks are embarrassingly parallel (the PBWT arrangement re-seeds to
+identity at every block boundary -- header flag iota_ppa), so scale-out is
+data parallelism over the block axis of a `jax.sharding.Mesh`:
+
+  * each device runs the fused per-block encode (PBWT scan + WAH RLE +
+    sparse compaction) on its shard of blocks,
+  * per-block compressed sizes are summed with a `psum` over ICI,
+  * outputs are gathered in original block order (the out_specs partition
+    preserves the block axis ordering), so host 0 can write a container
+    byte-identical to the single-chip result.
+
+Multi-host runs layer `jax.distributed` on top; the dry-run path exercises
+the same program on N virtual CPU devices.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import pbwt_jax, wah_jax
+
+
+def _encode_one_block(alleles, alts, mac_threshold, sparse_cap):
+    """Single-block encode body (shared with codec.encoder_jax semantics)."""
+    L, H = alleles.shape
+    ac = jnp.sum(alleles.astype(jnp.int32) == alts[:, None], axis=1)
+    mac = jnp.minimum(ac, H - ac)
+    is_wah = mac > mac_threshold
+    negated = ac != mac
+    sparse_allele = jnp.where(negated, 0, alts)
+
+    a0 = jnp.arange(H, dtype=jnp.int32)
+    ys, _ = pbwt_jax.pbwt_encode_scan(alleles, alts, is_wah, a0)
+    words = wah_jax.pack_bits(ys)
+    wah_words, wah_len = wah_jax.wah_compress_words(words)
+
+    mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
+    dest = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    sparse_len = jnp.sum(mask, axis=1)
+    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), (L, H))
+    dest = jnp.where(mask, dest, sparse_cap)
+    sparse_idx = jnp.zeros((L, sparse_cap), jnp.int32)
+    sparse_idx = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(
+        sparse_idx, dest, idx)
+
+    n_bytes = (jnp.sum(jnp.where(is_wah, wah_len, 0)) * 2
+               + jnp.sum(jnp.where(is_wah, 0, sparse_len + 1)) * 4)
+    return {
+        "is_wah": is_wah,
+        "negated": negated,
+        "wah_words": wah_words,
+        "wah_len": wah_len,
+        "sparse_idx": sparse_idx,
+        "sparse_len": sparse_len,
+        "n_bytes": n_bytes,
+    }
+
+
+def make_sharded_encoder(mesh: Mesh, axis: str = "blocks",
+                         sparse_cap: int = 8):
+    """Build a pjit-ed multi-block encoder over `mesh`.
+
+    Returned fn: (alleles int8[B, L, H], alts int32[B, L],
+                  mac_threshold int32) ->
+        dict of per-block outputs gathered in block order +
+        "total_bytes" (psum over all devices).
+    """
+
+    def per_shard(alleles, alts, mac_threshold):
+        # alleles: [B_local, L, H] on this device
+        out = jax.vmap(
+            lambda al, at: _encode_one_block(al, at, mac_threshold, sparse_cap)
+        )(alleles, alts)
+        local_bytes = jnp.sum(out.pop("n_bytes"))
+        out["total_bytes"] = jax.lax.psum(local_bytes, axis)
+        return out
+
+    from jax import shard_map
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P()),
+        out_specs={
+            "is_wah": P(axis, None),
+            "negated": P(axis, None),
+            "wah_words": P(axis, None, None),
+            "wah_len": P(axis, None),
+            "sparse_idx": P(axis, None, None),
+            "sparse_len": P(axis, None),
+            "total_bytes": P(),
+        },
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sharded_decoder(mesh: Mesh, axis: str = "blocks"):
+    """Build a pjit-ed multi-block decoder (WAH lines) over `mesh`.
+
+    fn: (streams uint16[B, N], line_offsets int32[B, L], is_wah bool[B, L],
+         h, w static) -> vals uint8[B, L, H]
+    """
+
+    def one(stream, offsets, is_wah, h, w):
+        ys = wah_jax.wah_decode_lines(stream, offsets, h, w)
+        ys = jnp.where(is_wah[:, None], ys, 0)
+        a0 = jnp.arange(h, dtype=jnp.int32)
+        vals, _ = pbwt_jax.pbwt_decode_scan(ys, is_wah, a0)
+        return vals
+
+    from jax import shard_map
+
+    def per_shard(streams, offsets, is_wah, h, w):
+        return jax.vmap(lambda s, o, i: one(s, o, i, h, w))(
+            streams, offsets, is_wah)
+
+    def build(h: int, w: int):
+        sharded = shard_map(
+            functools.partial(per_shard, h=h, w=w), mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    return build
