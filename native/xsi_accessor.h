@@ -1,0 +1,68 @@
+/*
+ * libxsqueezeit_tpu — native XSI accessor C API.
+ *
+ * A from-scratch C++17 implementation of the XSI random-access surface for
+ * third-party C/C++ integrations (the reference exports libxsqueezeit with
+ * include/c_api.h; this library provides the equivalent capability for this
+ * framework): open a `.xsi` + its `_var.bcf` variant file, iterate records,
+ * and fill htslib-style genotype arrays straight out of the compressed
+ * representation.
+ *
+ * Genotype array encoding matches htslib/BCF conventions:
+ *   value = (allele_index + 1) << 1 | phased
+ *   missing = 0/1, end-of-vector = 0x80000001 (INT32_MIN + 1)
+ */
+#ifndef XSI_ACCESSOR_H
+#define XSI_ACCESSOR_H
+
+#include <stdint.h>
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct xsi_file xsi_file_t;
+
+/* Open `<path>.xsi` (the `_var.bcf` companion is derived).  NULL on error. */
+xsi_file_t *xsi_open(const char *xsi_path);
+void xsi_close(xsi_file_t *f);
+
+/* Header info */
+uint32_t xsi_version(const xsi_file_t *f);
+uint64_t xsi_num_samples(const xsi_file_t *f);
+uint64_t xsi_num_variants(const xsi_file_t *f);
+uint64_t xsi_num_records(const xsi_file_t *f);
+uint32_t xsi_ploidy(const xsi_file_t *f);
+const char *xsi_sample_name(const xsi_file_t *f, uint64_t i);
+
+/* Variant-file record iteration.  Returns 1 while a record is available,
+ * 0 at EOF, negative on error.  After a successful call the record's
+ * n_allele, BM pointer, CHROM id and POS are exposed. */
+int xsi_next_record(xsi_file_t *f);
+int32_t xsi_record_n_allele(const xsi_file_t *f);
+int32_t xsi_record_bm(const xsi_file_t *f);
+int32_t xsi_record_rid(const xsi_file_t *f);
+int64_t xsi_record_pos(const xsi_file_t *f);  /* 0-based */
+
+/* Fill the current record's genotypes.  `gt_arr` must hold at least
+ * xsi_num_samples()*2 int32 entries; returns the number of entries
+ * written (n_samples * line_ploidy) or negative on error. */
+int64_t xsi_get_genotypes(xsi_file_t *f, int32_t *gt_arr, size_t capacity);
+
+/* Random access by BM pointer (block << 15 | offset). */
+int64_t xsi_fill_genotypes_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
+                              int32_t *gt_arr, size_t capacity);
+
+/* Allele counts without materializing genotypes.  `counts` must hold
+ * n_allele entries.  Returns 0 on success. */
+int xsi_fill_allele_counts_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
+                              int64_t *counts);
+
+const char *xsi_last_error(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* XSI_ACCESSOR_H */

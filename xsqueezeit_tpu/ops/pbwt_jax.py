@@ -34,6 +34,9 @@ def stable_partition(a: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(a).at[dest].set(a)
 
 
+ENCODE_CHUNK = 16  # sorting lines per batched sort (prefix key < 2^16)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def pbwt_encode_scan(alleles: jnp.ndarray, alts: jnp.ndarray,
                      sorts: jnp.ndarray, a0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -46,16 +49,51 @@ def pbwt_encode_scan(alleles: jnp.ndarray, alts: jnp.ndarray,
     a0:      int32[H]          initial arrangement (iota at block start)
 
     Returns (y uint8[L, H] bits in arrangement order, a_final int32[H]).
+
+    TPU formulation: the PBWT arrangement after sorting lines b1..bk is the
+    stable lexicographic order of (bk, ..., b1, prior rank) -- a sort by the
+    haplotypes' bit-history.  A whole chunk of C lines therefore encodes
+    with ONE batched `lax.sort` keyed on (history prefix, chunk-start rank)
+    with the raw column bits as payload: the sorted payload IS the line's
+    arrangement-ordered bit vector.  No per-line gathers or scatters; the
+    only scatter is one rank inversion per chunk.
     """
+    L, H = alleles.shape
+    C = ENCODE_CHUNK
+    x = (alleles.astype(jnp.int32) == alts[:, None]).astype(jnp.uint8)
+    pad = (-L) % C
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        sorts = jnp.pad(sorts, (0, pad))
 
-    def step(a, inp):
-        row, alt, sort = inp
-        y = (row[a].astype(jnp.int32) == alt)
-        a_new = stable_partition(a, y)
-        a = jnp.where(sort, a_new, a)
-        return a, y.astype(jnp.uint8)
+    iota = jnp.arange(H, dtype=jnp.int32)
+    # rank of each haplotype under a0 (inverse permutation, via one sort)
+    _, r0 = jax.lax.sort((a0, iota), num_keys=1, is_stable=False)
 
-    a_final, ys = jax.lax.scan(step, a0, (alleles, alts, sorts))
+    def chunk(r, inp):
+        xs, ss = inp  # [C, H] bits (natural order), [C] sort flags
+        prefixes = []
+        p = jnp.zeros((H,), jnp.int32)
+        shift = jnp.int32(0)
+        for j in range(C):
+            prefixes.append(p)
+            contrib = xs[j].astype(jnp.int32) << shift
+            p = jnp.where(ss[j], p + contrib, p)
+            shift = shift + ss[j].astype(jnp.int32)
+        P = jnp.stack(prefixes)  # [C, H] history keys (latest bit highest)
+        r_b = jnp.broadcast_to(r, (C, H))
+        _, _, ys = jax.lax.sort((P, r_b, xs), dimension=1, num_keys=2,
+                                is_stable=False)
+        # rank update: invert the end-of-chunk arrangement (one scatter)
+        _, _, a_end = jax.lax.sort((p, r, iota), num_keys=2, is_stable=False)
+        r_new = jnp.zeros_like(r).at[a_end].set(iota)
+        return r_new, ys
+
+    n_chunks = x.shape[0] // C
+    r_fin, ys = jax.lax.scan(
+        chunk, r0, (x.reshape(n_chunks, C, H), sorts.reshape(n_chunks, C)))
+    ys = ys.reshape(n_chunks * C, H)[:L]
+    _, a_final = jax.lax.sort((r_fin, iota), num_keys=1, is_stable=False)
     return ys, a_final
 
 
@@ -68,12 +106,21 @@ def pbwt_decode_scan(ys: jnp.ndarray, sorts: jnp.ndarray,
            non-WAH lines; pass sorts=False there)
     sorts: bool[L]
     Returns (vals uint8[L, H] bits in natural haplotype order, a_final).
+
+    TPU formulation: arbitrary gathers/scatters cost ~8 ns/element on the
+    VPU, but `lax.sort` (bitonic network) moves the same data an order of
+    magnitude faster.  Both per-line steps are expressed as sorts:
+      * vals = sort(key=a, payload=y)        -- a is a permutation, so
+        sorting by it inverts the arrangement and lands bits at their
+        natural positions (unique keys: stability not required);
+      * a'   = stable sort(key=y, payload=a) -- the PBWT stable partition
+        is exactly a stable sort by the current bit.
     """
 
     def step(a, inp):
         y, sort = inp
-        vals = jnp.zeros_like(y).at[a].set(y)
-        a_new = stable_partition(a, y)
+        _, vals = jax.lax.sort((a, y), num_keys=1, is_stable=False)
+        _, a_new = jax.lax.sort((y, a), num_keys=1, is_stable=True)
         a = jnp.where(sort, a_new, a)
         return a, vals
 

@@ -128,43 +128,36 @@ def wah_decode_lines(stream: jnp.ndarray, offsets: jnp.ndarray,
     in bounds -- pad with >= w zero words), offsets: int32[L].
     Returns bits uint8[L, h].
 
-    TPU formulation: no per-bit search.  Literal words scatter their 15
-    unpacked bits to their output positions; one-fill runs paint intervals
-    with a +1/-1 delta array and a cumulative sum.  Both are O(w) scatters
-    plus one O(h) cumsum per line, all batched over lines.
+    TPU formulation: everything in the WAH stream is 15-bit aligned (counter
+    words cover whole 15-bit groups), so expansion runs in *word space*:
+    for each of the w output 15-bit slots of a line, find the covering input
+    word with an O(w) scatter + cumulative max (no per-bit work), emit
+    either the literal word or a fill pattern, then unpack bits elementwise.
     """
     s = stream.astype(jnp.int32)
-    h_pad = w * WAH_BITS
+    L = offsets.shape[0]
     # Windowed gather of each line's words: [L, w]
     win = s[jnp.clip(offsets[:, None] + jnp.arange(w)[None, :], 0,
                      s.shape[0] - 1)]
     is_counter = (win & HIGH) != 0
-    span = jnp.where(is_counter, (win & MAXC) * WAH_BITS, WAH_BITS)
-    ends = jnp.cumsum(span, axis=1)
-    starts = ends - span
-    in_line = starts < h_pad  # words past the line end are dropped
+    span_w = jnp.where(is_counter, win & MAXC, 1)  # span in 15-bit words
+    start_w = jnp.cumsum(span_w, axis=1) - span_w   # output slot of word k
+    in_line = start_w < w
 
-    # Literal scatter: [L, w, 15] bits -> positions starts + 0..14
-    lit_mask = (~is_counter) & in_line
-    shifts = jnp.arange(WAH_BITS, dtype=jnp.int32)
-    lit_bits = ((win[:, :, None] >> shifts) & 1).astype(jnp.uint8)
-    dest = starts[:, :, None] + shifts
-    dest = jnp.where(lit_mask[:, :, None], dest, h_pad)
-    out = jnp.zeros((win.shape[0], h_pad), jnp.uint8)
-    out = jax.vmap(lambda o, d, v: o.at[d.reshape(-1)].set(
-        v.reshape(-1), mode="drop"))(out, dest, lit_bits)
+    # Covering word index per output slot: scatter word ids at their start
+    # slots, then cumulative max fills the runs.
+    widx = jnp.arange(w, dtype=jnp.int32)
+    slot_of_word = jnp.where(in_line, start_w, w)
+    marks = jnp.full((L, w + 1), -1, jnp.int32)
+    marks = jax.vmap(lambda m, sl: m.at[sl].max(widx, mode="drop"))(
+        marks, slot_of_word)
+    cover = jax.lax.associative_scan(jnp.maximum, marks[:, :w], axis=1)
 
-    # One-fill interval painting: delta +1 at start, -1 at end, cumsum > 0
-    one_fill = is_counter & ((win & ONE) != 0) & in_line
-    plus = jnp.where(one_fill, starts, h_pad)
-    minus = jnp.where(one_fill, jnp.minimum(ends, h_pad), h_pad)
-    delta = jnp.zeros((win.shape[0], h_pad + 1), jnp.int32)
-    delta = jax.vmap(lambda d, p: d.at[p].add(1, mode="drop"))(delta, plus)
-    delta = jax.vmap(lambda d, m: d.at[m].add(-1, mode="drop"))(delta, minus)
-    ones_mask = jnp.cumsum(delta[:, :h_pad], axis=1) > 0
-
-    bits = out | ones_mask.astype(jnp.uint8)
-    return bits[:, :h]
+    word_at_slot = jnp.take_along_axis(win, cover, axis=1)
+    counter_at_slot = (word_at_slot & HIGH) != 0
+    fill = jnp.where((word_at_slot & ONE) != 0, ALL_SET, 0)
+    out15 = jnp.where(counter_at_slot, fill, word_at_slot)
+    return unpack_bits(out15, h)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
