@@ -91,6 +91,44 @@ def test_pbwt_scan_matches_oracle():
     np.testing.assert_array_equal(np.asarray(a_final), a)
 
 
+def test_wah_expand_stream_matches_decode_lines():
+    rng = np.random.default_rng(7)
+    for H in (31, 1001, 5008):
+        L = 24
+        W = wah_jax.n_words_for(H)
+        bits = random_block_bits(rng, L, H)
+        stream = np.concatenate([wah_np.wah_encode(b) for b in bits])
+        padded = np.concatenate([stream, np.zeros(5, np.uint16)])
+        out15 = wah_jax.wah_expand_stream(jnp.asarray(padded), L, W)
+        dec = np.asarray(wah_jax.unpack_bits(out15, H))
+        np.testing.assert_array_equal(dec, bits)
+        # padded extra lines decode to all-zero rows
+        out15p = wah_jax.wah_expand_stream(jnp.asarray(padded), L + 3, W)
+        decp = np.asarray(wah_jax.unpack_bits(out15p, H))
+        np.testing.assert_array_equal(decp[:L], bits)
+        assert decp[L:].sum() == 0
+
+
+def test_pbwt_decode_blocked_matches_scan():
+    from xsqueezeit_tpu.ops import pbwt_jax
+    rng = np.random.default_rng(8)
+    for L, H, chunk in ((30, 48, 16), (64, 129, 8), (7, 33, 16)):
+        ps = rng.choice([0.01, 0.3, 0.5, 0.9], size=L)
+        x = (rng.random((L, H)) < ps[:, None]).astype(np.int8)
+        sorts = rng.random(L) < 0.7
+        a0 = np.arange(H, dtype=np.int32)
+        ys, _ = pbwt_jax.pbwt_encode_scan(
+            jnp.asarray(x), jnp.asarray(np.ones(L, np.int32)),
+            jnp.asarray(sorts), jnp.asarray(a0))
+        want, want_a = pbwt_jax.pbwt_decode_scan(
+            ys, jnp.asarray(sorts), jnp.asarray(a0))
+        got, got_a = pbwt_jax.pbwt_decode_blocked(
+            ys, jnp.asarray(sorts), chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+        np.testing.assert_array_equal(np.asarray(got), (x == 1))
+
+
 def test_pbwt_decode_scan_matches_encode():
     from xsqueezeit_tpu.ops import pbwt_jax
     rng = np.random.default_rng(4)

@@ -27,18 +27,19 @@ from .gt_block_decoder import GtBlockDecoder
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
-def _decode_wah_and_scan(stream, line_stream_offsets, is_wah, h, w):
-    """Decode all WAH lines and run the PBWT scan over the whole block.
+def _decode_wah_and_scan(stream, sorts, h, w):
+    """Decode a block's WAH lines (compacted: sorting/WAH lines only) and
+    scatter every line's bits back to natural haplotype order.
 
-    stream: uint16[N] padded WAH stream
-    line_stream_offsets: int32[L] word offset per line (0 for sparse lines)
-    is_wah: bool[L]
-    Returns (vals uint8[L, H] natural-order bits for WAH lines, ones int32[L]).
+    stream: uint16[N] -- the WAH words of the block's WAH lines back to back
+            (zero-padded; padding decodes to all-zero rows, which are inert).
+    sorts:  bool[Lw] per compacted line (padding rows may pass True: a stable
+            partition by an all-zero column is the identity).
+    Returns (vals uint8[Lw, h] natural-order bits, ones int32[Lw]).
     """
-    ys = wah_jax.wah_decode_lines(stream, line_stream_offsets, h, w)
-    ys = jnp.where(is_wah[:, None], ys, 0)
-    a0 = jnp.arange(h, dtype=jnp.int32)
-    vals, _ = pbwt_jax.pbwt_decode_scan(ys, is_wah, a0)
+    ys = wah_jax.unpack_bits(
+        wah_jax.wah_expand_stream(stream, sorts.shape[0], w), h)
+    vals, _ = pbwt_jax.pbwt_decode_blocked(ys, sorts)
     ones = jnp.sum(ys.astype(jnp.int32), axis=1)
     return vals, ones
 
@@ -81,28 +82,24 @@ class DeviceBlockDecoder:
         L = m.binary_lines
         is_wah = m.line_is_wah.astype(bool)
 
-        # --- WAH lines (device) ------------------------------------------
+        # --- WAH lines (device, compacted) --------------------------------
         from ..utils.shapes import bucket
         stream = m.wah_stream if m.wah_stream is not None else \
             np.zeros(0, np.uint16)
-        # Bucketed padding on both the stream and the line axis keeps the
-        # number of XLA compilations constant across blocks.
-        n_pad = bucket(stream.shape[0] + W + 1)
+        # Bucketed padding on both the stream and the compacted-line axis
+        # keeps the number of XLA compilations constant across blocks.
+        n_pad = bucket(stream.shape[0] + 1)
         padded = np.concatenate(
             [stream, np.zeros(n_pad - stream.shape[0], np.uint16)])
-        L_pad = bucket(L)
-        wah_offsets = np.asarray(wah_jax.wah_line_offsets(
-            jnp.asarray(padded), H, W, n_lines=L_pad))
         n_wah = int(is_wah.sum())
-        line_offsets = np.zeros(L_pad, np.int32)
-        line_offsets[:L][is_wah] = wah_offsets[:n_wah]
-        is_wah_p = np.zeros(L_pad, bool)
-        is_wah_p[:L] = is_wah
-        vals, ones = _decode_wah_and_scan(
-            jnp.asarray(padded), jnp.asarray(line_offsets),
-            jnp.asarray(is_wah_p), H, W)
-        vals = np.array(vals[:L])  # writable copies (host overlays mutate)
-        ones = np.array(ones[:L])
+        Lw_pad = bucket(max(n_wah, 1))
+        sorts_p = np.ones(Lw_pad, bool)  # padding rows decode all-zero: inert
+        vals_w, ones_w = _decode_wah_and_scan(
+            jnp.asarray(padded), jnp.asarray(sorts_p), H, W)
+        vals = np.zeros((L, H), np.uint8)
+        ones = np.zeros(L, np.int32)
+        vals[is_wah] = np.asarray(vals_w[:n_wah])
+        ones[is_wah] = np.asarray(ones_w[:n_wah])
 
         # --- sparse lines (vectorised host scatter) -----------------------
         neg = np.zeros(L, bool)

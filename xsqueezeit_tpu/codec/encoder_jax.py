@@ -57,15 +57,16 @@ def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
     words = wah_jax.pack_bits(ys)
     wah_words, wah_len = wah_jax.wah_compress_words(words)
 
-    # --- sparse path: natural-order compaction ----------------------------
+    # --- sparse path: natural-order compaction via one packed row sort ----
+    # (an elementwise scatter is ~12x slower on TPU): key = (!carrier flag
+    # << hap_bits) | index, carriers sort to the front in index order.
     mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
-    dest = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
     sparse_len = jnp.sum(mask, axis=1)
-    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32), (L, H))
-    dest = jnp.where(mask, dest, sparse_cap)
-    sparse_idx = jnp.zeros((L, sparse_cap), jnp.int32)
-    sparse_idx = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(
-        sparse_idx, dest, idx)
+    hb = pbwt_jax._hap_bits(H)
+    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
+    packed = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
+    s = jax.lax.sort(packed, dimension=1, is_stable=False)[:, :sparse_cap]
+    sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
 
     # --- per-line feature flags ------------------------------------------
     has_missing = jnp.any(alleles == MISSING_CODE, axis=1)

@@ -34,9 +34,6 @@ def stable_partition(a: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.zeros_like(a).at[dest].set(a)
 
 
-ENCODE_CHUNK = 16  # sorting lines per batched sort (prefix key < 2^16)
-
-
 @functools.partial(jax.jit, static_argnames=())
 def pbwt_encode_scan(alleles: jnp.ndarray, alts: jnp.ndarray,
                      sorts: jnp.ndarray, a0: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -52,49 +49,165 @@ def pbwt_encode_scan(alleles: jnp.ndarray, alts: jnp.ndarray,
 
     TPU formulation: the PBWT arrangement after sorting lines b1..bk is the
     stable lexicographic order of (bk, ..., b1, prior rank) -- a sort by the
-    haplotypes' bit-history.  A whole chunk of C lines therefore encodes
-    with ONE batched `lax.sort` keyed on (history prefix, chunk-start rank)
-    with the raw column bits as payload: the sorted payload IS the line's
-    arrangement-ordered bit vector.  No per-line gathers or scatters; the
-    only scatter is one rank inversion per chunk.
+    haplotypes' bit-history.  Lines are grouped into chunks of C = 31 -
+    ceil(log2 H) lines so that (chunk-local history prefix, chunk-start
+    rank, line bit) packs into one uint32; then
+
+      1. per-line packed keys come from one vectorized masked cumsum,
+      2. chunk-start ranks come from a lax.scan over chunks (two one-row
+         sorts per step: argsort by (chunk total key, rank) + inversion),
+      3. ONE batched single-uint32 row sort over all L lines extracts every
+         line's arrangement-ordered bits as the payload LSB.
     """
     L, H = alleles.shape
-    C = ENCODE_CHUNK
-    x = (alleles.astype(jnp.int32) == alts[:, None]).astype(jnp.uint8)
+    b = _hap_bits(H)
+    C = 31 - b
+    if C < 2:
+        raise ValueError(f"H={H} too large for packed PBWT encode")
+    x = (alleles.astype(jnp.int32) == alts[:, None]).astype(jnp.uint32)
     pad = (-L) % C
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         sorts = jnp.pad(sorts, (0, pad))
+    Lp = L + pad
+    n_ch = Lp // C
 
     iota = jnp.arange(H, dtype=jnp.int32)
     # rank of each haplotype under a0 (inverse permutation, via one sort)
     _, r0 = jax.lax.sort((a0, iota), num_keys=1, is_stable=False)
 
-    def chunk(r, inp):
-        xs, ss = inp  # [C, H] bits (natural order), [C] sort flags
-        prefixes = []
-        p = jnp.zeros((H,), jnp.int32)
-        shift = jnp.int32(0)
-        for j in range(C):
-            prefixes.append(p)
-            contrib = xs[j].astype(jnp.int32) << shift
-            p = jnp.where(ss[j], p + contrib, p)
-            shift = shift + ss[j].astype(jnp.int32)
-        P = jnp.stack(prefixes)  # [C, H] history keys (latest bit highest)
-        r_b = jnp.broadcast_to(r, (C, H))
-        _, _, ys = jax.lax.sort((P, r_b, xs), dimension=1, num_keys=2,
-                                is_stable=False)
-        # rank update: invert the end-of-chunk arrangement (one scatter)
-        _, _, a_end = jax.lax.sort((p, r, iota), num_keys=2, is_stable=False)
-        r_new = jnp.zeros_like(r).at[a_end].set(iota)
-        return r_new, ys
+    # Per-line chunk-local history keys, fully vectorized: within a chunk the
+    # j-th sorting line contributes its bit at shift = (#sorting lines before
+    # it); P_j = exclusive cumsum of contributions (latest bit highest).
+    ss = sorts.reshape(n_ch, C).astype(jnp.uint32)
+    xc = x.reshape(n_ch, C, H)
+    sh = jnp.cumsum(ss, axis=1) - ss                      # [n_ch, C]
+    contrib = jnp.where(ss[:, :, None] != 0,
+                        xc << sh[:, :, None], jnp.uint32(0))
+    incl = jnp.cumsum(contrib, axis=1)
+    P = incl - contrib                                    # exclusive prefix
+    T = incl[:, -1, :]                                    # chunk totals [n_ch, H]
 
-    n_chunks = x.shape[0] // C
-    r_fin, ys = jax.lax.scan(
-        chunk, r0, (x.reshape(n_chunks, C, H), sorts.reshape(n_chunks, C)))
-    ys = ys.reshape(n_chunks * C, H)[:L]
+    # Chunk-start rank chain: r_{t+1} = rank by (T_t, r_t).
+    def step(r, t):
+        packed = (t << b) | r.astype(jnp.uint32)
+        _, a_end = jax.lax.sort((packed, iota), num_keys=1, is_stable=False)
+        _, r_new = jax.lax.sort((a_end, iota), num_keys=1, is_stable=False)
+        return r_new, r
+
+    r_fin, r_starts = jax.lax.scan(step, r0, T)
+
+    # One batched row sort: key (P_j, r_chunk), payload = the line bit (LSB).
+    r_b = jnp.broadcast_to(r_starts[:, None, :].astype(jnp.uint32),
+                           (n_ch, C, H)).reshape(Lp, H)
+    packed = (P.reshape(Lp, H) << (b + 1)) | (r_b << 1) | x.reshape(Lp, H)
+    ys = (jax.lax.sort(packed, dimension=1, is_stable=False)
+          & jnp.uint32(1)).astype(jnp.uint8)[:L]
     _, a_final = jax.lax.sort((r_fin, iota), num_keys=1, is_stable=False)
     return ys, a_final
+
+
+def _hap_bits(h: int) -> int:
+    return max(int(h - 1).bit_length(), 1)
+
+
+def _sort_apply(key: jnp.ndarray, val: jnp.ndarray, h: int,
+                val_bits: int | None = None) -> jnp.ndarray:
+    """Batched permutation apply: out[..., key[i]] = val[..., i].
+
+    key rows are permutations of 0..h-1.  Uses a single packed-u32 sort when
+    the fields fit (the fast path on TPU -- a row sort moves data an order of
+    magnitude faster than an elementwise scatter/gather); falls back to a
+    tuple sort for very large h.
+    """
+    b = _hap_bits(h)
+    vb = val_bits if val_bits is not None else b
+    if b + vb <= 31:
+        packed = (key.astype(jnp.int32) << vb) | val.astype(jnp.int32)
+        out = jax.lax.sort(packed, dimension=-1, is_stable=False)
+        return out & ((1 << vb) - 1)
+    return jax.lax.sort((key.astype(jnp.int32), val.astype(jnp.int32)),
+                        dimension=-1, num_keys=1, is_stable=False)[1]
+
+
+DECODE_CHUNK = 16
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pbwt_decode_blocked(ys: jnp.ndarray, sorts: jnp.ndarray,
+                        chunk: int = DECODE_CHUNK
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked PBWT decode: bits back to natural order for every line.
+
+    Replaces the line-sequential `lax.scan` with a 3-phase hierarchy whose
+    sequential depth is O(chunk + log(L/chunk)) instead of O(L), all data
+    movement expressed as batched packed-u32 row sorts (~2 us/row on v5e vs
+    ~15 ns/elem for elementwise gathers):
+
+      1. per-chunk position-map chains O_j (pos@line -> pos@chunk-start),
+         one batched sort per chunk line, chunks independent;
+      2. chunk-start arrangements A_t via an associative scan composing the
+         per-chunk totals (permutation composition is associative; carries
+         (perm, inverse) pairs, two sorts per combine over L/chunk rows);
+      3. arrangement chain G seeded with A_t + bit extraction
+         X[l][G_l[i]] = y_l[i], two batched sorts per chunk line.
+
+    ys:    uint8[L, H] bits in arrangement order; every row is decoded.
+           Assumes the block-start arrangement is identity (header iota_ppa).
+    sorts: bool[L] whether the line updates the arrangement (all-zero padding
+           rows may pass True: partitioning by an all-zero column is a no-op).
+    Returns (vals uint8[L, H] natural-order bits, a_final int32[H]).
+    """
+    L, H = ys.shape
+    C = chunk
+    pad = (-L) % C
+    if pad:
+        ys = jnp.pad(ys, ((0, pad), (0, 0)))
+        sorts = jnp.pad(sorts, (0, pad))
+    Lp = L + pad
+    n_ch = Lp // C
+    y = ys.astype(jnp.int32)
+
+    iota = jnp.arange(H, dtype=jnp.int32)
+    # Stable-partition destinations for every line (identity on non-sorting
+    # lines), all computed in one vectorized pass.
+    nz = 1 - y
+    zeros_before = jnp.cumsum(nz, axis=1) - nz
+    n_zeros = jnp.sum(nz, axis=1, keepdims=True)
+    ones_before = jnp.cumsum(y, axis=1) - y
+    dest = jnp.where(y == 0, zeros_before, n_zeros + ones_before)
+    dest = jnp.where(sorts[:, None], dest, iota[None, :])
+
+    dc = jnp.swapaxes(dest.reshape(n_ch, C, H), 0, 1)  # [C, n_ch, H]
+    yc = jnp.swapaxes(y.reshape(n_ch, C, H), 0, 1)
+
+    # Phase 1: within-chunk O chains; keep only the chunk totals.
+    def p1(o, d):
+        return _sort_apply(d, o, H), None
+
+    o0 = jnp.broadcast_to(iota, (n_ch, H))
+    o_tot, _ = jax.lax.scan(p1, o0, dc)
+    oinv_tot = _sort_apply(o_tot, jnp.broadcast_to(iota, (n_ch, H)), H)
+
+    # Phase 2: chunk-start arrangements A_t = O^(0) o ... o O^(t-1).
+    def combine(u, v):
+        (p1_, p1i), (p2_, p2i) = u, v
+        return (_sort_apply(p2i, p1_, H), _sort_apply(p1_, p2i, H))
+
+    inc, _inc_inv = jax.lax.associative_scan(
+        combine, (o_tot, oinv_tot), axis=0)
+    a_start = jnp.concatenate([o0[:1], inc[:-1]], axis=0)  # exclusive prefix
+    a_final = inc[-1]
+
+    # Phase 3: G chain (global arrangement per line) + extraction.
+    def p3(g, inp):
+        d, yrow = inp
+        x = _sort_apply(g, yrow, H, val_bits=1)
+        return _sort_apply(d, g, H), x
+
+    _, xs = jax.lax.scan(p3, a_start, (dc, yc))
+    vals = jnp.swapaxes(xs, 0, 1).reshape(Lp, H)[:L].astype(jnp.uint8)
+    return vals, a_final
 
 
 @functools.partial(jax.jit, static_argnames=())

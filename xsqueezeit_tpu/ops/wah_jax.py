@@ -119,6 +119,35 @@ def wah_line_offsets(stream: jnp.ndarray, h: int, w: int,
     return jnp.searchsorted(cum, targets, side="right").astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_lines", "w"))
+def wah_expand_stream(stream: jnp.ndarray, n_lines: int, w: int) -> jnp.ndarray:
+    """Expand a concatenated uniform-width WAH stream to packed 15-bit groups.
+
+    stream: uint16[N] -- the WAH words of `n_lines` lines back to back, each
+    line spanning exactly `w` 15-bit groups (the codec invariant: lines pad
+    to w*15 bits, so fill counters never straddle a line boundary).  Trailing
+    padding words are ignored (their slots fall beyond n_lines*w and drop).
+
+    Returns int32[n_lines, w] of 15-bit groups (counters resolved to fills).
+
+    TPU formulation: no per-line offsets, no windowed gathers -- one global
+    cumsum over word spans gives each word's output slot, one scatter plants
+    `(pos_in_row+1) << 16 | word` at row starts, and a per-row cumulative max
+    forward-fills counter coverage.  Everything else is elementwise.
+    """
+    s = stream.astype(jnp.int32)
+    is_counter = (s & HIGH) != 0
+    span = jnp.where(is_counter, s & MAXC, 1)
+    start = jnp.cumsum(span) - span          # global 15-bit-group slot
+    pos_in_row = start % w
+    packed = ((pos_in_row + 1) << 16) | s    # s < 2^16; +1 beats zero-init
+    z = jnp.zeros(n_lines * w, jnp.int32).at[start].set(packed, mode="drop")
+    z = jax.lax.associative_scan(jnp.maximum, z.reshape(n_lines, w), axis=1)
+    word = z & 0xFFFF
+    fill = jnp.where((word & ONE) != 0, ALL_SET, 0)
+    return jnp.where((word & HIGH) != 0, fill, word)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def wah_decode_lines(stream: jnp.ndarray, offsets: jnp.ndarray,
                      h: int, w: int) -> jnp.ndarray:
