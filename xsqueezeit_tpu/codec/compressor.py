@@ -14,6 +14,7 @@ samples; see SURVEY.md "latent reference bug").
 from __future__ import annotations
 
 import os
+import struct
 from dataclasses import dataclass
 
 import numpy as np
@@ -29,6 +30,7 @@ from ..format.constants import (
 from ..format.container import XsiWriter
 from ..format.header import XsiHeader
 from ..io.bcf import BcfHeader, BcfWriter, patch_shared_sample_counts
+from ..io.csi import CsiBuilder
 from ..io.sites import encode_bm_indiv
 from ..io.unified import (
     GtInput,
@@ -47,6 +49,15 @@ class CompressorOptions:
     wah_encode_missing: bool = False  # WS_WAH weirdness strategy
     verbose: bool = False
     device: str = "auto"  # "auto" | "jax" | "numpy"
+
+
+def _device_min_cells() -> int:
+    """Blocks below this many (lines x haplotypes) cells stay on the host
+    NumPy path -- device dispatch latency dominates tiny blocks.  Forcing
+    `XSI_DEVICE=jax` keeps the device path unconditionally (tests)."""
+    if os.environ.get("XSI_DEVICE") == "jax":
+        return 0
+    return int(os.environ.get("XSI_DEVICE_MIN_CELLS", 2_000_000))
 
 
 def _device_encoder_cls(device: str):
@@ -94,8 +105,12 @@ class BlockEncodeDispatcher:
 
         uniform_diploid = all(g.shape[0] == self.n_haps
                               for g, _ in self.pending)
-        cls = self.device_cls if (self.device_cls and uniform_diploid) \
-            else GtBlockEncoder
+        # Small blocks encode faster on host: device dispatch + transfer
+        # latency (seconds over a tunneled chip) dwarfs the compute.
+        big_enough = (len(self.pending) * self.n_haps
+                      >= _device_min_cells())
+        cls = self.device_cls if (self.device_cls and uniform_diploid
+                                  and big_enough) else GtBlockEncoder
         enc = cls(**self._kw)
         for gt, na in self.pending:
             enc.encode_record(gt, na)
@@ -168,6 +183,7 @@ def compress_file(input_path: str, output_path: str,
     var_path = output_path + XSI_BCF_VAR_EXTENSION
     var_header = make_variant_header(inp.header, os.path.basename(output_path))
     var_writer = BcfWriter(var_path, var_header)
+    csi = CsiBuilder()  # reference parity: create_index_file, xcf.cpp:39-57
 
     block = BlockEncodeDispatcher(
         n_samples, opts.block_length, mac_threshold,
@@ -195,7 +211,9 @@ def compress_file(input_path: str, output_path: str,
                 f"BM offset cannot be represented on {BM_BLOCK_BITS} bits")
         bm = (bm_block << BM_BLOCK_BITS) | bm_offset
         shared = patch_shared_sample_counts(rec.shared, n_fmt=1, n_sample=1)
-        var_writer.write_raw(shared, encode_bm_indiv(var_header, bm))
+        vbeg, vend = var_writer.write_raw(shared, encode_bm_indiv(var_header, bm))
+        rid, pos0, rlen = struct.unpack_from("<iii", shared, 0)
+        csi.add(rid, pos0, pos0 + max(rlen, 1), vbeg, vend)
 
         # genotype block entry
         if block.full:
@@ -214,6 +232,7 @@ def compress_file(input_path: str, output_path: str,
     xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
                  max_ploidy=seen_max_ploidy)
     var_writer.close()
+    csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
     inp.close()
 
     return {

@@ -24,6 +24,9 @@ from ..format.constants import GTDict, INT32_VECTOR_END, WeirdnessStrategy
 from ..format.dictionary import read_dictionary
 from ..ops import pbwt_jax, wah_jax, wah_np
 from .gt_block_decoder import GtBlockDecoder
+from ..utils.jaxcache import ensure_compilation_cache
+
+ensure_compilation_cache()
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))

@@ -167,6 +167,13 @@ class Decompressor:
             return False
         if self.opts.regions or self.opts.targets:
             return False  # filtered runs use the random-access path
+        if device != "jax":
+            # Small workloads decode faster on host: device dispatch +
+            # transfer latency dominates tiny blocks (XSI_DEVICE=jax forces).
+            from .compressor import _device_min_cells
+            lines = min(self.xsi.header.ss_rate, self.xsi.header.xcf_entries)
+            if lines * self.n_haps < _device_min_cells():
+                return False
         try:
             import jax  # noqa: F401
             return True
@@ -207,13 +214,57 @@ class Decompressor:
         yield from flush()
 
     # ------------------------------------------------------------ records
+    def _region_chunks(self, reader: BcfReader,
+                       regions: list[Region]) -> list[tuple[int, int]] | None:
+        """CSI-indexed chunk ranges covering `regions`, or None when no
+        index is available (reference parity: region queries seek through
+        the variant file's .csi, xcf.cpp initialize_bcf_file_reader_with_region)."""
+        idx_path = self.var_path + ".csi"
+        if not os.path.exists(idx_path):
+            return None
+        from ..io.csi import CsiIndex
+        idx = CsiIndex.load(idx_path)
+        contigs = reader.header.dict_contigs
+        chunks: list[tuple[int, int]] = []
+        for r in regions:
+            if r.chrom not in contigs:
+                continue
+            rid = contigs.index(r.chrom)
+            beg0 = (r.start - 1) if r.start else 0
+            end0 = r.end if r.end is not None else (1 << 31) - 1
+            chunks.extend(idx.query(rid, beg0, max(end0, beg0 + 1)))
+        chunks.sort()
+        merged: list[tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                if ce > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], ce)
+            else:
+                merged.append((cb, ce))
+        return merged
+
+    def _iter_reader_records(self, reader: BcfReader, regions):
+        """Iterate variant records; seek via the CSI index when regions are
+        given and an index exists, else stream linearly."""
+        chunks = self._region_chunks(reader, regions) if regions else None
+        if chunks is None:
+            yield from reader
+            return
+        for cb, ce in chunks:
+            reader.seek_virtual(cb)
+            while reader.tell_virtual() < ce:
+                rec = reader.read_record()
+                if rec is None:
+                    break
+                yield rec
+
     def iter_variant_records(self):
         """Yields (rec, bm, chrom, keep) over the variant file."""
         reader = BcfReader(self.var_path)
         self.var_header = reader.header
         regions = parse_region_list(self.opts.regions) if self.opts.regions else None
         targets = parse_region_list(self.opts.targets) if self.opts.targets else None
-        for rec in reader:
+        for rec in self._iter_reader_records(reader, regions):
             bm = None
             for key, t, per, vals in rec.format_fields():
                 if reader.header.dict_strings[key] == "BM":

@@ -31,18 +31,26 @@ from ..format.constants import (
 )
 from ..format.dictionary import write_dictionary
 from ..ops import pbwt_jax, wah_jax, wah_np
+from ..utils.jaxcache import ensure_compilation_cache
 from .gt_block import GtBlockEncoder
+
+ensure_compilation_cache()
 
 MISSING_CODE = -1
 EOV_CODE = -2
 
 
-@functools.partial(jax.jit, static_argnames=("sparse_cap",))
-def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
-    """Fused device encode of one block.
+def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
+    """Fused device encode body shared by the single-chip and sharded paths.
 
     alleles: int8[L, H], alts: int32[L], mac_threshold: int32 scalar.
-    Returns dict of device arrays (see keys below).
+
+    Every line needs either the PBWT+WAH path (common variants) or the
+    sparse index list (rare variants), never both -- so both extractions
+    ride ONE batched packed-u32 row sort with per-row key selection:
+    WAH rows sort by (history prefix, chunk rank | bit LSB), sparse rows by
+    (!carrier flag << hap_bits | index), and the two results are read out
+    of the same sorted matrix.
     """
     L, H = alleles.shape
     ac = jnp.sum(alleles.astype(jnp.int32) == alts[:, None], axis=1)
@@ -51,26 +59,26 @@ def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
     negated = ac != mac  # REF is the minor allele (sparse lines store REF)
     sparse_allele = jnp.where(negated, 0, alts)
 
-    # --- WAH path: PBWT scan + pack + RLE ---------------------------------
     a0 = jnp.arange(H, dtype=jnp.int32)
-    ys, _ = pbwt_jax.pbwt_encode_scan(alleles, alts, is_wah, a0)
-    words = wah_jax.pack_bits(ys)
-    wah_words, wah_len = wah_jax.wah_compress_words(words)
+    wah_key, _ = pbwt_jax.pbwt_encode_keys(alleles, alts, is_wah, a0)
 
-    # --- sparse path: natural-order compaction via one packed row sort ----
-    # (an elementwise scatter is ~12x slower on TPU): key = (!carrier flag
-    # << hap_bits) | index, carriers sort to the front in index order.
     mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
     sparse_len = jnp.sum(mask, axis=1)
     hb = pbwt_jax._hap_bits(H)
     idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
-    packed = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
-    s = jax.lax.sort(packed, dimension=1, is_stable=False)[:, :sparse_cap]
-    sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
+    sparse_key = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
 
-    # --- per-line feature flags ------------------------------------------
-    has_missing = jnp.any(alleles == MISSING_CODE, axis=1)
-    has_eov = jnp.any(alleles == EOV_CODE, axis=1)
+    srt = jax.lax.sort(jnp.where(is_wah[:, None], wah_key, sparse_key),
+                       dimension=1, is_stable=False)
+
+    # WAH rows: arrangement-ordered bits are the sorted keys' LSB.
+    ys = (srt & jnp.uint32(1)).astype(jnp.uint8)
+    words = wah_jax.pack_bits(ys)
+    wah_words, wah_len = wah_jax.wah_compress_words(words)
+
+    # Sparse rows: carrier indices sorted to the front.
+    s = srt[:, :sparse_cap]
+    sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
 
     return {
         "is_wah": is_wah,
@@ -80,9 +88,16 @@ def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
         "wah_len": wah_len,
         "sparse_idx": sparse_idx,
         "sparse_len": sparse_len,
-        "has_missing": has_missing,
-        "has_eov": has_eov,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("sparse_cap",))
+def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
+    """Fused device encode of one block (+ per-line feature flags)."""
+    out = encode_block_core(alleles, alts, mac_threshold, sparse_cap)
+    out["has_missing"] = jnp.any(alleles == MISSING_CODE, axis=1)
+    out["has_eov"] = jnp.any(alleles == EOV_CODE, axis=1)
+    return out
 
 
 def alleles_from_gt(gt_block: np.ndarray) -> np.ndarray:

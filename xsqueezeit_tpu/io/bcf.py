@@ -420,6 +420,13 @@ class BcfReader:
         rec._header = self.header
         return rec
 
+    def tell_virtual(self) -> int:
+        return self._f.tell_virtual()
+
+    def seek_virtual(self, voffset: int) -> None:
+        """Jump to a record boundary addressed by a CSI chunk offset."""
+        self._f.seek_virtual(voffset)
+
     def close(self):
         self._f.close()
 
@@ -433,10 +440,14 @@ class BcfWriter:
         self._f.write(struct.pack("<I", len(text)))
         self._f.write(text)
 
-    def write_raw(self, shared: bytes, indiv: bytes) -> None:
+    def write_raw(self, shared: bytes, indiv: bytes) -> tuple[int, int]:
+        """Write one record; returns its (start, end) BGZF virtual offsets
+        (used by the CSI index builder)."""
+        vbeg = self._f.tell_virtual()
         self._f.write(struct.pack("<II", len(shared), len(indiv)))
         self._f.write(shared)
         self._f.write(indiv)
+        return vbeg, self._f.tell_virtual()
 
     def write_record(self, rec: BcfRecord) -> None:
         self.write_raw(rec.shared, rec.indiv)

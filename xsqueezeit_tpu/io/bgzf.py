@@ -61,9 +61,13 @@ class BgzfWriter(io.RawIOBase):
         self._f.write(_compress_block(bytes(chunk), self._level))
 
     def tell_virtual(self) -> int:
-        """Virtual offset of the next byte to be written."""
-        self.flush_pending()
-        return self._f.tell() << 16
+        """Virtual offset of the next byte to be written.
+
+        (compressed offset of the pending block << 16) | in-block offset;
+        does NOT flush -- write() keeps the pending buffer under 64 KiB, so
+        the in-block offset always fits the low 16 bits.
+        """
+        return (self._f.tell() << 16) | len(self._buf)
 
     def flush_pending(self) -> None:
         if self._buf:

@@ -1,0 +1,183 @@
+"""CSI (coordinate-sorted index) writer/reader for the variant BCF.
+
+The reference always builds a CSI index for `*_var.bcf` after compression
+(/root/reference/xcf.cpp:39-57 `create_index_file`, called from
+xsqueezeit.cpp:127) so downstream htslib tools and the accessor's region
+queries can seek.  This is a from-scratch implementation of the CSI v1
+format (hts-specs CSIv1.pdf): an R-tree of binning intervals keyed by
+`reg2bin`, chunks expressed as BGZF virtual offsets, the whole index
+BGZF-compressed, magic "CSI\\x01".
+
+Defaults match htslib for BCF: min_shift=14, depth=5.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from .bgzf import BgzfReader, BgzfWriter
+
+CSI_MAGIC = b"CSI\x01"
+DEFAULT_MIN_SHIFT = 14
+DEFAULT_DEPTH = 5
+
+
+def n_bins(depth: int) -> int:
+    return ((1 << 3 * (depth + 1)) - 1) // 7
+
+
+def reg2bin(beg: int, end: int, min_shift: int = DEFAULT_MIN_SHIFT,
+            depth: int = DEFAULT_DEPTH) -> int:
+    """Smallest bin fully containing the 0-based half-open interval."""
+    end -= 1
+    s = min_shift
+    t = ((1 << depth * 3) - 1) // 7
+    for level in range(depth, 0, -1):
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        s += 3
+        t -= 1 << (3 * (level - 1))
+    return 0
+
+
+def reg2bins(beg: int, end: int, min_shift: int = DEFAULT_MIN_SHIFT,
+             depth: int = DEFAULT_DEPTH) -> list[int]:
+    """Every bin that may hold records overlapping [beg, end)."""
+    out = []
+    end -= 1
+    s = min_shift + depth * 3
+    t = 0
+    for level in range(depth + 1):
+        b = t + (beg >> s)
+        e = t + (end >> s)
+        out.extend(range(b, e + 1))
+        s -= 3
+        t += 1 << (3 * level)
+    return out
+
+
+@dataclass
+class _RefIndex:
+    bins: dict[int, list[list[int]]] = field(default_factory=dict)  # bin -> chunks
+    loff: dict[int, int] = field(default_factory=dict)
+    off_beg: int = -1
+    off_end: int = 0
+    n_mapped: int = 0
+
+
+class CsiBuilder:
+    """Accumulates (rid, beg, end, voffsets) and writes a .csi file.
+
+    Records must arrive in coordinate-sorted order (the variant file is).
+    Adjacent chunks within a bin are merged when contiguous.
+    """
+
+    def __init__(self, min_shift: int = DEFAULT_MIN_SHIFT,
+                 depth: int = DEFAULT_DEPTH):
+        self.min_shift = min_shift
+        self.depth = depth
+        self.refs: dict[int, _RefIndex] = {}
+
+    def add(self, rid: int, beg: int, end: int, voff_beg: int,
+            voff_end: int) -> None:
+        """beg/end: 0-based half-open record interval; voff_*: BGZF virtual
+        offsets of the record's byte range in the file."""
+        ref = self.refs.setdefault(rid, _RefIndex())
+        b = reg2bin(beg, max(end, beg + 1), self.min_shift, self.depth)
+        chunks = ref.bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == voff_beg:
+            chunks[-1][1] = voff_end
+        else:
+            chunks.append([voff_beg, voff_end])
+        ref.loff.setdefault(b, voff_beg)
+        if ref.off_beg < 0:
+            ref.off_beg = voff_beg
+        ref.off_end = voff_end
+        ref.n_mapped += 1
+
+    def write(self, path: str, n_ref: int | None = None) -> None:
+        if n_ref is None:
+            n_ref = (max(self.refs) + 1) if self.refs else 0
+        meta_bin = n_bins(self.depth) + 1
+        out = bytearray()
+        out += CSI_MAGIC
+        out += struct.pack("<iii", self.min_shift, self.depth, 0)  # l_aux=0
+        out += struct.pack("<i", n_ref)
+        for rid in range(n_ref):
+            ref = self.refs.get(rid)
+            if ref is None:
+                out += struct.pack("<i", 0)
+                continue
+            out += struct.pack("<i", len(ref.bins) + 1)  # + pseudo bin
+            for b in sorted(ref.bins):
+                chunks = ref.bins[b]
+                out += struct.pack("<IQi", b, ref.loff[b], len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+            # htslib pseudo-bin: file range + mapped/unmapped counts
+            out += struct.pack("<IQi", meta_bin, 0, 2)
+            out += struct.pack("<QQ", ref.off_beg, ref.off_end)
+            out += struct.pack("<QQ", ref.n_mapped, 0)
+        out += struct.pack("<Q", 0)  # n_no_coor
+        w = BgzfWriter(path)
+        w.write(bytes(out))
+        w.close()
+
+
+class CsiIndex:
+    """Reads a .csi file and answers region -> chunk queries."""
+
+    def __init__(self, min_shift: int, depth: int,
+                 bins: list[dict[int, list[tuple[int, int]]]]):
+        self.min_shift = min_shift
+        self.depth = depth
+        self.bins = bins  # per rid
+
+    @classmethod
+    def load(cls, path: str) -> "CsiIndex":
+        r = BgzfReader(path)
+        data = r.read()
+        r.close()
+        if data[:4] != CSI_MAGIC:
+            raise ValueError(f"{path}: not a CSI index")
+        min_shift, depth, l_aux = struct.unpack_from("<iii", data, 4)
+        pos = 16 + l_aux
+        (num_ref,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        meta_bin = n_bins(depth) + 1
+        refs = []
+        for _ in range(num_ref):
+            (nb,) = struct.unpack_from("<i", data, pos)
+            pos += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(nb):
+                b, _loff, nc = struct.unpack_from("<IQi", data, pos)
+                pos += 16
+                chunks = []
+                for _ in range(nc):
+                    cb, ce = struct.unpack_from("<QQ", data, pos)
+                    pos += 16
+                    chunks.append((cb, ce))
+                if b != meta_bin:
+                    bins[b] = chunks
+            refs.append(bins)
+        return cls(min_shift, depth, refs)
+
+    def query(self, rid: int, beg: int, end: int) -> list[tuple[int, int]]:
+        """Merged chunk list possibly containing records overlapping
+        the 0-based half-open interval [beg, end) of reference `rid`."""
+        if rid < 0 or rid >= len(self.bins) or not self.bins[rid]:
+            return []
+        bins = self.bins[rid]
+        chunks = []
+        for b in reg2bins(beg, max(end, beg + 1), self.min_shift, self.depth):
+            chunks.extend(bins.get(b, ()))
+        chunks.sort()
+        merged: list[tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                if ce > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], ce)
+            else:
+                merged.append((cb, ce))
+        return merged

@@ -59,6 +59,24 @@ def pbwt_encode_scan(alleles: jnp.ndarray, alts: jnp.ndarray,
       3. ONE batched single-uint32 row sort over all L lines extracts every
          line's arrangement-ordered bits as the payload LSB.
     """
+    packed, r_fin = pbwt_encode_keys(alleles, alts, sorts, a0)
+    ys = (jax.lax.sort(packed, dimension=1, is_stable=False)
+          & jnp.uint32(1)).astype(jnp.uint8)
+    iota = jnp.arange(alleles.shape[1], dtype=jnp.int32)
+    _, a_final = jax.lax.sort((r_fin, iota), num_keys=1, is_stable=False)
+    return ys, a_final
+
+
+def pbwt_encode_keys(alleles: jnp.ndarray, alts: jnp.ndarray,
+                     sorts: jnp.ndarray, a0: jnp.ndarray
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed per-line PBWT sort keys (everything but the final sort).
+
+    Returns (packed uint32[L, H], r_final int32[H]) where sorting row l of
+    `packed` ascending yields key (P_l, r_chunk) with the line's bit in the
+    LSB -- callers may row-wise substitute other 32-bit keys (e.g. sparse
+    index compaction) before ONE fused batched sort.
+    """
     L, H = alleles.shape
     b = _hap_bits(H)
     C = 31 - b
@@ -88,23 +106,43 @@ def pbwt_encode_scan(alleles: jnp.ndarray, alts: jnp.ndarray,
     P = incl - contrib                                    # exclusive prefix
     T = incl[:, -1, :]                                    # chunk totals [n_ch, H]
 
-    # Chunk-start rank chain: r_{t+1} = rank by (T_t, r_t).
-    def step(r, t):
-        packed = (t << b) | r.astype(jnp.uint32)
-        _, a_end = jax.lax.sort((packed, iota), num_keys=1, is_stable=False)
+    # Chunk-start rank chain: r_{t+1} = rank by (T_t, r_t).  Radix identity
+    # (rank values are unique) lets one multi-key sort jump S chunks at a
+    # time: r_{t+S} = rank by (T_{t+S-1}, ..., T_t, r_t).  Phase A chains
+    # group starts sequentially; phase B fills within-group chunk starts
+    # batched across all groups.
+    S = 4
+    padg = (-n_ch) % S
+    Tg = jnp.pad(T, ((0, padg), (0, 0)))  # zero keys: identity rank update
+    n_g = (n_ch + padg) // S
+    Tg = Tg.reshape(n_g, S, H)
+
+    def step_a(r, ts):
+        k0 = (ts[0] << b) | r.astype(jnp.uint32)
+        keys = tuple(ts[j] for j in range(S - 1, 0, -1)) + (k0, iota)
+        a_end = jax.lax.sort(keys, num_keys=S, is_stable=False)[-1]
         _, r_new = jax.lax.sort((a_end, iota), num_keys=1, is_stable=False)
         return r_new, r
 
-    r_fin, r_starts = jax.lax.scan(step, r0, T)
+    r_fin, r_gstart = jax.lax.scan(step_a, r0, Tg)
 
-    # One batched row sort: key (P_j, r_chunk), payload = the line bit (LSB).
+    iota_b = jnp.broadcast_to(iota, (n_g, H))
+
+    def step_b(r, t):
+        packed = (t << b) | r.astype(jnp.uint32)
+        a_end = jax.lax.sort((packed, iota_b), dimension=1, num_keys=1,
+                             is_stable=False)[1]
+        r_new = jax.lax.sort((a_end, iota_b), dimension=1, num_keys=1,
+                             is_stable=False)[1]
+        return r_new, r
+
+    _, r_chunks = jax.lax.scan(step_b, r_gstart, jnp.swapaxes(Tg, 0, 1))
+    r_starts = jnp.swapaxes(r_chunks, 0, 1).reshape(n_g * S, H)[:n_ch]
+
     r_b = jnp.broadcast_to(r_starts[:, None, :].astype(jnp.uint32),
                            (n_ch, C, H)).reshape(Lp, H)
     packed = (P.reshape(Lp, H) << (b + 1)) | (r_b << 1) | x.reshape(Lp, H)
-    ys = (jax.lax.sort(packed, dimension=1, is_stable=False)
-          & jnp.uint32(1)).astype(jnp.uint8)[:L]
-    _, a_final = jax.lax.sort((r_fin, iota), num_keys=1, is_stable=False)
-    return ys, a_final
+    return packed[:L], r_fin
 
 
 def _hap_bits(h: int) -> int:
@@ -122,6 +160,11 @@ def _sort_apply(key: jnp.ndarray, val: jnp.ndarray, h: int,
     """
     b = _hap_bits(h)
     vb = val_bits if val_bits is not None else b
+    if b + vb <= 15:
+        packed = ((key.astype(jnp.uint16) << vb)
+                  | val.astype(jnp.uint16))
+        out = jax.lax.sort(packed, dimension=-1, is_stable=False)
+        return (out & ((1 << vb) - 1)).astype(jnp.int32)
     if b + vb <= 31:
         packed = (key.astype(jnp.int32) << vb) | val.astype(jnp.int32)
         out = jax.lax.sort(packed, dimension=-1, is_stable=False)
@@ -170,12 +213,12 @@ def pbwt_decode_blocked(ys: jnp.ndarray, sorts: jnp.ndarray,
 
     iota = jnp.arange(H, dtype=jnp.int32)
     # Stable-partition destinations for every line (identity on non-sorting
-    # lines), all computed in one vectorized pass.
-    nz = 1 - y
-    zeros_before = jnp.cumsum(nz, axis=1) - nz
-    n_zeros = jnp.sum(nz, axis=1, keepdims=True)
-    ones_before = jnp.cumsum(y, axis=1) - y
-    dest = jnp.where(y == 0, zeros_before, n_zeros + ones_before)
+    # lines), all from one vectorized cumsum: zeros_before = i - ones_before.
+    c = jnp.cumsum(y, axis=1)
+    ones_before = c - y
+    n_zeros = H - c[:, -1:]
+    dest = jnp.where(y == 0, iota[None, :] - ones_before,
+                     n_zeros + ones_before)
     dest = jnp.where(sorts[:, None], dest, iota[None, :])
 
     dc = jnp.swapaxes(dest.reshape(n_ch, C, H), 0, 1)  # [C, n_ch, H]

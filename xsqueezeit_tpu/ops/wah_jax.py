@@ -87,11 +87,15 @@ def wah_compress_words(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     fill_word = HIGH | jnp.where(is_ones, ONE, 0) | sub_len
     out_val = jnp.where(is_fill, fill_word, words)
 
-    dest = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1
-    n_out = dest[:, -1] + 1
-    dest = jnp.where(emit, dest, W)  # park non-emitting words out of range
-    out = jnp.zeros((L, W), jnp.int32)
-    out = jax.vmap(lambda o, d, v: o.at[d].set(v, mode="drop"))(out, dest, out_val)
+    n_out = jnp.sum(emit, axis=1).astype(jnp.int32)
+    # Front-pack emitted words in order via one packed row sort (scatter is
+    # ~10x slower on TPU): key = (!emit, word index), value in the low bits.
+    packed = (jnp.where(emit, jnp.uint32(0), jnp.uint32(1) << 31)
+              | (idx.astype(jnp.uint32) << 16)
+              | out_val.astype(jnp.uint32))
+    srt = jax.lax.sort(packed, dimension=1, is_stable=False)
+    keep = jnp.arange(W, dtype=jnp.int32)[None, :] < n_out[:, None]
+    out = jnp.where(keep, srt & jnp.uint32(0xFFFF), 0)
     return out.astype(jnp.uint16), n_out
 
 

@@ -24,44 +24,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import pbwt_jax, wah_jax
+from ..utils.jaxcache import ensure_compilation_cache
+
+ensure_compilation_cache()
 
 
 def _encode_one_block(alleles, alts, mac_threshold, sparse_cap):
-    """Single-block encode body (shared with codec.encoder_jax semantics)."""
-    L, H = alleles.shape
-    ac = jnp.sum(alleles.astype(jnp.int32) == alts[:, None], axis=1)
-    mac = jnp.minimum(ac, H - ac)
-    is_wah = mac > mac_threshold
-    negated = ac != mac
-    sparse_allele = jnp.where(negated, 0, alts)
+    """Single-block encode body (the fused core from codec.encoder_jax,
+    plus the compressed-size scalar used by the psum collective)."""
+    from ..codec.encoder_jax import encode_block_core
 
-    a0 = jnp.arange(H, dtype=jnp.int32)
-    ys, _ = pbwt_jax.pbwt_encode_scan(alleles, alts, is_wah, a0)
-    words = wah_jax.pack_bits(ys)
-    wah_words, wah_len = wah_jax.wah_compress_words(words)
-
-    # Sparse compaction via one packed row sort (an elementwise scatter is
-    # ~12x slower on TPU): key = (!carrier flag << hap_bits) | index, so
-    # carrier indices sort to the front in order; slice to capacity.
-    mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
-    sparse_len = jnp.sum(mask, axis=1)
-    hb = pbwt_jax._hap_bits(H)
-    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
-    packed = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
-    s = jax.lax.sort(packed, dimension=1, is_stable=False)[:, :sparse_cap]
-    sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
-
-    n_bytes = (jnp.sum(jnp.where(is_wah, wah_len, 0)) * 2
-               + jnp.sum(jnp.where(is_wah, 0, sparse_len + 1)) * 4)
-    return {
-        "is_wah": is_wah,
-        "negated": negated,
-        "wah_words": wah_words,
-        "wah_len": wah_len,
-        "sparse_idx": sparse_idx,
-        "sparse_len": sparse_len,
-        "n_bytes": n_bytes,
-    }
+    out = encode_block_core(alleles, alts, mac_threshold, sparse_cap)
+    out.pop("ac")
+    is_wah, wah_len = out["is_wah"], out["wah_len"]
+    out["n_bytes"] = (jnp.sum(jnp.where(is_wah, wah_len, 0)) * 2
+                      + jnp.sum(jnp.where(is_wah, 0, out["sparse_len"] + 1)) * 4)
+    return out
 
 
 def make_sharded_encoder(mesh: Mesh, axis: str = "blocks",

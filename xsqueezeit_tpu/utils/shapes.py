@@ -9,8 +9,15 @@ from __future__ import annotations
 
 
 def bucket(n: int, minimum: int = 256) -> int:
-    """Smallest power-of-two >= n (at least `minimum`)."""
+    """Smallest bucket >= n from {2^k, 1.5 * 2^k} (at least `minimum`).
+
+    Midpoint buckets halve the worst-case padding (33% instead of 100%)
+    at the cost of one extra compiled variant per octave; compiled
+    executables persist across runs (utils.jaxcache).
+    """
     b = minimum
     while b < n:
+        if (b + (b >> 1)) >= n:
+            return b + (b >> 1)
         b <<= 1
     return b
