@@ -142,3 +142,44 @@ def test_pbwt_decode_scan_matches_encode():
         jnp.asarray(a0))
     vals, _ = pbwt_jax.pbwt_decode_scan(ys, jnp.asarray(sorts), jnp.asarray(a0))
     np.testing.assert_array_equal(np.asarray(vals), (alleles == 1))
+
+
+def test_pbwt_encode_chunked_matches_scan():
+    from xsqueezeit_tpu.ops import pbwt_jax
+    rng = np.random.default_rng(11)
+    for L, H, chunk in ((40, 64, 16), (33, 129, 8), (7, 48, 16), (64, 501, 16)):
+        ps = rng.choice([0.01, 0.3, 0.5, 0.9], size=L)
+        alleles = (rng.random((L, H)) < ps[:, None]).astype(np.int8)
+        alts = np.ones(L, np.int32)
+        sorts = rng.random(L) < 0.8
+        a0 = np.arange(H, dtype=np.int32)
+        want_y, want_a = pbwt_jax.pbwt_encode_scan(
+            jnp.asarray(alleles), jnp.asarray(alts), jnp.asarray(sorts),
+            jnp.asarray(a0))
+        got_y, got_a = pbwt_jax.pbwt_encode_chunked(
+            jnp.asarray(alleles), jnp.asarray(alts), jnp.asarray(sorts),
+            chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got_y), np.asarray(want_y),
+                                      err_msg=f"L={L} H={H}")
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+
+
+def test_pbwt_decode_chunked_matches_scan():
+    from xsqueezeit_tpu.ops import pbwt_jax
+    rng = np.random.default_rng(12)
+    for L, H, chunk in ((30, 48, 16), (64, 129, 8), (7, 33, 16), (48, 501, 16)):
+        ps = rng.choice([0.01, 0.3, 0.5, 0.9], size=L)
+        x = (rng.random((L, H)) < ps[:, None]).astype(np.int8)
+        sorts = rng.random(L) < 0.7
+        a0 = np.arange(H, dtype=np.int32)
+        ys, _ = pbwt_jax.pbwt_encode_scan(
+            jnp.asarray(x), jnp.asarray(np.ones(L, np.int32)),
+            jnp.asarray(sorts), jnp.asarray(a0))
+        want, want_a = pbwt_jax.pbwt_decode_scan(
+            ys, jnp.asarray(sorts), jnp.asarray(a0))
+        got, got_a = pbwt_jax.pbwt_decode_chunked(
+            ys, jnp.asarray(sorts), chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"L={L} H={H}")
+        np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+        np.testing.assert_array_equal(np.asarray(got), (x == 1))

@@ -42,7 +42,10 @@ def _decode_wah_and_scan(stream, sorts, h, w):
     """
     ys = wah_jax.unpack_bits(
         wah_jax.wah_expand_stream(stream, sorts.shape[0], w), h)
-    vals, _ = pbwt_jax.pbwt_decode_blocked(ys, sorts)
+    if h <= 65535:
+        vals, _ = pbwt_jax.pbwt_decode_chunked(ys, sorts)
+    else:
+        vals, _ = pbwt_jax.pbwt_decode_blocked(ys, sorts)
     ones = jnp.sum(ys.astype(jnp.int32), axis=1)
     return vals, ones
 

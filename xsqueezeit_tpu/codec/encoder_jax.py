@@ -45,12 +45,11 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
 
     alleles: int8[L, H], alts: int32[L], mac_threshold: int32 scalar.
 
-    Every line needs either the PBWT+WAH path (common variants) or the
-    sparse index list (rare variants), never both -- so both extractions
-    ride ONE batched packed-u32 row sort with per-row key selection:
-    WAH rows sort by (history prefix, chunk rank | bit LSB), sparse rows by
-    (!carrier flag << hap_bits | index), and the two results are read out
-    of the same sorted matrix.
+    WAH lines take the β-register PBWT path (pbwt_encode_chunked: one packed
+    u32 row sort per sorting line); sparse lines are rare by definition
+    (carrier count <= mac_threshold), so their index lists come from a
+    K-pass masked-reduction compaction (pure VPU elementwise work, no sort)
+    when the capacity is small, else a batched partition sort.
     """
     L, H = alleles.shape
     ac = jnp.sum(alleles.astype(jnp.int32) == alts[:, None], axis=1)
@@ -59,26 +58,30 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
     negated = ac != mac  # REF is the minor allele (sparse lines store REF)
     sparse_allele = jnp.where(negated, 0, alts)
 
-    a0 = jnp.arange(H, dtype=jnp.int32)
-    wah_key, _ = pbwt_jax.pbwt_encode_keys(alleles, alts, is_wah, a0)
-
-    mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
-    sparse_len = jnp.sum(mask, axis=1)
-    hb = pbwt_jax._hap_bits(H)
-    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
-    sparse_key = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
-
-    srt = jax.lax.sort(jnp.where(is_wah[:, None], wah_key, sparse_key),
-                       dimension=1, is_stable=False)
-
-    # WAH rows: arrangement-ordered bits are the sorted keys' LSB.
-    ys = (srt & jnp.uint32(1)).astype(jnp.uint8)
+    if H <= 65535:
+        ys, _ = pbwt_jax.pbwt_encode_chunked(alleles, alts, is_wah)
+    else:
+        a0 = jnp.arange(H, dtype=jnp.int32)
+        ys, _ = pbwt_jax.pbwt_encode_scan(alleles, alts, is_wah, a0)
     words = wah_jax.pack_bits(ys)
     wah_words, wah_len = wah_jax.wah_compress_words(words)
 
-    # Sparse rows: carrier indices sorted to the front.
-    s = srt[:, :sparse_cap]
-    sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
+    mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
+    sparse_len = jnp.sum(mask, axis=1)
+    iota = jnp.arange(H, dtype=jnp.int32)
+    if sparse_cap <= 32:
+        # k-th carrier index = the sole position where cum == k+1 and mask.
+        cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+        sparse_idx = jnp.stack(
+            [jnp.sum(jnp.where(mask & (cum == k + 1), iota[None, :], 0),
+                     axis=1) for k in range(sparse_cap)], axis=1)
+    else:
+        hb = pbwt_jax._hap_bits(H)
+        idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
+        sparse_key = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
+        s = jax.lax.sort(sparse_key, dimension=1,
+                         is_stable=False)[:, :sparse_cap]
+        sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
 
     return {
         "is_wah": is_wah,

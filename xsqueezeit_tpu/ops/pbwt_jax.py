@@ -106,38 +106,7 @@ def pbwt_encode_keys(alleles: jnp.ndarray, alts: jnp.ndarray,
     P = incl - contrib                                    # exclusive prefix
     T = incl[:, -1, :]                                    # chunk totals [n_ch, H]
 
-    # Chunk-start rank chain: r_{t+1} = rank by (T_t, r_t).  Radix identity
-    # (rank values are unique) lets one multi-key sort jump S chunks at a
-    # time: r_{t+S} = rank by (T_{t+S-1}, ..., T_t, r_t).  Phase A chains
-    # group starts sequentially; phase B fills within-group chunk starts
-    # batched across all groups.
-    S = 4
-    padg = (-n_ch) % S
-    Tg = jnp.pad(T, ((0, padg), (0, 0)))  # zero keys: identity rank update
-    n_g = (n_ch + padg) // S
-    Tg = Tg.reshape(n_g, S, H)
-
-    def step_a(r, ts):
-        k0 = (ts[0] << b) | r.astype(jnp.uint32)
-        keys = tuple(ts[j] for j in range(S - 1, 0, -1)) + (k0, iota)
-        a_end = jax.lax.sort(keys, num_keys=S, is_stable=False)[-1]
-        _, r_new = jax.lax.sort((a_end, iota), num_keys=1, is_stable=False)
-        return r_new, r
-
-    r_fin, r_gstart = jax.lax.scan(step_a, r0, Tg)
-
-    iota_b = jnp.broadcast_to(iota, (n_g, H))
-
-    def step_b(r, t):
-        packed = (t << b) | r.astype(jnp.uint32)
-        a_end = jax.lax.sort((packed, iota_b), dimension=1, num_keys=1,
-                             is_stable=False)[1]
-        r_new = jax.lax.sort((a_end, iota_b), dimension=1, num_keys=1,
-                             is_stable=False)[1]
-        return r_new, r
-
-    _, r_chunks = jax.lax.scan(step_b, r_gstart, jnp.swapaxes(Tg, 0, 1))
-    r_starts = jnp.swapaxes(r_chunks, 0, 1).reshape(n_g * S, H)[:n_ch]
+    r_fin, r_starts = _rank_chain(T, r0, b)
 
     r_b = jnp.broadcast_to(r_starts[:, None, :].astype(jnp.uint32),
                            (n_ch, C, H)).reshape(Lp, H)
@@ -174,6 +143,198 @@ def _sort_apply(key: jnp.ndarray, val: jnp.ndarray, h: int,
 
 
 DECODE_CHUNK = 16
+
+
+def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunk-start rank chain: r_{t+1} = rank by (T_t, r_t).
+
+    T: uint32[n_ch, H] per-chunk packed history totals; r0: int32[H].
+    Returns (r_final int32[H], r_starts int32[n_ch, H]).
+
+    The radix identity (rank values are unique) lets one multi-key sort jump
+    S chunks at a time: r_{t+S} = rank by (T_{t+S-1}, ..., T_t, r_t).
+    Phase A chains group starts sequentially; phase B fills within-group
+    chunk starts batched across all groups.
+    """
+    n_ch, H = T.shape
+    S = s_jump
+    iota = jnp.arange(H, dtype=jnp.int32)
+    padg = (-n_ch) % S
+    Tg = jnp.pad(T, ((0, padg), (0, 0)))  # zero keys: identity rank update
+    n_g = (n_ch + padg) // S
+    Tg = Tg.reshape(n_g, S, H)
+
+    def step_a(r, ts):
+        k0 = (ts[0] << b) | r.astype(jnp.uint32)
+        keys = tuple(ts[j] for j in range(S - 1, 0, -1)) + (k0, iota)
+        a_end = jax.lax.sort(keys, num_keys=S, is_stable=False)[-1]
+        _, r_new = jax.lax.sort((a_end, iota), num_keys=1, is_stable=False)
+        return r_new, r
+
+    r_fin, r_gstart = jax.lax.scan(step_a, r0, Tg)
+
+    iota_b = jnp.broadcast_to(iota, (n_g, H))
+
+    def step_b(r, t):
+        packed = (t << b) | r.astype(jnp.uint32)
+        a_end = jax.lax.sort((packed, iota_b), dimension=1, num_keys=1,
+                             is_stable=False)[1]
+        r_new = jax.lax.sort((a_end, iota_b), dimension=1, num_keys=1,
+                             is_stable=False)[1]
+        return r_new, r
+
+    _, r_chunks = jax.lax.scan(step_b, r_gstart, jnp.swapaxes(Tg, 0, 1))
+    r_starts = jnp.swapaxes(r_chunks, 0, 1).reshape(n_g * S, H)[:n_ch]
+    return r_fin, r_starts
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pbwt_encode_chunked(alleles: jnp.ndarray, alts: jnp.ndarray,
+                        sorts: jnp.ndarray, chunk: int = 16
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Arrangement-ordered bits for every line — β-register formulation.
+
+    Requires H <= 65535 (16-bit position/payload fields packed in uint32);
+    callers fall back to pbwt_encode_scan beyond that.  Block-start
+    arrangement is identity (header iota_ppa).
+
+    TPU formulation: lines are grouped in chunks of `chunk` (<=16) lines.
+    A per-haplotype 16-bit register β̂ holds the hap's bits for the chunk's
+    lines (bit j = line j), loaded into chunk-start arrangement order by ONE
+    batched packed sort per chunk (key = chunk-start rank from the radix
+    rank chain).  Within the chunk each line's arrangement-ordered bits are
+    an elementwise bit test on β̂ (no data movement!), and the PBWT stable
+    partition moves β̂ itself with ONE packed u32 sort per line
+    (key = partition destination, payload = β̂).
+
+    Returns (ys uint8[L, H], a_final int32[H]).
+    """
+    L, H = alleles.shape
+    if H > 65535:
+        raise ValueError("pbwt_encode_chunked requires H <= 65535")
+    C = chunk
+    b = _hap_bits(H)
+    x = (alleles.astype(jnp.int32) == alts[:, None]).astype(jnp.uint32)
+    pad = (-L) % C
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        sorts = jnp.pad(sorts, (0, pad))
+    Lp = L + pad
+    n_ch = Lp // C
+    iota = jnp.arange(H, dtype=jnp.int32)
+
+    xc = x.reshape(n_ch, C, H)
+    jshift = jnp.arange(C, dtype=jnp.uint32)
+    bhat = jnp.sum(xc << jshift[None, :, None], axis=1)        # [n_ch, H]
+
+    # Chunk history totals over sorting lines (latest sorting bit highest).
+    ss = sorts.reshape(n_ch, C).astype(jnp.uint32)
+    sh = jnp.cumsum(ss, axis=1) - ss
+    T = jnp.sum(jnp.where(ss[:, :, None] != 0, xc << sh[:, :, None],
+                          jnp.uint32(0)), axis=1)
+
+    r_fin, r_starts = _rank_chain(T, iota, b)
+
+    # β̂ load: one packed sort per chunk (batched) lands each hap's register
+    # at its chunk-start slot.
+    q0 = (jax.lax.sort((r_starts.astype(jnp.uint32) << 16) | bhat,
+                       dimension=1, is_stable=False) & jnp.uint32(0xFFFF))
+
+    ssw = jnp.swapaxes(ss.astype(jnp.uint32), 0, 1)            # [C, n_ch]
+
+    def step(q, inp):
+        j, s_j = inp
+        y = (q >> j) & jnp.uint32(1)
+        yi = y.astype(jnp.int32)
+        cums = jnp.cumsum(yi, axis=1)
+        ones_before = cums - yi
+        nz = H - cums[:, -1:]
+        d = jnp.where(yi == 0, iota[None, :] - ones_before, nz + ones_before)
+        d = jnp.where(s_j[:, None] != 0, d, iota[None, :])
+        q = jax.lax.sort((d.astype(jnp.uint32) << 16) | q,
+                         dimension=1, is_stable=False) & jnp.uint32(0xFFFF)
+        return q, y.astype(jnp.uint8)
+
+    _, ys = jax.lax.scan(step, q0, (jshift, ssw))
+    ys = jnp.swapaxes(ys, 0, 1).reshape(Lp, H)[:L]
+    _, a_final = jax.lax.sort((r_fin, iota), num_keys=1, is_stable=False)
+    return ys, a_final
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pbwt_decode_chunked(ys: jnp.ndarray, sorts: jnp.ndarray,
+                        chunk: int = DECODE_CHUNK
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked PBWT decode, β-register formulation (H <= 65535).
+
+    Each element's uint32 sort payload packs (chunk-start slot k << 16 | β),
+    where β accumulates the element's decoded bits for the chunk's lines
+    (bit j = line j): the bit at the element's current slot is appended
+    BEFORE the line's stable partition, so it travels with the haplotype.
+    Per line the only data movement is ONE tuple row sort (u16 destination
+    key, u32 payload).  At chunk end, β lands at natural haplotype order via
+    ONE batched sort keyed by the next chunk-start arrangement A_{t+1}
+    (from the permutation-composition scan of phase 2), replacing the
+    2-sorts-per-line extraction of pbwt_decode_blocked.
+
+    ys:    uint8[L, H] bits in arrangement order (block starts at identity).
+    sorts: bool[L]; all-zero padding rows may pass True.
+    Returns (vals uint8[L, H] natural-order bits, a_final int32[H]).
+    """
+    L, H = ys.shape
+    if H > 65535:
+        raise ValueError("pbwt_decode_chunked requires H <= 65535")
+    C = chunk
+    pad = (-L) % C
+    if pad:
+        ys = jnp.pad(ys, ((0, pad), (0, 0)))
+        sorts = jnp.pad(sorts, (0, pad))
+    Lp = L + pad
+    n_ch = Lp // C
+    y = ys.astype(jnp.int32)
+    iota = jnp.arange(H, dtype=jnp.int32)
+
+    # Stable-partition destinations for every line (identity on non-sorting
+    # lines), from one vectorized cumsum.
+    c = jnp.cumsum(y, axis=1)
+    ones_before = c - y
+    n_zeros = H - c[:, -1:]
+    dest = jnp.where(y == 0, iota[None, :] - ones_before,
+                     n_zeros + ones_before)
+    dest = jnp.where(sorts[:, None], dest, iota[None, :]).astype(jnp.uint16)
+
+    dc = jnp.swapaxes(dest.reshape(n_ch, C, H), 0, 1)          # [C, n_ch, H]
+    yc = jnp.swapaxes(y.reshape(n_ch, C, H).astype(jnp.uint32), 0, 1)
+    jshift = jnp.arange(C, dtype=jnp.uint32)
+
+    p0 = jnp.broadcast_to(iota.astype(jnp.uint32) << 16, (n_ch, H))
+
+    def step(p, inp):
+        d, yrow, j = inp
+        p = p | (yrow << j)
+        _, p = jax.lax.sort((d, p), dimension=1, num_keys=1, is_stable=False)
+        return p, None
+
+    p_fin, _ = jax.lax.scan(step, p0, (dc, yc, jshift))
+
+    o_tot = (p_fin >> 16).astype(jnp.int32)
+    beta = (p_fin & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    iota_b = jnp.broadcast_to(iota, (n_ch, H))
+    oinv_tot = _sort_apply(o_tot, iota_b, H)
+
+    def combine(u, v):
+        (p1_, p1i), (p2_, p2i) = u, v
+        return (_sort_apply(p2i, p1_, H), _sort_apply(p1_, p2i, H))
+
+    inc, _ = jax.lax.associative_scan(combine, (o_tot, oinv_tot), axis=0)
+    # inc[t] = arrangement at the END of chunk t (hap id per end slot), so
+    # it keys the flush: X[inc[t][i]] = beta at end-slot i.
+    X = _sort_apply(inc, beta, H, val_bits=16)                 # [n_ch, H]
+
+    vals = ((X[:, None, :] >> jshift[None, :, None].astype(jnp.int32)) & 1)
+    vals = vals.reshape(Lp, H)[:L].astype(jnp.uint8)
+    return vals, inc[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -90,7 +90,10 @@ def make_sharded_decoder(mesh: Mesh, axis: str = "blocks"):
     def one(stream, sorts, h, w):
         ys = wah_jax.unpack_bits(
             wah_jax.wah_expand_stream(stream, sorts.shape[0], w), h)
-        vals, _ = pbwt_jax.pbwt_decode_blocked(ys, sorts)
+        if h <= 65535:
+            vals, _ = pbwt_jax.pbwt_decode_chunked(ys, sorts)
+        else:
+            vals, _ = pbwt_jax.pbwt_decode_blocked(ys, sorts)
         return vals
 
     from jax import shard_map
