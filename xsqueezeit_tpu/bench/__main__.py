@@ -1,0 +1,90 @@
+"""Tool-suite entry point — counterparts of the reference's standalone
+benchmark/validation binaries (loading_time/, dot_prod/, af_stats/,
+lockstep_loader/) and the xcf.cpp test-data generators.
+
+    python -m xsqueezeit_tpu.bench loading_time  FILE
+    python -m xsqueezeit_tpu.bench dot_prod      FILE [--seed N]
+    python -m xsqueezeit_tpu.bench af_stats      FILE [--summary]
+    python -m xsqueezeit_tpu.bench lockstep      FILE_A FILE_B
+    python -m xsqueezeit_tpu.bench unphase       IN OUT [--random --seed N]
+    python -m xsqueezeit_tpu.bench sprinkle-missing IN OUT [--rate F --seed N]
+    python -m xsqueezeit_tpu.bench phase-switch-errors TEST REF
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="xsqueezeit-tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("loading_time")
+    s.add_argument("file")
+    s = sub.add_parser("dot_prod")
+    s.add_argument("file")
+    s.add_argument("--seed", type=int, default=42)
+    s = sub.add_parser("af_stats")
+    s.add_argument("file")
+    s.add_argument("--summary", action="store_true",
+                   help="print only counts, not per-record stats")
+    s = sub.add_parser("lockstep")
+    s.add_argument("file_a")
+    s.add_argument("file_b")
+    s = sub.add_parser("unphase")
+    s.add_argument("infile")
+    s.add_argument("outfile")
+    s.add_argument("--random", action="store_true")
+    s.add_argument("--seed", type=int, default=None)
+    s = sub.add_parser("sprinkle-missing")
+    s.add_argument("infile")
+    s.add_argument("outfile")
+    s.add_argument("--rate", type=float, default=0.01)
+    s.add_argument("--seed", type=int, default=None)
+    s = sub.add_parser("phase-switch-errors")
+    s.add_argument("test_file")
+    s.add_argument("ref_file")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "loading_time":
+        from .tools import loading_time
+        print(json.dumps(loading_time(args.file)))
+    elif args.cmd == "dot_prod":
+        from .tools import dot_prod
+        print(json.dumps(dot_prod(args.file, seed=args.seed)))
+    elif args.cmd == "af_stats":
+        from .tools import af_stats
+        out = af_stats(args.file)
+        if args.summary:
+            out = {"records": out["records"], "seconds": out["seconds"]}
+        print(json.dumps(out))
+    elif args.cmd == "lockstep":
+        from .tools import lockstep_load
+        try:
+            print(json.dumps(lockstep_load(args.file_a, args.file_b)))
+        except AssertionError as e:
+            print(f"MISMATCH: {e}", file=sys.stderr)
+            return 1
+    elif args.cmd == "unphase":
+        from ..utils.mutate import unphase, unphase_random
+        n = (unphase_random(args.infile, args.outfile, seed=args.seed)
+             if args.random else unphase(args.infile, args.outfile))
+        print(json.dumps({"records": n}))
+    elif args.cmd == "sprinkle-missing":
+        from ..utils.mutate import sprinkle_missing
+        n = sprinkle_missing(args.infile, args.outfile, rate=args.rate,
+                             seed=args.seed)
+        print(json.dumps({"records": n}))
+    elif args.cmd == "phase-switch-errors":
+        from ..utils.mutate import compute_phase_switch_errors
+        out = compute_phase_switch_errors(args.test_file, args.ref_file)
+        out.pop("per_sample")
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,202 @@
+"""PBWT partition chains — Pallas TPU kernels.
+
+The PBWT stable partition is a two-way stable compaction: zeros move LEFT
+by `ones_before` positions, ones move RIGHT by `zeros_after`, and both
+shift sequences are monotone along the row — so staged power-of-2 shifts
+are collision-free (each group's intermediate positions stay distinct at
+every stage).  A partition therefore costs ~log2(H) lane-roll stages on the
+VPU instead of a ~log^2(H)-stage bitonic sort, and the whole chunk chain
+(16 lines) runs VMEM-resident: the only HBM traffic is the input bits and
+the final per-chunk state.
+
+Junk tolerance removes all occupancy bookkeeping: each group's shift word
+is `(shift << 1) | 1` for members and 0 for non-members/padding, so
+non-members never move (bit k+1 of 0 is 0), a mover's source slot is
+cleared (shift word -> 0) and movers only ever land on junk slots (real
+intermediate positions are distinct).  The final merge selects group 0
+for lanes < n_zeros and group 1 otherwise, which drops every junk slot.
+
+Used by codec.decoder_jax / codec.encoder_jax via ops.pbwt_jax's chunked
+entry points; semantics match pbwt_jax.pbwt_{encode,decode}_chunked
+(reference semantics: /root/reference/include/gt_block.hpp:106-151,
+accessor_internals_new.hpp:573-589).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _nbits(h: int) -> int:
+    return max(int(h - 1).bit_length(), 1)
+
+
+def _prefix_sum_lanes(x, hp: int):
+    """Inclusive prefix sum along the lane axis (Hillis-Steele log-shifts).
+
+    x: i32[NB, hp].  pltpu.roll is circular; wrapped lanes are masked off.
+    """
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < hp:
+        shifted = pltpu.roll(x, k, 1)
+        x = x + jnp.where(lanes >= k, shifted, 0)
+        k <<= 1
+    return x
+
+
+def _partition_stage(vals, shifts, k: int, group0: bool, hp: int):
+    """One staged-shift level for one group.
+
+    vals/shifts: u32/i32[NB, hp]; members have shifts = (dist << 1) | 1,
+    junk slots 0.  Moves elements whose distance bit k is set by +-2^k.
+    pltpu.roll only accepts non-negative shifts: a left move by `step`
+    is a circular right roll by hp - step.
+    """
+    step = (1 << k) if not group0 else hp - (1 << k)
+    v_r = pltpu.roll(vals, step, 1)
+    s_r = pltpu.roll(shifts, step, 1)
+    take = (s_r >> (k + 1)) & 1
+    leave = (shifts >> (k + 1)) & 1
+    vals = jnp.where(take != 0, v_r, vals)
+    shifts = jnp.where(take != 0, s_r, jnp.where(leave != 0, 0, shifts))
+    return vals, shifts
+
+
+def _chain_decode_kernel(y_ref, p_ref, *, C: int, H: int, hp: int):
+    """Decode chunk chain: payload (chunk-start slot << 16 | beta bits).
+
+    y_ref: i32[NB, C, hp] bits in arrangement order (padding lanes 0).
+    p_ref: u32[NB, hp] final chunk state.
+    """
+    NB = y_ref.shape[0]
+    nbits = _nbits(H)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (NB, hp), 1)
+    real = lanes < H
+    p = (lanes << 16).astype(jnp.uint32)
+
+    for j in range(C):
+        y = y_ref[:, j, :]
+        p = p | (y << j).astype(jnp.uint32)
+
+        cum = _prefix_sum_lanes(y, hp)
+        ones_before = cum - y
+        ones_tot = jnp.broadcast_to(cum[:, hp - 1:hp], (NB, hp))
+        n_zeros = H - ones_tot
+        # zeros strictly after lane i (within the real H lanes)
+        zeros_after = n_zeros - (lanes + 1 - cum)
+
+        is0 = (y == 0) & real
+        is1 = (y != 0) & real
+        s0 = jnp.where(is0, (ones_before << 1) | 1, 0)
+        s1 = jnp.where(is1, (zeros_after << 1) | 1, 0)
+        a = p
+        b = p
+        for k in range(nbits):
+            a, s0 = _partition_stage(a, s0, k, group0=True, hp=hp)
+            b, s1 = _partition_stage(b, s1, k, group0=False, hp=hp)
+        p = jnp.where(lanes < n_zeros, a, b)
+
+    p_ref[:, :] = p
+
+
+def _chain_encode_kernel(q_ref, ss_ref, y_ref, *, C: int, H: int, hp: int):
+    """Encode chunk chain: q carries each slot's 16-bit register of the
+    chunk's line bits; line j's arrangement-ordered bits are bit j of q.
+
+    q_ref:  u32[NB, hp] loaded registers (chunk-start arrangement order).
+    ss_ref: i32[NB, C] per-line sort flags (SMEM-ish small block).
+    y_ref:  i32[NB, C, hp] output bits per line.
+    """
+    NB = q_ref.shape[0]
+    nbits = _nbits(H)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (NB, hp), 1)
+    real = lanes < H
+    q = q_ref[:, :]
+
+    for j in range(C):
+        y = ((q >> j) & 1).astype(jnp.int32)
+        y = jnp.where(real, y, 0)
+        y_ref[:, j, :] = y
+
+        cum = _prefix_sum_lanes(y, hp)
+        ones_before = cum - y
+        ones_tot = jnp.broadcast_to(cum[:, hp - 1:hp], (NB, hp))
+        n_zeros = H - ones_tot
+        zeros_after = n_zeros - (lanes + 1 - cum)
+
+        sort_j = ss_ref[:, j][:, None]  # [NB, 1]
+        is0 = (y == 0) & real
+        is1 = (y != 0) & real
+        s0 = jnp.where(is0, (ones_before << 1) | 1, 0)
+        s1 = jnp.where(is1, (zeros_after << 1) | 1, 0)
+        a = q
+        b = q
+        for k in range(nbits):
+            a, s0 = _partition_stage(a, s0, k, group0=True, hp=hp)
+            b, s1 = _partition_stage(b, s1, k, group0=False, hp=hp)
+        q_new = jnp.where(lanes < n_zeros, a, b)
+        q = jnp.where(sort_j != 0, q_new, q)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "H", "NB", "interpret"))
+def chain_decode(yc: jnp.ndarray, C: int, H: int, NB: int = 8,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Run the decode chunk chains. yc: i32[n_ch, C, hp] -> u32[n_ch, hp]."""
+    n_ch, c, hp = yc.shape
+    assert c == C and hp % LANE == 0
+    nb = min(NB, n_ch)
+    while n_ch % nb:
+        nb -= 1
+    grid = (n_ch // nb,)
+    kern = functools.partial(_chain_decode_kernel, C=C, H=H, hp=hp)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((nb, C, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb, hp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ch, hp), jnp.uint32),
+        interpret=interpret,
+    )(yc)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "H", "NB", "interpret"))
+def chain_encode(q0: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
+                 NB: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """Run the encode chunk chains.
+
+    q0: u32[n_ch, hp] loaded bit registers; ss: i32[n_ch, C] sort flags.
+    Returns y bits i32[n_ch, C, hp].
+    """
+    n_ch, hp = q0.shape
+    assert hp % LANE == 0
+    nb = min(NB, n_ch)
+    while n_ch % nb:
+        nb -= 1
+    grid = (n_ch // nb,)
+    kern = functools.partial(_chain_encode_kernel, C=C, H=H, hp=hp)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((nb, hp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nb, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb, C, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ch, C, hp), jnp.int32),
+        interpret=interpret,
+    )(q0, ss)
