@@ -1,0 +1,83 @@
+"""Pallas staged-shift partition kernels vs the sort-based oracles.
+
+Runs in interpret mode on the CPU test backend; the same kernels execute
+compiled on TPU (validated by bench.py and the device e2e tests).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from xsqueezeit_tpu.ops import pbwt_jax, pbwt_pallas
+
+
+def _encode_scan(x, sorts, H):
+    L = x.shape[0]
+    return pbwt_jax.pbwt_encode_scan(
+        jnp.asarray(x), jnp.asarray(np.ones(L, np.int32)),
+        jnp.asarray(sorts), jnp.asarray(np.arange(H, dtype=np.int32)))
+
+
+def test_chain_decode_interpret_matches_scan():
+    rng = np.random.default_rng(21)
+    C, H = 16, 300
+    hp = pbwt_pallas._ceil_to(H, 128)
+    n_ch = 3
+    L = n_ch * C
+    ps = rng.choice([0.02, 0.3, 0.6, 0.9], size=L)
+    x = (rng.random((L, H)) < ps[:, None]).astype(np.int8)
+    sorts = rng.random(L) < 0.7
+    ys, _ = _encode_scan(x, sorts, H)
+    ys = np.asarray(ys)
+
+    yc = np.zeros((n_ch, C, hp), np.int32)
+    yc[:, :, :H] = ys.reshape(n_ch, C, H)
+    ss = sorts.reshape(n_ch, C).astype(np.int32)
+    p_fin = np.asarray(pbwt_pallas.chain_decode(
+        jnp.asarray(yc), jnp.asarray(ss), C, H, interpret=True))[:, :H]
+
+    # oracle: replay each chunk with numpy partitions
+    iota = np.arange(H)
+    for t in range(n_ch):
+        p = iota.astype(np.uint64) << 16
+        for j in range(C):
+            y = ys[t * C + j].astype(np.uint64)
+            p = p | (y << j)
+            if sorts[t * C + j]:
+                p = np.concatenate([p[y == 0], p[y == 1]])
+        np.testing.assert_array_equal(p_fin[t], p.astype(np.uint32),
+                                      err_msg=f"chunk {t}")
+
+
+def test_chain_encode_interpret_matches_scan():
+    rng = np.random.default_rng(22)
+    C, H = 16, 257
+    hp = pbwt_pallas._ceil_to(H, 128)
+    n_ch = 4
+    L = n_ch * C
+    ps = rng.choice([0.05, 0.4, 0.8], size=L)
+    x = (rng.random((L, H)) < ps[:, None]).astype(np.int8)
+    sorts = rng.random(L) < 0.8
+    want, _ = _encode_scan(x, sorts, H)
+
+    # build chunk-start registers exactly as pbwt_encode_chunked does
+    xb = (x == 1).astype(np.uint32)
+    xc = xb.reshape(n_ch, C, H)
+    jsh = np.arange(C, dtype=np.uint32)
+    bhat = np.sum(xc << jsh[None, :, None], axis=1)
+    ss = sorts.reshape(n_ch, C).astype(np.uint32)
+    sh = np.cumsum(ss, axis=1) - ss
+    T = np.sum(np.where(ss[:, :, None] != 0, xc << sh[:, :, None], 0), axis=1)
+    b = pbwt_jax._hap_bits(H)
+    _, r_starts = pbwt_jax._rank_chain(
+        jnp.asarray(T.astype(np.uint32)),
+        jnp.arange(H, dtype=jnp.int32), b)
+    r_starts = np.asarray(r_starts)
+    q0 = np.zeros((n_ch, hp), np.uint32)
+    for t in range(n_ch):
+        q0[t, r_starts[t]] = bhat[t]
+    got = np.asarray(pbwt_pallas.chain_encode(
+        jnp.asarray(q0), jnp.asarray(ss.astype(np.int32)), C, H,
+        interpret=True))[:, :, :H].reshape(L, H)
+    np.testing.assert_array_equal(got, np.asarray(want).astype(np.int32))

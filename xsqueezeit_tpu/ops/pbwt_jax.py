@@ -145,6 +145,20 @@ def _sort_apply(key: jnp.ndarray, val: jnp.ndarray, h: int,
 DECODE_CHUNK = 16
 
 
+@functools.cache
+def _use_pallas() -> bool:
+    """Pallas staged-shift partition kernels run on real TPU backends only;
+    the CPU test backend keeps the pure-XLA sort formulation (set
+    XSI_PALLAS=0 to force the sort path everywhere)."""
+    import os
+    if os.environ.get("XSI_PALLAS", "").lower() in ("0", "off", "no"):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Chunk-start rank chain: r_{t+1} = rank by (T_t, r_t).
@@ -241,23 +255,31 @@ def pbwt_encode_chunked(alleles: jnp.ndarray, alts: jnp.ndarray,
     q0 = (jax.lax.sort((r_starts.astype(jnp.uint32) << 16) | bhat,
                        dimension=1, is_stable=False) & jnp.uint32(0xFFFF))
 
-    ssw = jnp.swapaxes(ss.astype(jnp.uint32), 0, 1)            # [C, n_ch]
+    if _use_pallas():
+        from . import pbwt_pallas
+        hp = pbwt_pallas._ceil_to(H, pbwt_pallas.LANE)
+        q0p = jnp.pad(q0, ((0, 0), (0, hp - H)))
+        ysp = pbwt_pallas.chain_encode(q0p, ss.astype(jnp.int32), C, H)
+        ys = ysp[:, :, :H].reshape(Lp, H)[:L].astype(jnp.uint8)
+    else:
+        ssw = jnp.swapaxes(ss.astype(jnp.uint32), 0, 1)        # [C, n_ch]
 
-    def step(q, inp):
-        j, s_j = inp
-        y = (q >> j) & jnp.uint32(1)
-        yi = y.astype(jnp.int32)
-        cums = jnp.cumsum(yi, axis=1)
-        ones_before = cums - yi
-        nz = H - cums[:, -1:]
-        d = jnp.where(yi == 0, iota[None, :] - ones_before, nz + ones_before)
-        d = jnp.where(s_j[:, None] != 0, d, iota[None, :])
-        q = jax.lax.sort((d.astype(jnp.uint32) << 16) | q,
-                         dimension=1, is_stable=False) & jnp.uint32(0xFFFF)
-        return q, y.astype(jnp.uint8)
+        def step(q, inp):
+            j, s_j = inp
+            y = (q >> j) & jnp.uint32(1)
+            yi = y.astype(jnp.int32)
+            cums = jnp.cumsum(yi, axis=1)
+            ones_before = cums - yi
+            nz = H - cums[:, -1:]
+            d = jnp.where(yi == 0, iota[None, :] - ones_before,
+                          nz + ones_before)
+            d = jnp.where(s_j[:, None] != 0, d, iota[None, :])
+            q = jax.lax.sort((d.astype(jnp.uint32) << 16) | q,
+                             dimension=1, is_stable=False) & jnp.uint32(0xFFFF)
+            return q, y.astype(jnp.uint8)
 
-    _, ys = jax.lax.scan(step, q0, (jshift, ssw))
-    ys = jnp.swapaxes(ys, 0, 1).reshape(Lp, H)[:L]
+        _, ys = jax.lax.scan(step, q0, (jshift, ssw))
+        ys = jnp.swapaxes(ys, 0, 1).reshape(Lp, H)[:L]
     _, a_final = jax.lax.sort((r_fin, iota), num_keys=1, is_stable=False)
     return ys, a_final
 
@@ -294,29 +316,38 @@ def pbwt_decode_chunked(ys: jnp.ndarray, sorts: jnp.ndarray,
     n_ch = Lp // C
     y = ys.astype(jnp.int32)
     iota = jnp.arange(H, dtype=jnp.int32)
-
-    # Stable-partition destinations for every line (identity on non-sorting
-    # lines), from one vectorized cumsum.
-    c = jnp.cumsum(y, axis=1)
-    ones_before = c - y
-    n_zeros = H - c[:, -1:]
-    dest = jnp.where(y == 0, iota[None, :] - ones_before,
-                     n_zeros + ones_before)
-    dest = jnp.where(sorts[:, None], dest, iota[None, :]).astype(jnp.uint16)
-
-    dc = jnp.swapaxes(dest.reshape(n_ch, C, H), 0, 1)          # [C, n_ch, H]
-    yc = jnp.swapaxes(y.reshape(n_ch, C, H).astype(jnp.uint32), 0, 1)
     jshift = jnp.arange(C, dtype=jnp.uint32)
 
-    p0 = jnp.broadcast_to(iota.astype(jnp.uint32) << 16, (n_ch, H))
+    if _use_pallas():
+        from . import pbwt_pallas
+        hp = pbwt_pallas._ceil_to(H, pbwt_pallas.LANE)
+        ycp = jnp.pad(y.reshape(n_ch, C, H), ((0, 0), (0, 0), (0, hp - H)))
+        ssp = sorts.reshape(n_ch, C).astype(jnp.int32)
+        p_fin = pbwt_pallas.chain_decode(ycp, ssp, C, H)[:, :H]
+    else:
+        # Stable-partition destinations for every line, one vectorized
+        # cumsum (identity on non-sorting lines).
+        c = jnp.cumsum(y, axis=1)
+        ones_before = c - y
+        n_zeros = H - c[:, -1:]
+        dest = jnp.where(y == 0, iota[None, :] - ones_before,
+                         n_zeros + ones_before)
+        dest = jnp.where(sorts[:, None], dest,
+                         iota[None, :]).astype(jnp.uint16)
 
-    def step(p, inp):
-        d, yrow, j = inp
-        p = p | (yrow << j)
-        _, p = jax.lax.sort((d, p), dimension=1, num_keys=1, is_stable=False)
-        return p, None
+        dc = jnp.swapaxes(dest.reshape(n_ch, C, H), 0, 1)      # [C, n_ch, H]
+        yc = jnp.swapaxes(y.reshape(n_ch, C, H).astype(jnp.uint32), 0, 1)
 
-    p_fin, _ = jax.lax.scan(step, p0, (dc, yc, jshift))
+        p0 = jnp.broadcast_to(iota.astype(jnp.uint32) << 16, (n_ch, H))
+
+        def step(p, inp):
+            d, yrow, j = inp
+            p = p | (yrow << j)
+            _, p = jax.lax.sort((d, p), dimension=1, num_keys=1,
+                                is_stable=False)
+            return p, None
+
+        p_fin, _ = jax.lax.scan(step, p0, (dc, yc, jshift))
 
     o_tot = (p_fin >> 16).astype(jnp.int32)
     beta = (p_fin & jnp.uint32(0xFFFF)).astype(jnp.int32)

@@ -74,19 +74,21 @@ def _partition_stage(vals, shifts, k: int, group0: bool, hp: int):
     return vals, shifts
 
 
-def _chain_decode_kernel(y_ref, p_ref, *, C: int, H: int, hp: int):
+def _chain_decode_kernel(y_ref, ss_ref, p_ref, *, C: int, H: int, hp: int):
     """Decode chunk chain: payload (chunk-start slot << 16 | beta bits).
 
-    y_ref: i32[NB, C, hp] bits in arrangement order (padding lanes 0).
-    p_ref: u32[NB, hp] final chunk state.
+    y_ref:  i32[NB, C, hp] bits in arrangement order (padding lanes 0).
+    ss_ref: i32[NB, 1] per-chunk sort-flag bitmask (bit j = line j sorts;
+            the beta bit is appended either way).
+    p_ref:  u32[NB, hp] final chunk state.
     """
     NB = y_ref.shape[0]
     nbits = _nbits(H)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (NB, hp), 1)
     real = lanes < H
-    p = (lanes << 16).astype(jnp.uint32)
+    p0 = (lanes << 16).astype(jnp.uint32)
 
-    for j in range(C):
+    def line(j, p):
         y = y_ref[:, j, :]
         p = p | (y << j).astype(jnp.uint32)
 
@@ -97,6 +99,7 @@ def _chain_decode_kernel(y_ref, p_ref, *, C: int, H: int, hp: int):
         # zeros strictly after lane i (within the real H lanes)
         zeros_after = n_zeros - (lanes + 1 - cum)
 
+        sort_j = (ss_ref[:, :] >> j) & 1  # [NB, 1]
         is0 = (y == 0) & real
         is1 = (y != 0) & real
         s0 = jnp.where(is0, (ones_before << 1) | 1, 0)
@@ -106,9 +109,10 @@ def _chain_decode_kernel(y_ref, p_ref, *, C: int, H: int, hp: int):
         for k in range(nbits):
             a, s0 = _partition_stage(a, s0, k, group0=True, hp=hp)
             b, s1 = _partition_stage(b, s1, k, group0=False, hp=hp)
-        p = jnp.where(lanes < n_zeros, a, b)
+        p_new = jnp.where(lanes < n_zeros, a, b)
+        return jnp.where(sort_j != 0, p_new, p)
 
-    p_ref[:, :] = p
+    p_ref[:, :] = jax.lax.fori_loop(0, C, line, p0)
 
 
 def _chain_encode_kernel(q_ref, ss_ref, y_ref, *, C: int, H: int, hp: int):
@@ -116,16 +120,15 @@ def _chain_encode_kernel(q_ref, ss_ref, y_ref, *, C: int, H: int, hp: int):
     chunk's line bits; line j's arrangement-ordered bits are bit j of q.
 
     q_ref:  u32[NB, hp] loaded registers (chunk-start arrangement order).
-    ss_ref: i32[NB, C] per-line sort flags (SMEM-ish small block).
+    ss_ref: i32[NB, 1] per-chunk sort-flag bitmask (bit j = line j sorts).
     y_ref:  i32[NB, C, hp] output bits per line.
     """
     NB = q_ref.shape[0]
     nbits = _nbits(H)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (NB, hp), 1)
     real = lanes < H
-    q = q_ref[:, :]
 
-    for j in range(C):
+    def line(j, q):
         y = ((q >> j) & 1).astype(jnp.int32)
         y = jnp.where(real, y, 0)
         y_ref[:, j, :] = y
@@ -136,7 +139,7 @@ def _chain_encode_kernel(q_ref, ss_ref, y_ref, *, C: int, H: int, hp: int):
         n_zeros = H - ones_tot
         zeros_after = n_zeros - (lanes + 1 - cum)
 
-        sort_j = ss_ref[:, j][:, None]  # [NB, 1]
+        sort_j = (ss_ref[:, :] >> j) & 1  # [NB, 1]
         is0 = (y == 0) & real
         is1 = (y != 0) & real
         s0 = jnp.where(is0, (ones_before << 1) | 1, 0)
@@ -147,30 +150,52 @@ def _chain_encode_kernel(q_ref, ss_ref, y_ref, *, C: int, H: int, hp: int):
             a, s0 = _partition_stage(a, s0, k, group0=True, hp=hp)
             b, s1 = _partition_stage(b, s1, k, group0=False, hp=hp)
         q_new = jnp.where(lanes < n_zeros, a, b)
-        q = jnp.where(sort_j != 0, q_new, q)
+        return jnp.where(sort_j != 0, q_new, q)
+
+    jax.lax.fori_loop(0, C, line, q_ref[:, :])
+
+
+def _pack_flags(ss: jnp.ndarray, C: int) -> jnp.ndarray:
+    """[n_ch, C] 0/1 flags -> [n_ch, 1] bitmask (lane-dim dynamic indexing
+    is not lowerable in Mosaic; a bit test by the loop counter is)."""
+    w = (1 << jnp.arange(C, dtype=jnp.int32))[None, :]
+    return jnp.sum(ss.astype(jnp.int32) * w, axis=1, keepdims=True)
+
+
+def _pick_nb(n_ch: int, NB: int) -> int:
+    """Largest multiple of 8 <= NB dividing n_ch (Mosaic block constraint),
+    else the whole array."""
+    for nb in range(min(NB, n_ch) // 8 * 8, 0, -8):
+        if n_ch % nb == 0:
+            return nb
+    return n_ch
 
 
 @functools.partial(jax.jit, static_argnames=("C", "H", "NB", "interpret"))
-def chain_decode(yc: jnp.ndarray, C: int, H: int, NB: int = 8,
-                 interpret: bool = False) -> jnp.ndarray:
-    """Run the decode chunk chains. yc: i32[n_ch, C, hp] -> u32[n_ch, hp]."""
+def chain_decode(yc: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
+                 NB: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """Run the decode chunk chains.
+
+    yc: i32[n_ch, C, hp] bits; ss: i32[n_ch, C] sort flags.
+    Returns u32[n_ch, hp] final chunk states.
+    """
     n_ch, c, hp = yc.shape
     assert c == C and hp % LANE == 0
-    nb = min(NB, n_ch)
-    while n_ch % nb:
-        nb -= 1
+    nb = _pick_nb(n_ch, NB)
     grid = (n_ch // nb,)
     kern = functools.partial(_chain_decode_kernel, C=C, H=H, hp=hp)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec((nb, C, hp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nb, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((nb, hp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, hp), jnp.uint32),
         interpret=interpret,
-    )(yc)
+    )(yc, _pack_flags(ss, C))
 
 
 @functools.partial(jax.jit, static_argnames=("C", "H", "NB", "interpret"))
@@ -183,9 +208,7 @@ def chain_encode(q0: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
     """
     n_ch, hp = q0.shape
     assert hp % LANE == 0
-    nb = min(NB, n_ch)
-    while n_ch % nb:
-        nb -= 1
+    nb = _pick_nb(n_ch, NB)
     grid = (n_ch // nb,)
     kern = functools.partial(_chain_encode_kernel, C=C, H=H, hp=hp)
     return pl.pallas_call(
@@ -193,10 +216,10 @@ def chain_encode(q0: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
         grid=grid,
         in_specs=[pl.BlockSpec((nb, hp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((nb, C), lambda i: (i, 0),
+                  pl.BlockSpec((nb, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((nb, C, hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, C, hp), jnp.int32),
         interpret=interpret,
-    )(q0, ss)
+    )(q0, _pack_flags(ss, C))
