@@ -81,3 +81,21 @@ def test_chain_encode_interpret_matches_scan():
         jnp.asarray(q0), jnp.asarray(ss.astype(np.int32)), C, H,
         interpret=True))[:, :, :H].reshape(L, H)
     np.testing.assert_array_equal(got, np.asarray(want).astype(np.int32))
+
+
+def test_wah_expand_pallas_interpret_matches_xla():
+    from xsqueezeit_tpu.ops import wah_jax, wah_np
+    from xsqueezeit_tpu.ops.wah_pallas import wah_expand_pallas
+    rng = np.random.default_rng(23)
+    for H in (31, 300, 1001):
+        L = 24
+        W = wah_jax.n_words_for(H)
+        ps = rng.choice([0.0, 0.01, 0.3, 0.9, 1.0], size=L)
+        bits = (rng.random((L, H)) < ps[:, None]).astype(np.uint8)
+        stream = np.concatenate([wah_np.wah_encode(b) for b in bits])
+        padded = np.concatenate([stream, np.zeros(7, np.uint16)])
+        want = np.asarray(wah_jax.wah_expand_stream(
+            jnp.asarray(padded), L + 3, W))
+        got = np.asarray(wah_expand_pallas(
+            jnp.asarray(padded), L + 3, W, interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"H={H}")

@@ -40,8 +40,12 @@ def _decode_wah_and_scan(stream, sorts, h, w):
             partition by an all-zero column is the identity).
     Returns (vals uint8[Lw, h] natural-order bits, ones int32[Lw]).
     """
-    ys = wah_jax.unpack_bits(
-        wah_jax.wah_expand_stream(stream, sorts.shape[0], w), h)
+    if pbwt_jax._use_pallas():
+        from ..ops.wah_pallas import wah_expand_pallas
+        w15 = wah_expand_pallas(stream, sorts.shape[0], w)
+    else:
+        w15 = wah_jax.wah_expand_stream(stream, sorts.shape[0], w)
+    ys = wah_jax.unpack_bits(w15, h)
     if h <= 65535:
         vals, _ = pbwt_jax.pbwt_decode_chunked(ys, sorts)
     else:

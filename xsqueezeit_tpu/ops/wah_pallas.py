@@ -1,0 +1,138 @@
+"""WAH stream expansion — Pallas TPU kernel.
+
+Expanding a concatenated WAH stream to per-line 15-bit groups means placing
+word k at output slot start_k = cumsum(spans)_k and forward-filling fill
+runs.  The placement shifts dist_k = slot(start_k) - k are monotone
+non-decreasing (spans >= 1), so staged power-of-2 shifts are collision-free
+(same argument as ops/pbwt_pallas.py) — this replaces XLA's element-wise
+scatter (~5 ms for a chr20-like block) with ~log2(L*Wp) VMEM-resident roll
+stages (+ a ~log2(Wp)-stage in-row cumulative max), everything on the VPU.
+
+Output slots use a lane-padded row-major layout [n_lines, Wp] (Wp = W
+rounded up to 128 lanes), so the forward fill is a pure lane-axis scan.
+Global staged shifts across the 2D layout decompose into a lane roll plus
+one/two row rolls selected by wrap position.
+
+Format semantics restated from /root/reference/include/wah.hpp:75-105
+(16-bit WAH2: MSB counter flag, bit14 fill value, 15-bit literals).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wah_jax import ALL_SET, HIGH, MAXC, ONE, WAH_BITS, n_words_for
+
+LANE = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _global_roll(x, step: int, wp: int):
+    """Circular roll of a row-major [R, wp] array by `step` flat slots."""
+    lane_part = step % wp
+    row_part = step // wp
+    if lane_part:
+        x = pltpu.roll(x, lane_part, 1)
+    a = pltpu.roll(x, row_part, 0) if row_part else x
+    if lane_part:
+        b = pltpu.roll(x, row_part + 1, 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(lanes < lane_part, b, a)
+    return a
+
+
+def _expand_kernel(z_ref, sh_ref, out_ref, *, n_lines: int, w: int, wp: int):
+    """z_ref: i32[n_lines, wp] packed words at their stream-order slots
+    (slot k of the flat layout holds ((pos_in_row+1) << 16 | word) of stream
+    word k; junk slots 0).  sh_ref: i32 shift words ((dist << 1) | 1 for
+    real words, 0 junk).  out_ref: resolved 15-bit groups per line.
+    """
+    z = z_ref[:, :]
+    sh = sh_ref[:, :]
+    total = n_lines * wp
+    nbits = max(int(total - 1).bit_length(), 1)
+    # MSB -> LSB staged shifts: masking LOW bits off preserves the order of
+    # the (non-decreasing) distances, so positions k_i + (d_i & ~(2^k - 1))
+    # stay strictly increasing at every stage — collision-free for ARBITRARY
+    # monotone gap insertion (LSB-first is only safe for bounded-increment
+    # compaction shifts like the PBWT partition's).
+    for k in reversed(range(nbits)):
+        step = (1 << k) % total
+        z_r = _global_roll(z, step, wp)
+        s_r = _global_roll(sh, step, wp)
+        take = (s_r >> (k + 1)) & 1
+        leave = (sh >> (k + 1)) & 1
+        # unlike the PBWT partition kernel there is no positional merge at
+        # the end, so a vacated slot's payload must be cleared for the
+        # cumulative-max fill below
+        z = jnp.where(take != 0, z_r, jnp.where(leave != 0, 0, z))
+        sh = jnp.where(take != 0, s_r, jnp.where(leave != 0, 0, sh))
+
+    # forward fill within rows: packed (pos+1) keys are increasing, so a
+    # lane-axis cumulative max propagates each word over its covered slots.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    k = 1
+    while k < wp:
+        shifted = pltpu.roll(z, k, 1)
+        z = jnp.maximum(z, jnp.where(lanes >= k, shifted, jnp.int32(-1)))
+        k <<= 1
+
+    word = z & 0xFFFF
+    fill = jnp.where((word & ONE) != 0, ALL_SET, 0)
+    out_ref[:, :] = jnp.where((word & HIGH) != 0, fill, word)
+
+
+@functools.partial(jax.jit, static_argnames=("n_lines", "w", "interpret"))
+def wah_expand_pallas(stream: jnp.ndarray, n_lines: int, w: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Expand a uniform-width WAH stream to [n_lines, w] 15-bit groups.
+
+    Drop-in replacement for wah_jax.wah_expand_stream (same contract:
+    zero-padded stream tail decodes to inert all-zero rows).
+    """
+    wp = _ceil_to(w, LANE)
+    total = n_lines * wp
+    s = stream.astype(jnp.int32)
+    if s.shape[0] > total:
+        # over-padded stream: real words never exceed n_lines * w, so the
+        # excess is zero padding and can be dropped
+        s = s[:total]
+    n = s.shape[0]
+    is_counter = (s & HIGH) != 0
+    span = jnp.where(is_counter, s & MAXC, 1)
+    start = jnp.cumsum(span) - span            # flat slot in W-space
+    row = start // w
+    col = start - row * w
+    slot = row * wp + col                      # flat slot in padded layout
+    k_idx = jnp.arange(n, dtype=jnp.int32)
+    dist = jnp.clip(slot - k_idx, 0, total - 1)
+    valid = slot < total
+    packed = ((col + 1) << 16) | s
+    z0 = jnp.where(valid, packed, 0)
+    sh0 = jnp.where(valid, (dist << 1) | 1, 0)
+    pad = total - n
+    if pad < 0:
+        raise ValueError("stream longer than output capacity")
+    z0 = jnp.pad(z0, (0, pad)).reshape(n_lines, wp)
+    sh0 = jnp.pad(sh0, (0, pad)).reshape(n_lines, wp)
+
+    kern = functools.partial(_expand_kernel, n_lines=n_lines, w=w, wp=wp)
+    vmem_need = 6 * total * 4  # z, sh, out + rolled temps
+    out = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_lines, wp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(vmem_need, 16 << 20), 110 << 20)),
+        interpret=interpret,
+    )(z0, sh0)
+    return out[:, :w]
