@@ -71,9 +71,15 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
     iota = jnp.arange(H, dtype=jnp.int32)
     if sparse_cap <= 32:
         # k-th carrier index = the sole position where cum == k+1 and mask.
-        cum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+        # WAH rows' sparse output is discarded, so zero them first: carrier
+        # counts then stay <= sparse_cap <= 32 and the scan runs in int8
+        # (4x less cumsum traffic than int32 over [L, H]).
+        m8 = jnp.where(is_wah[:, None], 0,
+                       mask.astype(jnp.int8))
+        code = jnp.cumsum(m8, axis=1)
+        code = jnp.where(m8 != 0, code, 0)
         sparse_idx = jnp.stack(
-            [jnp.sum(jnp.where(mask & (cum == k + 1), iota[None, :], 0),
+            [jnp.sum(jnp.where(code == k + 1, iota[None, :], 0),
                      axis=1) for k in range(sparse_cap)], axis=1)
     else:
         hb = pbwt_jax._hap_bits(H)
