@@ -149,3 +149,67 @@ def test_info_flag(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "Haplotype samples  : 20" in err
     assert "VCF records : 5" in err
+
+
+def test_targets_query(tmp_path):
+    """-t filters by exact position, streamed (reference: -t targets)."""
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=12,
+                              n_records=60, seed=6)
+    xsi = str(tmp_path / "o.xsi")
+    out = str(tmp_path / "tgt.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    # positions are 60000 + i*37
+    picks = [60000 + i * 37 for i in (3, 17, 42)]
+    cli_main(["-x", "-f", xsi, "-o", out,
+              "-t", ",".join(f"20:{p}" for p in picks)])
+    got, _ = read_all(out)
+    orig, _ = read_all(vcf)
+    assert got == [orig[i] for i in (3, 17, 42)]
+
+
+def test_region_plus_samples(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=15,
+                              n_records=80, seed=7)
+    xsi = str(tmp_path / "o.xsi")
+    out = str(tmp_path / "combo.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", out, "-r", "20:60400-61200",
+              "-s", "S010,S001"])
+    got, samples = read_all(out)
+    assert samples == ["S010", "S001"]
+    orig, _ = read_all(vcf)
+    keep = [i for i in range(80) if 60400 <= 60000 + i * 37 <= 61200]
+    assert len(got) == len(keep)
+    for (na_g, gt_g, _), i in zip(got, keep):
+        na_o, gt_o, pl = orig[i]
+        assert na_g == na_o
+        want = np.array(gt_o).reshape(15, pl)[[10, 1]].reshape(-1).tolist()
+        assert gt_g == want
+
+
+def test_no_header_flag(tmp_path):
+    vcf = fixtures.micro_basic(str(tmp_path / "b.vcf"))
+    xsi = str(tmp_path / "o.xsi")
+    out = str(tmp_path / "nohdr.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", out, "-H"])
+    lines = open(out).read().splitlines()
+    assert lines and not any(l.startswith("#") for l in lines)
+    # body matches the headered output
+    full = str(tmp_path / "full.vcf")
+    cli_main(["-x", "-f", xsi, "-o", full])
+    body = [l for l in open(full).read().splitlines() if not l.startswith("#")]
+    assert lines == body
+
+
+def test_samples_file(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=8,
+                              n_records=15, seed=8)
+    xsi = str(tmp_path / "o.xsi")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    sfile = tmp_path / "samples.txt"
+    sfile.write_text("S006\nS004\n")
+    out = str(tmp_path / "sf.vcf")
+    cli_main(["-x", "-f", xsi, "-o", out, "-S", str(sfile)])
+    _, samples = read_all(out)
+    assert samples == ["S006", "S004"]

@@ -35,10 +35,12 @@ class Region:
 
     @classmethod
     def parse(cls, text: str) -> "Region":
-        m = re.match(r"^([^:]+)(?::(\d+)(?:-(\d+)?)?)?$", text)
+        m = re.match(r"^([^:]+)(?::(\d+)(-)?(\d+)?)?$", text)
         if not m:
             raise ValueError(f"Bad region: {text}")
-        chrom, start, end = m.group(1), m.group(2), m.group(3)
+        chrom, start, dash, end = m.groups()
+        if start and not dash:
+            end = start        # "chr:pos" is that single position (htslib)
         return cls(chrom, int(start) if start else None,
                    int(end) if end else None)
 
@@ -330,9 +332,8 @@ class Decompressor:
 
     def _decompress_to_vcf(self, output_path: str, compress: bool) -> dict:
         header = self.output_header()
-        writer = VcfWriter(output_path,
-                           [] if self.opts.no_header else header.lines,
-                           self.output_samples, compress=compress)
+        writer = VcfWriter(output_path, header.lines, self.output_samples,
+                           compress=compress, no_header=self.opts.no_header)
         n = 0
         for rec, gt in self.iter_decoded_records():
             ploidy = self._line_ploidy(gt.shape[0])

@@ -169,7 +169,7 @@ class VcfWriter:
     """Writes VCF text (optionally bgzip)."""
 
     def __init__(self, path: str, header_lines: list[str], samples: list[str],
-                 compress: bool = False):
+                 compress: bool = False, no_header: bool = False):
         self.samples = samples
         if path == "-":
             import sys
@@ -183,12 +183,14 @@ class VcfWriter:
         else:
             self._f = open(path, "wt")
             self._close = True
-        for line in header_lines:
-            self._f.write(line + "\n")
-        cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
-        if samples:
-            cols += ["FORMAT"] + list(samples)
-        self._f.write("\t".join(cols) + "\n")
+        if not no_header:
+            for line in header_lines:
+                self._f.write(line + "\n")
+            cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+                    "INFO"]
+            if samples:
+                cols += ["FORMAT"] + list(samples)
+            self._f.write("\t".join(cols) + "\n")
 
     def write_record(self, fixed: list[str], gt: np.ndarray | None,
                      ploidy: int) -> None:
