@@ -89,6 +89,42 @@ def parse_gt_field(field: str, scratch: list[int]) -> int:
     return n
 
 
+def _fast_diploid_gt(region: str, n_samples: int) -> np.ndarray | None:
+    """Vectorized parse of a GT-only genotype region in the uniform diploid
+    single-character-allele layout 'a|b\\tc/d\\t...' (alleles 0-9 or '.').
+
+    Returns int32[n_samples*2] htslib-encoded genotypes, or None when the
+    region doesn't match the fast layout (multi-digit alleles, haploid or
+    mixed-ploidy cells, extra FORMAT subfields), in which case the caller
+    falls back to the general per-cell parser.  This path is ~30x faster
+    than per-cell parsing and covers the overwhelming majority of cohort
+    VCF lines.
+    """
+    if len(region) != 4 * n_samples - 1:
+        return None
+    b = np.frombuffer(region.encode(), np.uint8)
+    if b.shape[0] != 4 * n_samples - 1:
+        return None  # non-ascii characters
+    cells = np.concatenate([b, np.frombuffer(b"\t", np.uint8)]) \
+        .reshape(n_samples, 4)
+    a0 = cells[:, 0].astype(np.int32) - 0x30
+    sep = cells[:, 1]
+    a1 = cells[:, 2].astype(np.int32) - 0x30
+    tail = cells[:, 3]
+    ok_allele = (((a0 >= 0) & (a0 <= 9)) | (a0 == -2)) \
+        & (((a1 >= 0) & (a1 <= 9)) | (a1 == -2))
+    if not (ok_allele.all()
+            and ((sep == 0x7C) | (sep == 0x2F)).all()
+            and (tail == 0x09).all()):
+        return None
+    phase = (sep == 0x7C).astype(np.int32)
+    gt = np.empty(n_samples * 2, np.int32)
+    # '.' maps to allele -1 (missing): encoded 0|phase, same formula
+    gt[0::2] = np.where(a0 == -2, 0, (a0 + 1) << 1)
+    gt[1::2] = np.where(a1 == -2, phase, ((a1 + 1) << 1) | phase)
+    return gt
+
+
 class VcfReader:
     """Iterates VcfRecord from a .vcf / .vcf.gz file."""
 
@@ -116,7 +152,7 @@ class VcfReader:
             line = line.rstrip("\n")
             if not line:
                 continue
-            cols = line.split("\t")
+            cols = line.split("\t", 9)
             fixed = cols[:8]
             alt = fixed[4]
             n_alleles = 1 + (0 if alt in (".", "") else alt.count(",") + 1)
@@ -127,6 +163,12 @@ class VcfReader:
             if fmt != "GT" and not fmt.startswith("GT:") and ":GT" not in fmt:
                 yield VcfRecord(fixed, None, n_alleles, 0)
                 continue
+            if fmt == "GT":
+                gt = _fast_diploid_gt(cols[9], n_samples)
+                if gt is not None:
+                    yield VcfRecord(fixed, gt, n_alleles, 2)
+                    continue
+            cols = fixed + [fmt] + cols[9].split("\t")
             gt_index = fmt.split(":").index("GT")
             per_sample: list[list[int]] = []
             max_ploidy = 1
@@ -143,6 +185,28 @@ class VcfReader:
 
     def close(self):
         self._f.close()
+
+
+def format_gt_region(gt: np.ndarray, ploidy: int, n_samples: int) -> str:
+    """Render the whole tab-separated genotype region of one record.
+
+    Vectorized fast path for uniform diploid rows with single-digit alleles
+    (bulk of cohort data); falls back to the per-cell renderer otherwise.
+    """
+    if ploidy == 2 and gt.shape[0] == 2 * n_samples:
+        allele = (gt >> 1) - 1
+        eov = np.int32(INT32_VECTOR_END)
+        if allele.max(initial=-1) <= 9 and allele.min(initial=0) >= -1 \
+                and not (gt == eov).any():
+            cells = np.empty((n_samples, 4), np.uint8)
+            a = allele.reshape(n_samples, 2)
+            cells[:, 0] = np.where(a[:, 0] < 0, 0x2E, 0x30 + a[:, 0])
+            cells[:, 1] = np.where(gt.reshape(n_samples, 2)[:, 1] & 1,
+                                   0x7C, 0x2F)
+            cells[:, 2] = np.where(a[:, 1] < 0, 0x2E, 0x30 + a[:, 1])
+            cells[:, 3] = 0x09
+            return cells.tobytes()[:-1].decode()
+    return "\t".join(format_gt(gt, ploidy, n_samples))
 
 
 def format_gt(gt: np.ndarray, ploidy: int, n_samples: int) -> list[str]:
@@ -197,8 +261,8 @@ class VcfWriter:
         if gt is None or not self.samples:
             self._f.write("\t".join(fixed) + "\n")
             return
-        cells = format_gt(gt, ploidy, len(self.samples))
-        self._f.write("\t".join(fixed) + "\tGT\t" + "\t".join(cells) + "\n")
+        region = format_gt_region(gt, ploidy, len(self.samples))
+        self._f.write("\t".join(fixed) + "\tGT\t" + region + "\n")
 
     def close(self):
         if self._close:
