@@ -51,3 +51,17 @@ def test_distributed_zstd_roundtrip(tmp_path):
         return [l.split("\t")[9:] for l in open(p) if not l.startswith("#")]
 
     assert gts(out) == gts(vcf)
+
+
+def test_dot_prod_device_matches_host(tmp_path):
+    """Device (MXU) compressive dot product == host compressed-walk path.
+    Runs on the CPU jax backend in tests; same code drives the TPU."""
+    from xsqueezeit_tpu.bench.tools import dot_prod, dot_prod_device
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=23,
+                              n_records=70, seed=15)
+    xsi = str(tmp_path / "d.xsi")
+    compress_file(vcf, xsi, CompressorOptions(block_length=32))
+    host = dot_prod(xsi)
+    dev = dot_prod_device(xsi)
+    assert dev["variants"] == host["variants"]
+    assert abs(dev["checksum"] - host["checksum"]) < 1e-4

@@ -26,6 +26,8 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("dot_prod")
     s.add_argument("file")
     s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--device", action="store_true",
+                   help="block-batched MXU path (XSI input only)")
     s = sub.add_parser("af_stats")
     s.add_argument("file")
     s.add_argument("--summary", action="store_true",
@@ -53,8 +55,12 @@ def main(argv: list[str] | None = None) -> int:
         from .tools import loading_time
         print(json.dumps(loading_time(args.file)))
     elif args.cmd == "dot_prod":
-        from .tools import dot_prod
-        print(json.dumps(dot_prod(args.file, seed=args.seed)))
+        if args.device:
+            from .tools import dot_prod_device
+            print(json.dumps(dot_prod_device(args.file, seed=args.seed)))
+        else:
+            from .tools import dot_prod
+            print(json.dumps(dot_prod(args.file, seed=args.seed)))
     elif args.cmd == "af_stats":
         from .tools import af_stats
         out = af_stats(args.file)

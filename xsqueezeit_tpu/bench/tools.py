@@ -120,6 +120,81 @@ def dot_prod(path: str, seed: int = 42) -> dict:
             "seconds": time.perf_counter() - t0}
 
 
+def dot_prod_device(path: str, seed: int = 42) -> dict:
+    """GWAS dot product on TPU: whole blocks decode on device and the
+    per-variant dosage dot products run as ONE [lines, haps] x [haps]
+    matmul per block on the MXU -- the TPU-native formulation of the
+    reference's compressive dot product (dot_prod/dot_prod.hpp walks WAH
+    words on the CPU; on TPU the decode+matmul pipeline is faster than
+    any compressed-domain scalar walk).  Checksum-compatible with
+    dot_prod()."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..codec.decoder_jax import DeviceBlockDecoder
+    from ..io.bcf import BcfReader as _BcfReader
+
+    t0 = _time.perf_counter()
+    acc = Accessor(path)
+    n_samples = len(acc.get_sample_list())
+    rng = np.random.default_rng(seed)
+    y = rng.random(n_samples)
+    y2 = jnp.asarray(np.repeat(y, 2).astype(np.float32))  # y[h // 2]
+
+    # group records by block
+    reader = _BcfReader(acc.variant_filename())
+    blocks: dict[int, list[int]] = {}
+    order: list[int] = []
+    for rec in reader:
+        bm = acc.position_from_bm_entry(rec)
+        blk = bm >> 15
+        if blk not in blocks:
+            blocks[blk] = []
+            order.append(blk)
+        blocks[blk].append(rec.n_allele)
+    reader.close()
+
+    checksum = 0.0
+    n = 0
+    dot = jax.jit(lambda v, y2: (v.astype(jnp.float32) @ y2))
+    for blk in order:
+        n_alleles = blocks[blk]
+        payload = acc.xsi.gt_block_payload(blk)
+        dev = DeviceBlockDecoder(payload, acc.n_samples, acc.n_haps,
+                                 acc.xsi.aet_dtype)
+        if not dev.eligible:
+            # haploid/weird blocks: host per-record fallback
+            first = 0
+            m = dev.meta
+            for na in n_alleles:
+                if na == 2:
+                    m.seek(first)
+                    gt = m.fill_genotype_array_advance(na)
+                    carriers = np.flatnonzero(((gt >> 1) - 1) == 1)
+                    checksum += float(y[carriers >> 1].sum())
+                    n += 1
+                first += max(na - 1, 0)
+            continue
+        vals, _ = dev.decode_all()
+        # binary line l belongs to record r with first_line(r) <= l; keep
+        # only bi-allelic records (one line each)
+        first = 0
+        keep = []
+        for na in n_alleles:
+            if na == 2:
+                keep.append(first)
+                n += 1
+            first += max(na - 1, 0)
+        if not keep:
+            continue
+        dots = np.asarray(dot(jnp.asarray(vals[keep]), y2))
+        checksum += float(dots.sum())
+    return {"variants": n, "checksum": round(float(checksum), 6),
+            "seconds": _time.perf_counter() - t0}
+
+
 def af_stats(path: str) -> dict:
     """Recompute AC/AN per record using allele counts only (no gt arrays)."""
     t0 = time.perf_counter()
