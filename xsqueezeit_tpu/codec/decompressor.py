@@ -16,8 +16,6 @@ import numpy as np
 
 from ..format.constants import (
     BM_BLOCK_BITS,
-    INT32_VECTOR_END,
-    PSEUDO_SAMPLE_NAME,
     XSI_BCF_VAR_EXTENSION,
 )
 from ..format.container import XsiReader

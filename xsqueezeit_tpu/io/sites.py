@@ -20,7 +20,6 @@ from .bcf import (
     INT8_EOV,
     INT16_EOV,
     INT32_EOV,
-    T_CHAR,
     T_FLOAT,
     T_INT8,
     T_INT16,
