@@ -106,8 +106,9 @@ def main(argv: list[str] | None = None) -> int:
             regions = ",".join([r for r in [regions] if r] + file_regions)
         output_type = args.output_type
         out = args.output
-        if out == "-" and output_type == "b" and not args.fast_pipe:
-            output_type = "v"  # text to stdout unless -p
+        if out == "-" and output_type == "b":
+            # text to stdout unless -p, which pipes uncompressed BCF (-Ou)
+            output_type = "u" if args.fast_pipe else "v"
         if out.endswith(".vcf"):
             output_type = "v" if output_type in ("b", "u") else output_type
         opts = DecompressorOptions(

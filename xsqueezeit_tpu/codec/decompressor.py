@@ -322,7 +322,10 @@ class Decompressor:
         if ot == "x":
             return self._decompress_to_xsi(output_path)
         if ot in ("b", "u"):
-            return self._decompress_to_bcf(output_path)
+            # "u": uncompressed BCF (BGZF framing at level 0), the -p fast
+            # pipe format for downstream bcftools (README.md:202-218)
+            return self._decompress_to_bcf(output_path,
+                                           level=0 if ot == "u" else 6)
         return self._decompress_to_vcf(output_path, compress=(ot == "z"))
 
     def _emit_stats(self, n):
@@ -365,10 +368,10 @@ class Decompressor:
             out.append(f"AN={an}")
         return ";".join(out) if out else "."
 
-    def _decompress_to_bcf(self, output_path: str) -> dict:
+    def _decompress_to_bcf(self, output_path: str, level: int = 6) -> dict:
         header = self.output_header()
         n_out = len(self.output_samples)
-        writer = BcfWriter(output_path, header)
+        writer = BcfWriter(output_path, header, level=level)
         n = 0
         for rec, gt in self.iter_decoded_records():
             ploidy = self._line_ploidy(gt.shape[0])

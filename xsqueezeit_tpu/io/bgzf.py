@@ -38,7 +38,11 @@ def _compress_block(data: bytes, level: int = 6) -> bytes:
 
 class BgzfWriter(io.RawIOBase):
     def __init__(self, path_or_file, level: int = 6):
-        if isinstance(path_or_file, str):
+        if path_or_file == "-":
+            import sys
+            self._f = sys.stdout.buffer
+            self._own = False
+        elif isinstance(path_or_file, str):
             self._f = open(path_or_file, "wb")
             self._own = True
         else:
