@@ -99,3 +99,33 @@ def test_wah_expand_pallas_interpret_matches_xla():
         got = np.asarray(wah_expand_pallas(
             jnp.asarray(padded), L + 3, W, interpret=True))
         np.testing.assert_array_equal(got, want, err_msg=f"H={H}")
+
+
+def test_wah_compress_pallas_interpret_matches_xla():
+    from xsqueezeit_tpu.ops import wah_jax
+    from xsqueezeit_tpu.ops.wah_pallas import wah_compress_pallas
+    rng = np.random.default_rng(24)
+    for H in (31, 300, 5008):
+        L = 24
+        ps = rng.choice([0.0, 0.01, 0.3, 0.9, 1.0], size=L)
+        bits = (rng.random((L, H)) < ps[:, None]).astype(np.uint8)
+        words = wah_jax.pack_bits(jnp.asarray(bits))
+        want_w, want_n = wah_jax.wah_compress_words(words)
+        got_w, got_n = wah_compress_pallas(words, words.shape[1],
+                                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))
+        np.testing.assert_array_equal(np.asarray(got_w), np.asarray(want_w),
+                                      err_msg=f"H={H}")
+
+
+def test_wah_compress_pallas_counter_saturation():
+    from xsqueezeit_tpu.ops.wah_pallas import wah_compress_pallas
+    from xsqueezeit_tpu.ops import wah_jax
+    n = (16383 + 5) * 15
+    bits = np.zeros((2, n), np.uint8)
+    bits[1] = 1
+    words = wah_jax.pack_bits(jnp.asarray(bits))
+    got_w, got_n = wah_compress_pallas(words, words.shape[1], interpret=True)
+    assert np.asarray(got_n).tolist() == [2, 2]
+    assert np.asarray(got_w)[0, :2].tolist() == [0x8000 | 16383, 0x8000 | 5]
+    assert np.asarray(got_w)[1, :2].tolist() == [0xC000 | 16383, 0xC000 | 5]

@@ -64,6 +64,10 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
         a0 = jnp.arange(H, dtype=jnp.int32)
         ys, _ = pbwt_jax.pbwt_encode_scan(alleles, alts, is_wah, a0)
     words = wah_jax.pack_bits(ys)
+    # NOTE: ops.wah_pallas.wah_compress_pallas is 3x faster standalone, but
+    # in this pipeline the pallas_call fusion barrier costs more than the
+    # sort it saves (measured +1.1 ms on the chr20-like block) -- the XLA
+    # formulation fuses with pack_bits and the sparse scans.
     wah_words, wah_len = wah_jax.wah_compress_words(words)
 
     mask = alleles.astype(jnp.int32) == sparse_allele[:, None]

@@ -89,6 +89,103 @@ def _expand_kernel(z_ref, sh_ref, out_ref, *, n_lines: int, w: int, wp: int):
     out_ref[:, :] = jnp.where((word & HIGH) != 0, fill, word)
 
 
+def _prefix_max_lanes(x, wp: int):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < wp:
+        shifted = pltpu.roll(x, k, 1)
+        x = jnp.maximum(x, jnp.where(lanes >= k, shifted, jnp.int32(-1)))
+        k <<= 1
+    return x
+
+
+def _prefix_sum_lanes(x, wp: int):
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < wp:
+        shifted = pltpu.roll(x, k, 1)
+        x = x + jnp.where(lanes >= k, shifted, 0)
+        k <<= 1
+    return x
+
+
+def _compress_kernel(w_ref, out_ref, n_ref, *, w: int, wp: int):
+    """WAH2 RLE per row: run detection via lane prefix scans, emitted words
+    front-packed with a staged-shift left compaction (monotone distances,
+    LSB-first is collision-free for compaction).  Mirrors
+    wah_jax.wah_compress_words exactly."""
+    NB = w_ref.shape[0]
+    words = w_ref[:, :]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (NB, wp), 1)
+    real = lanes < w
+    is_zero = (words == 0) & real
+    is_ones = (words == ALL_SET) & real
+    is_fill = is_zero | is_ones
+    # class changes or literal words break runs (literals: unique class)
+    cls = jnp.where(is_zero, -2, jnp.where(is_ones, -3, lanes))
+    prev_cls = pltpu.roll(cls, 1, 1)
+    boundary = (cls != prev_cls) | (lanes == 0)
+    run_start = _prefix_max_lanes(jnp.where(boundary, lanes, -1), wp)
+    pos_in_run = lanes - run_start
+    sub_boundary = boundary | (is_fill & (pos_in_run > 0)
+                               & (pos_in_run % MAXC == 0))
+    sub_start = _prefix_max_lanes(jnp.where(sub_boundary, lanes, -1), wp)
+    sub_len = lanes - sub_start + 1
+    nxt = pltpu.roll(sub_boundary.astype(jnp.int32), wp - 1, 1)
+    emit = (jnp.where(lanes == w - 1, 1, nxt) != 0) & real
+    fill_word = HIGH | jnp.where(is_ones, ONE, 0) | sub_len
+    out_val = jnp.where(is_fill, fill_word, words)
+
+    emit_i = emit.astype(jnp.int32)
+    cum = _prefix_sum_lanes(emit_i, wp)
+    n_ref[:, :] = cum[:, wp - 1:wp]
+    dest = cum - emit_i                      # exclusive prefix
+    dist = jnp.where(emit, lanes - dest, 0)  # move LEFT, monotone
+    sh = jnp.where(emit, (dist << 1) | 1, 0)
+    z = jnp.where(emit, out_val, 0)
+    nbits = max(int(wp - 1).bit_length(), 1)
+    for k in range(nbits):
+        step = wp - ((1 << k) % wp)
+        z_r = pltpu.roll(z, step, 1)
+        s_r = pltpu.roll(sh, step, 1)
+        take = (s_r >> (k + 1)) & 1
+        leave = (sh >> (k + 1)) & 1
+        z = jnp.where(take != 0, z_r, jnp.where(leave != 0, 0, z))
+        sh = jnp.where(take != 0, s_r, jnp.where(leave != 0, 0, sh))
+    out_ref[:, :] = z
+
+
+@functools.partial(jax.jit, static_argnames=("w", "NB", "interpret"))
+def wah_compress_pallas(words: jnp.ndarray, w: int, NB: int = 8,
+                        interpret: bool = False
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """RLE-compress packed 15-bit words, batched: drop-in for
+    wah_jax.wah_compress_words (returns (out uint16[L, w], n_out int32[L]))."""
+    L = words.shape[0]
+    wp = _ceil_to(max(w, 2), LANE)
+    wpad = jnp.zeros((L, wp - words.shape[1]), words.dtype)
+    wi = jnp.concatenate([words.astype(jnp.int32), wpad], axis=1)
+    nb = NB
+    while L % nb:
+        nb //= 2
+    nb = max(nb, 1)
+    kern = functools.partial(_compress_kernel, w=w, wp=wp)
+    out, n_out = pl.pallas_call(
+        kern,
+        grid=(L // nb,),
+        in_specs=[pl.BlockSpec((nb, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((nb, wp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nb, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((L, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((L, 1), jnp.int32)),
+        interpret=interpret,
+    )(wi)
+    return out[:, :w].astype(jnp.uint16), n_out[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("n_lines", "w", "interpret"))
 def wah_expand_pallas(stream: jnp.ndarray, n_lines: int, w: int,
                       interpret: bool = False) -> jnp.ndarray:
