@@ -176,6 +176,17 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
     idx = np.arange(H)
     phase_term = ((idx & 1) & dp).astype(np.int32)
 
+    # Vectorized fast path: all-biallelic block with no exception tracks --
+    # one elementwise pass builds every record's gt array at once (the
+    # per-record loop below costs ~0.5 ms/record in Python at 5k haps).
+    no_weird = ((m.line_has_missing is None or not m.line_has_missing.any())
+                and (m.line_has_eov is None or not m.line_has_eov.any())
+                and (m.line_has_nup is None or not m.line_has_nup.any()))
+    if no_weird and all(na == 2 for na in n_alleles_per_record):
+        vals = dev._vals[:len(n_alleles_per_record)]
+        gt_all = ((vals.astype(np.int32) + 1) << 1) | phase_term[None, :]
+        return list(gt_all)
+
     # host-side exception streams
     ws = m.weirdness_strat
     wah_weird = ws in (WeirdnessStrategy.WS_WAH, WeirdnessStrategy.WS_PBWT_WAH)
