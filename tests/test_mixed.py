@@ -46,3 +46,24 @@ def test_xcf_internal_access(tmp_path):
     ia = x[i].get_internal_access(rec)
     assert ia.a.shape[0] == 18
     x.close()
+
+
+def test_af_stats_annotate(tmp_path):
+    from xsqueezeit_tpu.bench.tools import af_stats
+    from xsqueezeit_tpu.io.bcf import BcfReader
+    from xsqueezeit_tpu.io.sites import render_vcf_cols
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=10,
+                              n_records=15, seed=33)
+    xsi = str(tmp_path / "a.xsi")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    out = str(tmp_path / "annot.bcf")
+    stats = af_stats(xsi, annotate_out=out)
+    reader = BcfReader(out)
+    n = 0
+    for rec, (an, acs) in zip(reader, stats["stats"]):
+        cols = render_vcf_cols(reader.header, rec)
+        assert f"AN={an}" in cols[7]
+        assert "AC=" + ",".join(str(c) for c in acs) in cols[7]
+        n += 1
+    reader.close()
+    assert n == 15

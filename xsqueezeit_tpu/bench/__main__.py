@@ -32,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("file")
     s.add_argument("--summary", action="store_true",
                    help="print only counts, not per-record stats")
+    s.add_argument("--annotate", default=None,
+                   help="write the variant BCF with AC/AN patched into INFO")
     s = sub.add_parser("lockstep")
     s.add_argument("file_a")
     s.add_argument("file_b")
@@ -63,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(dot_prod(args.file, seed=args.seed)))
     elif args.cmd == "af_stats":
         from .tools import af_stats
-        out = af_stats(args.file)
+        out = af_stats(args.file, annotate_out=args.annotate)
         if args.summary:
             out = {"records": out["records"], "seconds": out["seconds"]}
         print(json.dumps(out))

@@ -195,17 +195,48 @@ def dot_prod_device(path: str, seed: int = 42) -> dict:
             "seconds": _time.perf_counter() - t0}
 
 
-def af_stats(path: str) -> dict:
-    """Recompute AC/AN per record using allele counts only (no gt arrays)."""
+def af_stats(path: str, annotate_out: str | None = None) -> dict:
+    """Recompute AC/AN per record using allele counts only (no gt arrays).
+
+    With `annotate_out`, also writes the variant BCF with AC/AN patched
+    into INFO (reference: af_stats/ Annotator writes an annotated variant
+    file)."""
     t0 = time.perf_counter()
     out = []
     if _is_xsi(path):
+        from ..io.bcf import BcfHeader, BcfRecord, BcfWriter
+        from ..io.sites import encode_shared_from_vcf_cols, render_vcf_cols
+
         acc = Accessor(path)
         reader = BcfReader(acc.variant_filename())
+        writer = None
+        hdr = reader.header
+        if annotate_out:
+            hdr.ensure_string(
+                "AC", '##INFO=<ID=AC,Number=A,Type=Integer,Description='
+                      '"Allele count in genotypes">')
+            hdr.ensure_string(
+                "AN", '##INFO=<ID=AN,Number=1,Type=Integer,Description='
+                      '"Total number of alleles in called genotypes">')
+            writer = BcfWriter(annotate_out, hdr)
         for rec in reader:
             counts = acc.get_allele_counts(rec)
             an = int(counts.sum())
-            out.append((an, [int(c) for c in counts[1:]]))
+            acs = [int(c) for c in counts[1:]]
+            out.append((an, acs))
+            if writer is not None:
+                cols = render_vcf_cols(hdr, rec)
+                info = [kv for kv in cols[7].split(";")
+                        if kv and not kv.startswith(("AC=", "AN="))
+                        and kv != "."]
+                info.append("AC=" + ",".join(str(c) for c in acs))
+                info.append(f"AN={an}")
+                cols[7] = ";".join(info)
+                shared = encode_shared_from_vcf_cols(
+                    hdr, cols, rec.n_fmt, rec.n_sample)
+                writer.write_raw(shared, rec.indiv)
+        if writer is not None:
+            writer.close()
         reader.close()
     else:
         for n_alleles, gt in iter_genotypes(path):
