@@ -70,10 +70,14 @@ class DeviceBlockDecoder:
     @property
     def eligible(self) -> bool:
         """Device path: uniform diploid block, no PBWT-sorted weirdness
-        arrangement (WS_PBWT_WAH v4 files replay on the NumPy path)."""
+        arrangement (WS_PBWT_WAH v4 files replay on the NumPy path), and
+        sort == select (the batched kernels partition after every WAH line;
+        a file whose LINE_SORT track diverges replays on the NumPy path)."""
         has_weird = self.meta.has_weirdness
         return (not bool(self.meta.haploid_line.any())
                 and self.meta.binary_lines > 0
+                and bool(np.array_equal(self.meta.line_is_sorting,
+                                        self.meta.line_is_wah))
                 and not (has_weird and self.meta.weirdness_strat
                          == WeirdnessStrategy.WS_PBWT_WAH))
 
@@ -144,12 +148,27 @@ class DeviceBlockDecoder:
         return vals, ones
 
     def record_alleles(self, first_line: int, n_alleles: int) -> np.ndarray:
-        """Fold a record's binary lines into allele codes [H]."""
+        """Fold a record's binary lines into allele codes [H].
+
+        Mirrors GtBlockDecoder.fill_genotype_array_advance's overlay order:
+        later ALT lines OVERWRITE, and a negated sparse line (whose stored
+        bits are the complement {allele != 0}) marks all currently-REF slots
+        as this ALT and then restores the stored (REF) indices -- first-set-
+        wins would mis-assign carriers of other ALTs covered by the
+        complement (reference: accessor_internals_new.hpp:240-279)."""
         vals = self._vals
-        out = np.zeros(self.n_haps, np.int16)
-        for j in range(n_alleles - 1):
+        neg = self._neg
+        if n_alleles <= 1:
+            return np.zeros(self.n_haps, np.int16)
+        out = vals[first_line].astype(np.int16)
+        for j in range(1, n_alleles - 1):
             row = vals[first_line + j].astype(bool)
-            out = np.where(row & (out == 0), j + 1, out)
+            alt = j + 1
+            if neg[first_line + j]:
+                out = np.where(out == 0, alt, out).astype(np.int16)
+                out = np.where(~row & (out == alt), 0, out).astype(np.int16)
+            else:
+                out = np.where(row, alt, out).astype(np.int16)
         return out
 
 
@@ -197,6 +216,11 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
     out = []
     first_line = 0
     for na in n_alleles_per_record:
+        if na <= 1:
+            # zero-ALT record: no binary line, all-REF with default phasing
+            # (first_line belongs to the NEXT record -- no overlays apply)
+            out.append((np.int32(1 << 1) | phase_term).astype(np.int32))
+            continue
         alleles = dev.record_alleles(first_line, na)
         gt = ((alleles.astype(np.int32) + 1) << 1) | phase_term
 

@@ -406,6 +406,12 @@ class Decompressor:
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, "recompress.bcf")
             self._decompress_to_bcf(tmp)
-            copts = CompressorOptions(zstd=self.xsi.header.zstd,
+            # carry over the source's rare/common split: the header stores
+            # the MAC threshold (rare_threshold = n_haps * maf)
+            # +0.5 keeps int(n_haps * maf) == rare_threshold under float
+            # rounding when the sample set is unchanged
+            maf = (self.xsi.header.rare_threshold + 0.5) / max(self.n_haps, 1)
+            copts = CompressorOptions(maf=maf,
+                                      zstd=self.xsi.header.zstd,
                                       block_length=self.xsi.header.ss_rate)
             return compress_file(tmp, output_path, copts)

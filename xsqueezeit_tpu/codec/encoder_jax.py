@@ -106,11 +106,9 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
 
 @functools.partial(jax.jit, static_argnames=("sparse_cap",))
 def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
-    """Fused device encode of one block (+ per-line feature flags)."""
-    out = encode_block_core(alleles, alts, mac_threshold, sparse_cap)
-    out["has_missing"] = jnp.any(alleles == MISSING_CODE, axis=1)
-    out["has_eov"] = jnp.any(alleles == EOV_CODE, axis=1)
-    return out
+    """Fused device encode of one block.  Exception flags are derived on
+    host per RECORD in serialize() (the tracks are host-encoded anyway)."""
+    return encode_block_core(alleles, alts, mac_threshold, sparse_cap)
 
 
 def alleles_from_gt(gt_block: np.ndarray) -> np.ndarray:
@@ -200,6 +198,14 @@ class DeviceBlockEncoder:
             (gt_block & 1) != self.default_phasing)
         # phase applies only to non-first alleles; specials included (ref parity)
         rec_has_nup = nup_rec_bits.any(axis=1)
+
+        zero_alt = n_alts == 0
+        if (zero_alt & (rec_has_missing | rec_has_eov | rec_has_nup)).any():
+            # see GtBlockEncoder.encode_record: per-binary-line exception
+            # tracks cannot carry a record that owns no binary line
+            raise ValueError(
+                "record with no ALT allele carries missing/end-of-vector/"
+                "non-uniform-phasing data, which XSI v5 cannot represent")
 
         ws = self.weirdness_strategy
         wah_weird = ws in (WeirdnessStrategy.WS_WAH, WeirdnessStrategy.WS_PBWT_WAH)

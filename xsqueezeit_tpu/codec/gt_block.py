@@ -129,6 +129,15 @@ class GtBlockEncoder:
         else:
             has_nup = False
 
+        if n_alleles <= 1 and (has_missing or has_eov or has_nup):
+            # Zero-ALT records own no binary line, and the v4/v5 exception
+            # tracks are keyed per binary line -- an orphan track would
+            # shift every later overlay in the block (the reference's
+            # reindexer corrupts its block on such input, gt_block.hpp:
+            # 649-665; we fail loudly instead of silently losing data).
+            raise ValueError(
+                "record with no ALT allele carries missing/end-of-vector/"
+                "non-uniform-phasing data, which XSI v5 cannot represent")
         self.line_has_missing.append(has_missing)
         self.line_has_eov.append(has_eov)
         self.line_has_nup.append(has_nup)

@@ -206,6 +206,13 @@ class GtBlockDecoder:
     # ---------------------------------------------------------------- fill
     def fill_genotype_array_advance(self, n_alleles: int) -> np.ndarray:
         """Decode the record starting at the cursor into an int32 gt array."""
+        if n_alleles <= 1:
+            # zero-ALT (monomorphic) records own no binary line: all-REF
+            # with default phasing, nothing consumed (the encoder rejects
+            # such records when they carry exception data)
+            idx = np.arange(self.n_haps, dtype=np.int64)
+            phase = ((idx & 1) & self.default_phasing).astype(np.int32)
+            return np.int32(1 << 1) | phase
         start = self.pos
         n = self._current_n_haps(start)
         haploid = bool(self.haploid_line[start])
@@ -304,6 +311,10 @@ class GtBlockDecoder:
         return gt
 
     def fill_allele_counts_advance(self, n_alleles: int) -> np.ndarray:
+        if n_alleles <= 1:
+            counts = np.zeros(2, np.int64)
+            counts[0] = self.n_haps
+            return counts
         n = self._current_n_haps(self.pos)
         counts = np.zeros(max(n_alleles, 2), np.int64)
         total_alt = 0

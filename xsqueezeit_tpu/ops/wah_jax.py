@@ -63,6 +63,11 @@ def wah_compress_words(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     front-packed, trailing entries zero.
     """
     L, W = words.shape
+    if W >= (1 << 15):
+        # the front-pack sort key packs the word index into bits 16-30
+        raise ValueError(
+            f"wah_compress_words supports at most 32767 words per line "
+            f"(got {W}; ~491k haplotypes); shard the haplotype axis")
     is_zero = words == 0
     is_ones = words == ALL_SET
     is_fill = is_zero | is_ones
@@ -139,6 +144,11 @@ def wah_expand_stream(stream: jnp.ndarray, n_lines: int, w: int) -> jnp.ndarray:
     `(pos_in_row+1) << 16 | word` at row starts, and a per-row cumulative max
     forward-fills counter coverage.  Everything else is elementwise.
     """
+    if w >= (1 << 15):
+        # the forward-fill key packs (pos_in_row + 1) into bits 16-30
+        raise ValueError(
+            f"wah_expand_stream supports at most 32767 words per line "
+            f"(got {w}); shard the haplotype axis")
     s = stream.astype(jnp.int32)
     is_counter = (s & HIGH) != 0
     span = jnp.where(is_counter, s & MAXC, 1)
