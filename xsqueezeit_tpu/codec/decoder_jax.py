@@ -118,16 +118,13 @@ class DeviceBlockDecoder:
         # --- sparse lines (vectorised host scatter) -----------------------
         neg = np.zeros(L, bool)
         if (~is_wah).any():
+            from ..ops.sparse_np import msb as _msb, sparse_line_offsets
             sp = m.sparse_stream
-            msb = 1 << (self.aet_dtype.itemsize * 8 - 1)
+            msb = _msb(self.aet_dtype)
             sparse_lines = np.flatnonzero(~is_wah)
-            pos = 0
-            heads = np.zeros(len(sparse_lines), np.int64)
-            starts = np.zeros(len(sparse_lines), np.int64)
-            for i in range(len(sparse_lines)):
-                heads[i] = int(sp[pos])
-                starts[i] = pos + 1
-                pos += 1 + (heads[i] & (msb - 1))
+            offs = sparse_line_offsets(sp, len(sparse_lines))
+            heads = sp[offs[:-1]].astype(np.int64)
+            starts = offs[:-1] + 1
             counts = heads & (msb - 1)
             negs = (heads & msb) != 0
             neg[sparse_lines] = negs
