@@ -23,6 +23,8 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("loading_time")
     s.add_argument("file")
+    s.add_argument("--native", action="store_true",
+                   help="read through the C++ accessor library (XSI only)")
     s = sub.add_parser("dot_prod")
     s.add_argument("file")
     s.add_argument("--seed", type=int, default=42)
@@ -55,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "loading_time":
         from .tools import loading_time
-        print(json.dumps(loading_time(args.file)))
+        print(json.dumps(loading_time(args.file, native=args.native)))
     elif args.cmd == "dot_prod":
         if args.device:
             from .tools import dot_prod_device

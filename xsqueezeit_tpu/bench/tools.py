@@ -48,15 +48,26 @@ def iter_genotypes(path: str):
         inp.close()
 
 
-def loading_time(path: str) -> dict:
-    """Load every record's gt array; returns timing stats."""
+def loading_time(path: str, native: bool = False) -> dict:
+    """Load every record's gt array; returns timing stats.
+
+    `native=True` reads an XSI file through the C++ accessor library
+    (the zero-JAX integration path, reference: loading_time/ NewLoader)."""
     t0 = time.perf_counter()
     n_records = 0
     n_gt = 0
-    for n_alleles, gt in iter_genotypes(path):
-        n_records += 1
-        if gt is not None:
+    if native:
+        from ..interop.native import NativeAccessor
+        acc = NativeAccessor(path)
+        for n_alleles, gt in acc:
+            n_records += 1
             n_gt += gt.shape[0]
+        acc.close()
+    else:
+        for n_alleles, gt in iter_genotypes(path):
+            n_records += 1
+            if gt is not None:
+                n_gt += gt.shape[0]
     elapsed = time.perf_counter() - t0
     return {"records": n_records, "gt_entries": n_gt, "seconds": elapsed,
             "gt_per_second": n_gt / elapsed if elapsed else 0.0}
