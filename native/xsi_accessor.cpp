@@ -217,7 +217,9 @@ class VariantBcf {
       int type = d & 0x0f;
       int64_t len = d >> 4;
       if (len == 15) len = read_typed_int(&p);
-      int width = type == 1 ? 1 : type == 2 ? 2 : 4;  // int8/16/32, float, char
+      int width = (type == 1 || type == 7) ? 1   // int8, char
+                  : type == 2 ? 2                  // int16
+                  : 4;                             // int32, float
       if (key == bm_key_ && (type == 1 || type == 2 || type == 3)) {
         int64_t v = 0;
         if (type == 1) v = *reinterpret_cast<const int8_t *>(p);
@@ -387,6 +389,16 @@ class GtBlockDecoder {
   // Fill htslib gt array for the record at the cursor; returns entries.
   int64_t fill(int32_t *gt, size_t capacity, int n_allele,
                int64_t *counts /*nullable, size n_allele*/) {
+    if (n_allele <= 1) {
+      // zero-ALT (monomorphic) records own no binary line: all-REF with
+      // default phasing, nothing consumed (mirrors the Python decoder)
+      size_t n = n_haps_;
+      if (capacity < n) { set_error("gt array too small"); return -1; }
+      for (size_t i = 0; i < n; ++i)
+        gt[i] = (1 << 1) | int32_t((i & 1) & unsigned(default_phasing_));
+      if (counts) counts[0] = int64_t(n);
+      return int64_t(n);
+    }
     size_t start = pos_;
     size_t n = cur_n_haps(start);
     bool hap = haploid_[start];
@@ -675,6 +687,10 @@ struct xsi_file {
   size_t n_haps = 0;
 
   const uint8_t *block_payload(size_t block_id) {
+    if (block_id >= indices.size()) {
+      set_error("block id out of range (bad BM / mismatched variant file)");
+      return nullptr;
+    }
     size_t off = indices[block_id];
     const uint8_t *bp;
     if (header.specific_bitset & 4) {  // zstd flag
@@ -791,6 +807,7 @@ int64_t xsi_record_pos(const xsi_file_t *f) { return f->cur.pos; }
 
 int64_t xsi_fill_genotypes_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
                               int32_t *gt_arr, size_t capacity) {
+  if (bm < 0) { set_error("negative BM"); return -1; }
   size_t block_id = uint32_t(bm) >> BM_BLOCK_BITS;
   size_t offset = uint32_t(bm) & ((1u << BM_BLOCK_BITS) - 1);
   auto *c = f->cursor_for(block_id);
@@ -806,6 +823,7 @@ int64_t xsi_get_genotypes(xsi_file_t *f, int32_t *gt_arr, size_t capacity) {
 
 int xsi_fill_allele_counts_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
                               int64_t *counts) {
+  if (bm < 0) { set_error("negative BM"); return -1; }
   size_t block_id = uint32_t(bm) >> BM_BLOCK_BITS;
   size_t offset = uint32_t(bm) & ((1u << BM_BLOCK_BITS) - 1);
   auto *c = f->cursor_for(block_id);

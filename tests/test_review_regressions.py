@@ -95,3 +95,111 @@ def test_recompress_preserves_maf(tmp_path):
     cli_main(["-x", "-f", xsi, "-o", xsi2, "-O", "x"])
     h2 = XsiHeader.unpack(open(xsi2, "rb").read(256))
     assert h2.rare_threshold == h1.rare_threshold
+
+
+def test_bgzf_writer_to_pipe(tmp_path):
+    """-p pipes BCF to a non-seekable stream (tell() unavailable)."""
+    import subprocess, sys
+    vcf = fixtures.random_vcf(str(tmp_path / "p.vcf"), n_samples=6,
+                              n_records=10, seed=42)
+    xsi = str(tmp_path / "p.xsi")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    r = subprocess.run(
+        [sys.executable, "-m", "xsqueezeit_tpu.cli", "-x", "-f", xsi, "-p"],
+        capture_output=True, cwd="/root/repo",
+        env={**__import__("os").environ, "XSI_DEVICE": "numpy"})
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert r.stdout[:3] != b""  # BGZF bytes arrived through the pipe
+    blob = tmp_path / "pipe.bcf"
+    blob.write_bytes(r.stdout)
+    inp = GtInput(str(blob))
+    assert sum(1 for _ in inp) == 10
+    inp.close()
+
+
+def test_csi_loff_spanning_record(tmp_path):
+    """A long spanning record must stay reachable via any leaf bin's loff
+    (htslib linear-index semantics)."""
+    from xsqueezeit_tpu.io.csi import CsiBuilder, CsiIndex, n_bins
+    import struct
+    from xsqueezeit_tpu.io.bgzf import BgzfReader
+    b = CsiBuilder()
+    # record A spans 10kb..40kb (several 16kb windows), coarse bin
+    b.add(0, 10000, 40000, 100 << 16, 200 << 16)
+    # record B, a SNP at 33kb, lands in a leaf bin with a later offset
+    b.add(0, 33000, 33001, 500 << 16, 600 << 16)
+    p = str(tmp_path / "x.csi")
+    b.write(p, n_ref=1)
+    # parse raw: the leaf bin containing 33000 must have loff <= record A's
+    r = BgzfReader(p)
+    data = r.read()
+    r.close()
+    pos = 16 + 4
+    (nb,) = struct.unpack_from("<i", data, pos)
+    pos += 4
+    meta = n_bins(5) + 1
+    loffs = {}
+    for _ in range(nb):
+        bin_id, loff, nc = struct.unpack_from("<IQi", data, pos)
+        pos += 16 + 16 * nc
+        loffs[bin_id] = loff
+    from xsqueezeit_tpu.io.csi import reg2bin
+    leaf = reg2bin(33000, 33001)
+    assert leaf in loffs
+    assert loffs[leaf] <= (100 << 16), "loff must not skip the spanning record"
+
+
+def test_native_zero_alt_and_bad_bm(tmp_path):
+    from xsqueezeit_tpu.interop.native import NativeAccessor
+    p = tmp_path / "mono.vcf"
+    with open(p, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "##contig=<ID=20>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                "S0\tS1\n"
+                "20\t60001\trs1\tG\t.\t.\tPASS\t.\tGT\t0|0\t0|0\n"
+                "20\t60002\trs2\tG\tA\t.\tPASS\t.\tGT\t0|1\t1|0\n")
+    xsi = str(tmp_path / "m.xsi")
+    cli_main(["-c", "-f", str(p), "-o", xsi])
+    acc = NativeAccessor(xsi)
+    rows = [(na, gt.tolist()) for na, gt in acc]
+    assert rows[0] == (1, [2, 3, 2, 3])       # all-REF, default phased
+    assert rows[1][0] == 2
+    with pytest.raises(OSError):
+        acc.fill_genotypes_bm(1 << 20, 2)     # out-of-range block id
+    with pytest.raises(OSError):
+        acc.fill_genotypes_bm(-1, 2)
+    acc.close()
+
+
+def test_vcf_crlf_and_format_tags(tmp_path):
+    p = tmp_path / "crlf.vcf"
+    body = ("##fileformat=VCFv4.2\r\n"
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\r\n'
+            '##FORMAT=<ID=GTX,Number=1,Type=Integer,Description="x">\r\n'
+            "##contig=<ID=20>\r\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\tS1\r\n"
+            "20\t100\t.\tG\tA\t.\tPASS\t.\tGT\t0|1\t1|1\r\n"
+            "20\t101\t.\tG\tA\t.\tPASS\t.\tGTX\t3\t4\r\n")
+    p.write_bytes(body.encode())
+    from xsqueezeit_tpu.io.vcf import VcfReader
+    r = VcfReader(str(p))
+    recs = list(r)
+    r.close()
+    assert recs[0].gt.tolist() == [2, 5, 4, 5]
+    assert recs[1].gt is None                  # GTX is not GT
+
+
+def test_unique_id():
+    from xsqueezeit_tpu.utils.mutate import unique_id
+    from xsqueezeit_tpu.io.bcf import BcfRecord
+    from xsqueezeit_tpu.io.sites import encode_shared_from_vcf_cols
+    from xsqueezeit_tpu.io.bcf import BcfHeader
+    h = BcfHeader.from_text(
+        "##fileformat=VCFv4.2\n##contig=<ID=20>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+    shared = encode_shared_from_vcf_cols(
+        h, ["20", "123", "rs9", "G", "A", ".", ".", "."], 0, 0)
+    rec = BcfRecord.parse(shared, b"")
+    assert unique_id(rec) == "0_122_G_A_"

@@ -50,6 +50,7 @@ class BgzfWriter(io.RawIOBase):
             self._own = False
         self._level = level
         self._buf = bytearray()
+        self._coffset = 0  # compressed bytes flushed (stdout has no tell())
 
     def writable(self):
         return True
@@ -62,16 +63,19 @@ class BgzfWriter(io.RawIOBase):
         return len(data)
 
     def _flush_block(self, chunk) -> None:
-        self._f.write(_compress_block(bytes(chunk), self._level))
+        out = _compress_block(bytes(chunk), self._level)
+        self._f.write(out)
+        self._coffset += len(out)
 
     def tell_virtual(self) -> int:
         """Virtual offset of the next byte to be written.
 
         (compressed offset of the pending block << 16) | in-block offset;
         does NOT flush -- write() keeps the pending buffer under 64 KiB, so
-        the in-block offset always fits the low 16 bits.
+        the in-block offset always fits the low 16 bits.  Tracks the
+        compressed offset itself: stdout pipes have no tell().
         """
-        return (self._f.tell() << 16) | len(self._buf)
+        return (self._coffset << 16) | len(self._buf)
 
     def flush_pending(self) -> None:
         if self._buf:

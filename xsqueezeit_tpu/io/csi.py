@@ -59,7 +59,9 @@ def reg2bins(beg: int, end: int, min_shift: int = DEFAULT_MIN_SHIFT,
 @dataclass
 class _RefIndex:
     bins: dict[int, list[list[int]]] = field(default_factory=dict)  # bin -> chunks
-    loff: dict[int, int] = field(default_factory=dict)
+    # linear index: leaf window -> min voffset of any record OVERLAPPING it
+    # (htslib lidx semantics; bins' loff derives from it at write time)
+    lidx: dict[int, int] = field(default_factory=dict)
     off_beg: int = -1
     off_end: int = 0
     n_mapped: int = 0
@@ -83,13 +85,18 @@ class CsiBuilder:
         """beg/end: 0-based half-open record interval; voff_*: BGZF virtual
         offsets of the record's byte range in the file."""
         ref = self.refs.setdefault(rid, _RefIndex())
-        b = reg2bin(beg, max(end, beg + 1), self.min_shift, self.depth)
+        end = max(end, beg + 1)
+        b = reg2bin(beg, end, self.min_shift, self.depth)
         chunks = ref.bins.setdefault(b, [])
         if chunks and chunks[-1][1] == voff_beg:
             chunks[-1][1] = voff_end
         else:
             chunks.append([voff_beg, voff_end])
-        ref.loff.setdefault(b, voff_beg)
+        # records arrive position-sorted, so the first voffset seen for a
+        # window is the minimum over records overlapping it
+        for w in range(beg >> self.min_shift,
+                       ((end - 1) >> self.min_shift) + 1):
+            ref.lidx.setdefault(w, voff_beg)
         if ref.off_beg < 0:
             ref.off_beg = voff_beg
         ref.off_end = voff_end
@@ -108,10 +115,32 @@ class CsiBuilder:
             if ref is None:
                 out += struct.pack("<i", 0)
                 continue
+            # loff of a bin = linear-index value at its first leaf window,
+            # forward-filled (htslib semantics: the virtual offset of the
+            # first record that may overlap the bin's genomic window -- keyed
+            # on overlap, not on which bin a record was filed under, so
+            # spanning records are never pruned away by readers)
+            import bisect
+            wins = sorted(ref.lidx)
+            voffs = [ref.lidx[w] for w in wins]
+
+            def loff_of(b: int) -> int:
+                level = 0
+                t = 0
+                while True:
+                    t_next = t + (1 << (3 * level))
+                    if b < t_next or level == self.depth:
+                        break
+                    t = t_next
+                    level += 1
+                first_win = (b - t) << (3 * (self.depth - level))
+                i = bisect.bisect_right(wins, first_win) - 1
+                return voffs[i] if i >= 0 else 0
+
             out += struct.pack("<i", len(ref.bins) + 1)  # + pseudo bin
             for b in sorted(ref.bins):
                 chunks = ref.bins[b]
-                out += struct.pack("<IQi", b, ref.loff[b], len(chunks))
+                out += struct.pack("<IQi", b, loff_of(b), len(chunks))
                 for cb, ce in chunks:
                     out += struct.pack("<QQ", cb, ce)
             # htslib pseudo-bin: file range + mapped/unmapped counts

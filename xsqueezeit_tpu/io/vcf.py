@@ -134,7 +134,7 @@ class VcfReader:
         self.samples: list[str] = []
         self._f = _open_text(path)
         for line in self._f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if line.startswith("##"):
                 self.header_lines.append(line)
             elif line.startswith("#CHROM"):
@@ -149,7 +149,7 @@ class VcfReader:
         n_samples = len(self.samples)
         scratch = [0] * 64
         for line in self._f:
-            line = line.rstrip("\n")
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             cols = line.split("\t", 9)
@@ -160,7 +160,7 @@ class VcfReader:
                 yield VcfRecord(fixed, None, n_alleles, 0)
                 continue
             fmt = cols[8]
-            if fmt != "GT" and not fmt.startswith("GT:") and ":GT" not in fmt:
+            if fmt != "GT" and "GT" not in fmt.split(":"):
                 yield VcfRecord(fixed, None, n_alleles, 0)
                 continue
             if fmt == "GT":

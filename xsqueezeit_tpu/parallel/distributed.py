@@ -135,7 +135,8 @@ def compress_file_distributed(input_path: str, output_path: str,
         raise ValueError(f"File {input_path} has no samples")
     n_samples = len(samples)
     default_phased = sniff_default_phased(input_path)
-    if sniff_max_ploidy_first_entry(input_path) == 0:
+    sniffed_ploidy = sniff_max_ploidy_first_entry(input_path)
+    if sniffed_ploidy == 0:
         raise ValueError(f"File {input_path} has no GT entries")
 
     n_haps = n_samples * 2
@@ -159,9 +160,11 @@ def compress_file_distributed(input_path: str, output_path: str,
 
     entry_counter = 0
     variant_counter = 0
-    max_ploidy = 0
+    max_ploidy = sniffed_ploidy
     bm_alt_offset = 0
     for rec in inp:
+        if rec.ploidy > 2:
+            raise ValueError("Ploidy higher than 2 is not yet supported")
         bm_block, in_block = divmod(entry_counter, opts.block_length)
         if in_block == 0:
             bm_alt_offset = 0
@@ -198,7 +201,7 @@ def compress_file_distributed(input_path: str, output_path: str,
         for payload in payloads:
             xsi.write_block(payload)
     xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
-                 max_ploidy=max(max_ploidy, 2) if max_ploidy else 2)
+                 max_ploidy=max_ploidy)
 
     return {
         "entries": entry_counter,

@@ -37,8 +37,11 @@ def _encode_one_block(alleles, alts, mac_threshold, sparse_cap):
     out = encode_block_core(alleles, alts, mac_threshold, sparse_cap)
     out.pop("ac")
     is_wah, wah_len = out["is_wah"], out["wah_len"]
+    # sparse entries serialize in A_T units: 2 bytes while n_haps fits u16
+    aet_bytes = 2 if alleles.shape[1] <= 0xFFFF else 4
     out["n_bytes"] = (jnp.sum(jnp.where(is_wah, wah_len, 0)) * 2
-                      + jnp.sum(jnp.where(is_wah, 0, out["sparse_len"] + 1)) * 4)
+                      + jnp.sum(jnp.where(is_wah, 0, out["sparse_len"] + 1))
+                      * aet_bytes)
     return out
 
 

@@ -142,7 +142,7 @@ def count_entries(path: str) -> int:
 
 
 def unique_id(rec: BcfRecord) -> str:
-    return "_".join([str(rec.rid), str(rec.pos)] + rec.alleles()) + "_"
+    return "_".join([str(rec.rid), str(rec.pos)] + list(rec.alleles)) + "_"
 
 
 def extract_matrix(path: str) -> np.ndarray:
