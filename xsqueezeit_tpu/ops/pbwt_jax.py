@@ -183,7 +183,7 @@ def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4
         k0 = (ts[0] << b) | r.astype(jnp.uint32)
         keys = tuple(ts[j] for j in range(S - 1, 0, -1)) + (k0, iota)
         a_end = jax.lax.sort(keys, num_keys=S, is_stable=False)[-1]
-        _, r_new = jax.lax.sort((a_end, iota), num_keys=1, is_stable=False)
+        r_new = _sort_apply(a_end, iota, H)   # inverse via one packed sort
         return r_new, r
 
     r_fin, r_gstart = jax.lax.scan(step_a, r0, Tg)
@@ -194,8 +194,7 @@ def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4
         packed = (t << b) | r.astype(jnp.uint32)
         a_end = jax.lax.sort((packed, iota_b), dimension=1, num_keys=1,
                              is_stable=False)[1]
-        r_new = jax.lax.sort((a_end, iota_b), dimension=1, num_keys=1,
-                             is_stable=False)[1]
+        r_new = _sort_apply(a_end, iota_b, H)
         return r_new, r
 
     _, r_chunks = jax.lax.scan(step_b, r_gstart, jnp.swapaxes(Tg, 0, 1))
