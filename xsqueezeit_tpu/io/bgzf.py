@@ -105,13 +105,16 @@ class BgzfReader(io.RawIOBase):
         self._block = b""
         self._block_pos = 0          # position within decompressed block
         self._block_coffset = 0      # compressed offset of current block
+        self._coffset = 0            # compressed bytes consumed (pipes have
+                                     # no tell(); seek_virtual resyncs it)
 
     def readable(self):
         return True
 
     def _load_block(self) -> bool:
-        self._block_coffset = self._f.tell()
+        self._block_coffset = self._coffset
         header = self._f.read(18)
+        self._coffset += len(header)
         if len(header) < 18:
             self._block = b""
             self._block_pos = 0
@@ -122,7 +125,12 @@ class BgzfReader(io.RawIOBase):
         extra = header[12:18]
         # find BC subfield
         bsize = None
-        buf = extra + self._f.read(xlen - 6) if xlen > 6 else extra
+        if xlen > 6:
+            more = self._f.read(xlen - 6)
+            self._coffset += len(more)
+            buf = extra + more
+        else:
+            buf = extra
         off = 0
         while off + 4 <= len(buf):
             si1, si2, slen = buf[off], buf[off + 1], struct.unpack_from("<H", buf, off + 2)[0]
@@ -134,7 +142,9 @@ class BgzfReader(io.RawIOBase):
             raise ValueError("BGZF: missing BC subfield")
         comp_len = bsize - 12 - xlen - 8
         payload = self._f.read(comp_len)
-        crc, isize = struct.unpack("<II", self._f.read(8))
+        tail = self._f.read(8)
+        self._coffset += len(payload) + len(tail)
+        crc, isize = struct.unpack("<II", tail)
         self._block = zlib.decompress(payload, -15) if isize else b""
         self._block_pos = 0
         return True
@@ -155,12 +165,13 @@ class BgzfReader(io.RawIOBase):
 
     def tell_virtual(self) -> int:
         if self._block_pos >= len(self._block):
-            return self._f.tell() << 16
+            return self._coffset << 16
         return (self._block_coffset << 16) | self._block_pos
 
     def seek_virtual(self, voffset: int) -> None:
         coffset, uoffset = voffset >> 16, voffset & 0xFFFF
         self._f.seek(coffset)
+        self._coffset = coffset
         if not self._load_block() and uoffset:
             raise ValueError("BGZF: seek past EOF")
         self._block_pos = uoffset
