@@ -99,3 +99,38 @@ def test_bitmap_utils(tmp_path):
     bitmap.save_pbm(str(img), srt)
     head = open(img, "rb").read(20)
     assert head.startswith(b"P4\n18 40\n")
+
+
+def test_v4_container_read(tmp_path, xsi):
+    """The reader accepts version-4 containers (u32 index entries), the
+    other on-disk layout the reference Accessor supports (v5 differs only
+    in 64-bit index/zstd-size fields, accessor_internals_new.hpp:845-869)."""
+    import struct
+    from xsqueezeit_tpu.codec.decompressor import Decompressor, \
+        DecompressorOptions
+
+    data = bytearray(open(xsi, "rb").read())
+    hdr = XsiHeader.unpack(bytes(data[:256]))
+    assert not hdr.zstd
+    nb = hdr.number_of_ssas
+    idx64 = np.frombuffer(bytes(
+        data[hdr.indices_offset:hdr.indices_offset + nb * 8]), np.uint64)
+    idx32 = idx64.astype(np.uint32).tobytes()
+    samples = bytes(data[hdr.samples_offset:])
+    out = bytearray(data[:hdr.indices_offset]) + idx32 + samples
+    struct.pack_into("<I", out, 8, 4)                       # version = 4
+    struct.pack_into("<Q", out, 80, hdr.samples_offset - nb * 4)
+    v4 = tmp_path / "v4.xsi"
+    v4.write_bytes(bytes(out))
+    import shutil
+    shutil.copy(xsi + "_var.bcf", str(v4) + "_var.bcf")
+
+    outv = tmp_path / "v4.vcf"
+    Decompressor(str(v4), DecompressorOptions(output_type="v")) \
+        .decompress(str(outv))
+    outv5 = tmp_path / "v5.vcf"
+    Decompressor(xsi, DecompressorOptions(output_type="v")) \
+        .decompress(str(outv5))
+    a = [l for l in open(outv) if not l.startswith("#")]
+    b = [l for l in open(outv5) if not l.startswith("#")]
+    assert a == b and len(a) == 50

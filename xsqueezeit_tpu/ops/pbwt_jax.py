@@ -1,12 +1,22 @@
-"""PBWT arrangement scan — JAX device kernels.
+"""PBWT arrangement transforms — JAX device kernels.
 
 The PBWT stable partition is sequential along the variant axis but fully
-vectorizable along the haplotype axis.  It runs as a `lax.scan` over a
-block's binary lines carrying the arrangement `a` (int32[H]): per step one
-gather (column through `a`), one cumulative sum (destination indices of the
-stable partition), and one scatter.  Block independence (the arrangement
-re-seeds to iota every block, header flag iota_ppa) supplies cross-device
-parallelism; see parallel/shard.py.
+vectorizable along the haplotype axis.  Three formulations coexist:
+
+  * pbwt_{encode,decode}_scan: the simple per-line `lax.scan` (sorts per
+    step) — the readable oracle-adjacent baseline used for fallbacks/tests.
+  * pbwt_{encode,decode}_chunked: the production path.  Lines group into
+    16-line chunks; a per-haplotype 16-bit register carries the chunk's
+    bits through the partitions, so per line the only data movement is one
+    packed row sort — and on TPU backends the whole chunk chain runs as a
+    VMEM-resident Pallas staged-shift kernel instead (ops/pbwt_pallas.py).
+    Cross-chunk state comes from a radix rank chain (encode) or a
+    permutation-composition associative scan (decode).
+  * pbwt_encode_keys: cumsum-built packed sort keys (legacy path, still
+    used for H > 65535 where the 16-bit register fields don't fit).
+
+Block independence (the arrangement re-seeds to iota every block, header
+flag iota_ppa) supplies cross-device parallelism; see parallel/shard.py.
 """
 from __future__ import annotations
 
