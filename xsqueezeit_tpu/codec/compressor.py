@@ -88,6 +88,7 @@ class BlockEncodeDispatcher:
         self.block_length = block_length
         self.device_cls = device_cls
         self.pending: list[tuple[np.ndarray, int]] = []
+        self._executor = None
 
     @property
     def full(self) -> bool:
@@ -100,22 +101,35 @@ class BlockEncodeDispatcher:
     def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
         self.pending.append((gt, n_alleles))
 
-    def serialize(self) -> bytes:
+    def _encode(self, records) -> bytes:
         from .gt_block import GtBlockEncoder
 
-        uniform_diploid = all(g.shape[0] == self.n_haps
-                              for g, _ in self.pending)
+        uniform_diploid = all(g.shape[0] == self.n_haps for g, _ in records)
         # Small blocks encode faster on host: device dispatch + transfer
         # latency (seconds over a tunneled chip) dwarfs the compute.
-        big_enough = (len(self.pending) * self.n_haps
-                      >= _device_min_cells())
+        big_enough = len(records) * self.n_haps >= _device_min_cells()
         cls = self.device_cls if (self.device_cls and uniform_diploid
                                   and big_enough) else GtBlockEncoder
         enc = cls(**self._kw)
-        for gt, na in self.pending:
+        for gt, na in records:
             enc.encode_record(gt, na)
-        self.pending.clear()
         return enc.serialize()
+
+    def serialize(self) -> bytes:
+        records, self.pending = self.pending, []
+        return self._encode(records)
+
+    def submit(self):
+        """Encode the buffered block on a worker thread, so the caller can
+        keep parsing input while the device works (the 2-stage pipeline the
+        reference approximates with its two threads, xsqueezeit.cpp:120-148;
+        SURVEY §2 'pipeline parallelism' row).  Returns a Future[bytes];
+        single worker preserves block order."""
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(max_workers=1)
+        records, self.pending = self.pending, []
+        return self._executor.submit(self._encode, records)
 
 
 def make_variant_header(src: BcfHeader, xsi_basename: str) -> BcfHeader:
@@ -194,6 +208,7 @@ def compress_file(input_path: str, output_path: str,
     bm_block = 0
     bm_offset = 0
     seen_max_ploidy = max_ploidy
+    pending_block = None
 
     for rec in inp:
         if rec.gt is None:
@@ -215,9 +230,12 @@ def compress_file(input_path: str, output_path: str,
         rid, pos0, rlen = struct.unpack_from("<iii", shared, 0)
         csi.add(rid, pos0, pos0 + max(rlen, 1), vbeg, vend)
 
-        # genotype block entry
+        # genotype block entry (pipelined: the previous block encodes on a
+        # worker thread while this loop parses the next block's records)
         if block.full:
-            xsi.write_block(block.serialize())
+            if pending_block is not None:
+                xsi.write_block(pending_block.result())
+            pending_block = block.submit()
         block.encode_record(rec.gt, rec.n_alleles)
 
         n_alts = rec.n_alleles - 1
@@ -227,6 +245,8 @@ def compress_file(input_path: str, output_path: str,
         if opts.verbose and entry_counter % 1000 == 0:
             print(f"Handled {entry_counter} VCF entries (lines)")
 
+    if pending_block is not None:
+        xsi.write_block(pending_block.result())
     if block.bcf_lines:
         xsi.write_block(block.serialize())
     xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
