@@ -190,28 +190,45 @@ class Decompressor:
                 yield rec, self.decode_bm(bm, rec.n_allele)
             return
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from .decoder_jax import decode_block_records
 
         pending: list = []
         pending_block = -1
+        in_flight = None  # (records, Future[gts]) of the previous block
 
-        def flush():
-            if not pending:
-                return []
+        def submit(executor):
+            recs = pending
             payload = self.xsi.gt_block_payload(pending_block)
-            gts = decode_block_records(
-                payload, self.n_samples, self.n_haps, self.xsi.aet_dtype,
-                [r.n_allele for r in pending])
-            return list(zip(pending, gts))
+            fut = executor.submit(
+                decode_block_records, payload, self.n_samples, self.n_haps,
+                self.xsi.aet_dtype, [r.n_allele for r in recs])
+            return recs, fut
 
-        for rec, bm in self.iter_variant_records():
-            block_id = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS
-            if block_id != pending_block:
-                yield from flush()
-                pending = []
-                pending_block = block_id
-            pending.append(rec)
-        yield from flush()
+        # 2-stage pipeline: block k decodes on a worker thread while block
+        # k-1's records are being emitted/written (mirrors the compressor's
+        # submit(); single worker preserves order).
+        with ThreadPoolExecutor(max_workers=1) as executor:
+            for rec, bm in self.iter_variant_records():
+                block_id = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS
+                if block_id != pending_block:
+                    if pending:
+                        prev = in_flight
+                        in_flight = submit(executor)
+                        if prev is not None:
+                            yield from zip(prev[0], prev[1].result())
+                    pending = []
+                    pending_block = block_id
+                pending.append(rec)
+            if in_flight is not None:
+                yield from zip(in_flight[0], in_flight[1].result())
+            if pending:
+                payload = self.xsi.gt_block_payload(pending_block)
+                gts = decode_block_records(
+                    payload, self.n_samples, self.n_haps, self.xsi.aet_dtype,
+                    [r.n_allele for r in pending])
+                yield from zip(pending, gts)
 
     # ------------------------------------------------------------ records
     def _region_chunks(self, reader: BcfReader,
