@@ -36,3 +36,23 @@ def test_device_vs_numpy_identical_files(tmp_path):
                                             maf=0.01))
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_filtered_device_decode_matches_host(tmp_path, monkeypatch):
+    """Region/target-filtered runs batch whole blocks on the device path
+    with explicit per-record offsets (non-contiguous subsets)."""
+    import os
+    from tests import fixtures
+    from xsqueezeit_tpu.cli import main as cli_main
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=21,
+                              n_records=90, seed=51)
+    xsi = str(tmp_path / "f.xsi")
+    monkeypatch.setenv("XSI_DEVICE", "numpy")
+    cli_main(["-c", "-f", vcf, "-o", xsi, "--variant-block-length", "32"])
+    host = str(tmp_path / "h.vcf")
+    cli_main(["-x", "-f", xsi, "-o", host, "-r", "20:60200-61500"])
+    monkeypatch.setenv("XSI_DEVICE", "jax")
+    dev = str(tmp_path / "d.vcf")
+    cli_main(["-x", "-f", xsi, "-o", dev, "-r", "20:60200-61500"])
+    assert open(dev).read() == open(host).read()

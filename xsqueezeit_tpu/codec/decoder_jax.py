@@ -171,37 +171,75 @@ class DeviceBlockDecoder:
 
 def decode_block_records(payload, n_samples, n_haps, aet_dtype,
                          n_alleles_per_record: list[int],
-                         default_phasing_override: int | None = None
+                         offsets: list[int] | None = None
                          ) -> list[np.ndarray]:
-    """Decode every record of a block to htslib gt arrays (device fast path
-    with host overlays).  Falls back to the NumPy decoder when ineligible."""
+    """Decode records of a block to htslib gt arrays (device fast path with
+    host overlays).  Falls back to the NumPy decoder when ineligible.
+
+    `offsets` gives each record's first binary line (BM & 0x7FFF) for
+    region/target-filtered runs where the records are a non-contiguous
+    subset of the block; omitted, records are taken as consecutive from
+    line 0."""
+    contiguous = True
+    if offsets is not None:
+        pos = 0
+        for off, na in zip(offsets, n_alleles_per_record):
+            if off != pos:
+                contiguous = False
+                break
+            pos += max(na - 1, 0)
+
     dev = DeviceBlockDecoder(payload, n_samples, n_haps, aet_dtype)
     m = dev.meta
-    if not dev.eligible:
+
+    def numpy_random_access():
         out = []
         pos = 0
-        for na in n_alleles_per_record:
-            m.seek(pos)
+        for i, na in enumerate(n_alleles_per_record):
+            m.seek(offsets[i] if offsets is not None else pos)
             out.append(m.fill_genotype_array_advance(na))
             pos += max(na - 1, 0)
         return out
 
-    dev.decode_all()
+    if not dev.eligible:
+        return numpy_random_access()
+
     dp = m.default_phasing
     H = n_haps
     idx = np.arange(H)
     phase_term = ((idx & 1) & dp).astype(np.int32)
 
-    # Vectorized fast path: all-biallelic block with no exception tracks --
-    # one elementwise pass builds every record's gt array at once (the
-    # per-record loop below costs ~0.5 ms/record in Python at 5k haps).
     no_weird = ((m.line_has_missing is None or not m.line_has_missing.any())
                 and (m.line_has_eov is None or not m.line_has_eov.any())
                 and (m.line_has_nup is None or not m.line_has_nup.any()))
+    if not no_weird and not contiguous:
+        # exception-track cursors only replay sequentially; filtered subsets
+        # of weird blocks use the random-access NumPy decoder
+        return numpy_random_access()
+
+    dev.decode_all()
+
+    # Vectorized fast path: all-biallelic, no exception tracks -- one
+    # elementwise pass builds every record's gt array at once (the
+    # per-record loop below costs ~0.5 ms/record in Python at 5k haps).
     if no_weird and all(na == 2 for na in n_alleles_per_record):
-        vals = dev._vals[:len(n_alleles_per_record)]
+        rows = (np.asarray(offsets) if offsets is not None
+                else np.arange(len(n_alleles_per_record)))
+        vals = dev._vals[rows]
         gt_all = ((vals.astype(np.int32) + 1) << 1) | phase_term[None, :]
         return list(gt_all)
+
+    if not contiguous:
+        # no exception tracks: fold each selected record's lines directly
+        out = []
+        for off, na in zip(offsets, n_alleles_per_record):
+            if na <= 1:
+                out.append((np.int32(1 << 1) | phase_term).astype(np.int32))
+                continue
+            alleles = dev.record_alleles(off, na)
+            out.append((((alleles.astype(np.int32) + 1) << 1)
+                        | phase_term).astype(np.int32))
+        return out
 
     # host-side exception streams
     ws = m.weirdness_strat

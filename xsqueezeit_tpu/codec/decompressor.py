@@ -165,8 +165,6 @@ class Decompressor:
             device = os.environ.get("XSI_DEVICE", "auto")
         if device == "numpy":
             return False
-        if self.opts.regions or self.opts.targets:
-            return False  # filtered runs use the random-access path
         if device != "jax":
             # Small workloads decode faster on host: device dispatch +
             # transfer latency dominates tiny blocks (XSI_DEVICE=jax forces).
@@ -203,7 +201,8 @@ class Decompressor:
             payload = self.xsi.gt_block_payload(pending_block)
             fut = executor.submit(
                 decode_block_records, payload, self.n_samples, self.n_haps,
-                self.xsi.aet_dtype, [r.n_allele for r in recs])
+                self.xsi.aet_dtype, [r.n_allele for r, _ in recs],
+                [off for _, off in recs])
             return recs, fut
 
         # 2-stage pipeline: block k decodes on a worker thread while block
@@ -217,18 +216,21 @@ class Decompressor:
                         prev = in_flight
                         in_flight = submit(executor)
                         if prev is not None:
-                            yield from zip(prev[0], prev[1].result())
+                            yield from zip((r for r, _ in prev[0]),
+                                           prev[1].result())
                     pending = []
                     pending_block = block_id
-                pending.append(rec)
+                pending.append((rec, bm & ((1 << BM_BLOCK_BITS) - 1)))
             if in_flight is not None:
-                yield from zip(in_flight[0], in_flight[1].result())
+                yield from zip((r for r, _ in in_flight[0]),
+                               in_flight[1].result())
             if pending:
                 payload = self.xsi.gt_block_payload(pending_block)
                 gts = decode_block_records(
                     payload, self.n_samples, self.n_haps, self.xsi.aet_dtype,
-                    [r.n_allele for r in pending])
-                yield from zip(pending, gts)
+                    [r.n_allele for r, _ in pending],
+                    [off for _, off in pending])
+                yield from zip((r for r, _ in pending), gts)
 
     # ------------------------------------------------------------ records
     def _region_chunks(self, reader: BcfReader,
