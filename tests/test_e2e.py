@@ -213,3 +213,19 @@ def test_samples_file(tmp_path):
     cli_main(["-x", "-f", xsi, "-o", out, "-S", str(sfile)])
     _, samples = read_all(out)
     assert samples == ["S006", "S004"]
+
+
+def test_regions_file(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=9,
+                              n_records=60, seed=61)
+    xsi = str(tmp_path / "o.xsi")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    rf = tmp_path / "regions.txt"
+    rf.write_text("20\t60100\t60500\n20\t60900\t61100\n")
+    out_f = str(tmp_path / "rf.vcf")
+    out_r = str(tmp_path / "rr.vcf")
+    cli_main(["-x", "-f", xsi, "-o", out_f, "-R", str(rf)])
+    cli_main(["-x", "-f", xsi, "-o", out_r,
+              "-r", "20:60100-60500,20:60900-61100"])
+    assert open(out_f).read() == open(out_r).read()
+    assert sum(1 for l in open(out_f) if not l.startswith("#")) > 0
