@@ -183,3 +183,24 @@ def test_pbwt_decode_chunked_matches_scan():
                                       err_msg=f"L={L} H={H}")
         np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
         np.testing.assert_array_equal(np.asarray(got), (x == 1))
+
+
+def test_pbwt_chunked_near_u16_boundary():
+    """HRC-scale haplotype counts (64976) sit just under the 65535 field
+    limit of the chunked kernels' u32 packing; exercise the edge."""
+    from xsqueezeit_tpu.ops import pbwt_jax
+    rng = np.random.default_rng(13)
+    L, H = 24, 65534
+    x = (rng.random((L, H)) < 0.3).astype(np.int8)
+    sorts = np.ones(L, bool)
+    a0 = np.arange(H, dtype=np.int32)
+    want_y, want_a = pbwt_jax.pbwt_encode_scan(
+        jnp.asarray(x), jnp.asarray(np.ones(L, np.int32)),
+        jnp.asarray(sorts), jnp.asarray(a0))
+    got_y, got_a = pbwt_jax.pbwt_encode_chunked(
+        jnp.asarray(x), jnp.asarray(np.ones(L, np.int32)),
+        jnp.asarray(sorts))
+    np.testing.assert_array_equal(np.asarray(got_y), np.asarray(want_y))
+    np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
+    vals, _ = pbwt_jax.pbwt_decode_chunked(got_y, jnp.asarray(sorts))
+    np.testing.assert_array_equal(np.asarray(vals), (x == 1))
