@@ -229,3 +229,36 @@ def test_regions_file(tmp_path):
               "-r", "20:60100-60500,20:60900-61100"])
     assert open(out_f).read() == open(out_r).read()
     assert sum(1 for l in open(out_f) if not l.startswith("#")) > 0
+
+
+def test_mixed_ploidy_at_scale(tmp_path):
+    """Haploid lines interspersed through multiple blocks (the NumPy
+    fallback path for non-uniform blocks)."""
+    import numpy as np
+    rng = np.random.default_rng(71)
+    n_samples, n_records = 13, 120
+    p = tmp_path / "mixed.vcf"
+    with open(p, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "##contig=<ID=20>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(f"S{i}" for i in range(n_samples)) + "\n")
+        for r in range(n_records):
+            hap = rng.random() < 0.3
+            cells = []
+            for s in range(n_samples):
+                if hap:
+                    cells.append(str(rng.integers(0, 2)))
+                else:
+                    cells.append(f"{rng.integers(0, 2)}|{rng.integers(0, 2)}")
+            f.write(f"20\t{60000 + r * 13}\trs{r}\tG\tA\t.\tPASS\t.\tGT\t"
+                    + "\t".join(cells) + "\n")
+    xsi = str(tmp_path / "m.xsi")
+    out = str(tmp_path / "m.out.vcf")
+    assert cli_main(["-c", "-f", str(p), "-o", xsi,
+                     "--variant-block-length", "32"]) == 0
+    assert cli_main(["-x", "-f", xsi, "-o", out]) == 0
+    orig, _ = read_all(str(p))
+    got, _ = read_all(out)
+    assert got == orig

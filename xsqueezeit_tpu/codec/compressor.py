@@ -251,6 +251,12 @@ def compress_file(input_path: str, output_path: str,
         xsi.write_block(block.serialize())
     xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
                  max_ploidy=seen_max_ploidy)
+    if opts.verbose:
+        sb = xsi.section_bytes
+        print(f"Sections: header {sb['header']} B, blocks {sb['blocks']} B "
+              f"({len(xsi.indices)} blocks), indices {sb['indices']} B, "
+              f"samples {sb['samples']} B, total {sb['total']} B",
+              file=__import__('sys').stderr)
     var_writer.close()
     csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
     inp.close()

@@ -87,9 +87,19 @@ class XsiWriter:
         h.num_samples = len(self.sample_list)
         h.number_of_ssas = ((xcf_entries + h.ss_rate - 1) // h.ss_rate
                             if h.ss_rate else 0)
+        end = self.f.tell()
         self.f.seek(0)
         self.f.write(h.pack())
         self.f.close()
+        # per-section byte accounting (reference parity: the factory prints
+        # section sizes during compression, xsi_factory.hpp:567-591)
+        self.section_bytes = {
+            "header": 256,
+            "blocks": h.indices_offset - h.wahs_offset,
+            "indices": h.samples_offset - h.indices_offset,
+            "samples": end - h.samples_offset,
+            "total": end,
+        }
 
 
 @dataclass
