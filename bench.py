@@ -49,24 +49,30 @@ def make_block(rng):
     return alleles
 
 
-def slope_time(fn, fetch, ks=(2, 10), reps=3):
+def slope_time(fn, fetch, ks=(2, 10), reps=3, passes=2):
     """Per-iteration seconds: slope of total time over k serialized runs.
 
     `fn()` returns the pipeline output; `fetch(out)` must pull a scalar of
     that output to host, forcing completion of every queued execution.
+    Takes the best of `passes` independent slopes: the tunneled device
+    occasionally injects multi-hundred-ms stalls into a single pass.
     """
     fetch(fn())  # warmup / compile
-    ts = []
-    for k in ks:
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(k):
-                out = fn()
-            fetch(out)
-            best = min(best, time.perf_counter() - t0)
-        ts.append(best)
-    return (ts[1] - ts[0]) / (ks[1] - ks[0])
+
+    def one_pass():
+        ts = []
+        for k in ks:
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    out = fn()
+                fetch(out)
+                best = min(best, time.perf_counter() - t0)
+            ts.append(best)
+        return (ts[1] - ts[0]) / (ks[1] - ks[0])
+
+    return min(one_pass() for _ in range(passes))
 
 
 def main():
