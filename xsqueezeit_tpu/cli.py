@@ -59,11 +59,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Targets (POS-only filter, streamed)")
     p.add_argument("-H", "--no-header", action="store_true",
                    help="Suppress the header in VCF output")
+    p.add_argument("--profile", default="",
+                   help="Write a JAX profiler trace of the run to this "
+                        "directory (view with TensorBoard / xprof)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.profile:
+        # the aux-subsystem counterpart of the reference's wall-clock
+        # printElapsedTime tracing (SURVEY §5): full device+host trace
+        import contextlib
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        return _dispatch(args)
+
+
+def _dispatch(args) -> int:
+    import sys
 
     if args.info:
         from .format.header import XsiHeader
