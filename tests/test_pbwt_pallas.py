@@ -35,7 +35,8 @@ def test_chain_decode_interpret_matches_scan():
     yc[:, :, :H] = ys.reshape(n_ch, C, H)
     ss = sorts.reshape(n_ch, C).astype(np.int32)
     p_fin = np.asarray(pbwt_pallas.chain_decode(
-        jnp.asarray(yc), jnp.asarray(ss), C, H, interpret=True))[:, :H]
+        jnp.asarray(yc), jnp.asarray(ss), C, H,
+        interpret=True))[:, -1, :H]
 
     # oracle: replay each chunk with numpy partitions
     iota = np.arange(H)
@@ -129,3 +130,37 @@ def test_wah_compress_pallas_counter_saturation():
     assert np.asarray(got_n).tolist() == [2, 2]
     assert np.asarray(got_w)[0, :2].tolist() == [0x8000 | 16383, 0x8000 | 5]
     assert np.asarray(got_w)[1, :2].tolist() == [0xC000 | 16383, 0xC000 | 5]
+
+
+def test_chunked_paths_interpret_mode(monkeypatch):
+    """Full pbwt_{encode,decode}_chunked through the Pallas branch
+    (interpreter mode on CPU) vs the scan oracles -- covers the two-epoch
+    decode kernel + mid-chunk arrangement composition."""
+    from xsqueezeit_tpu.ops import pbwt_jax as pj
+    monkeypatch.setenv("XSI_PALLAS", "interpret")
+    pj._use_pallas.cache_clear()
+    pj._pallas_interpret.cache_clear()
+    try:
+        rng = np.random.default_rng(33)
+        for L, H in ((48, 300), (70, 130)):
+            ps = rng.choice([0.02, 0.3, 0.7], size=L)
+            x = (rng.random((L, H)) < ps[:, None]).astype(np.int8)
+            alts = np.ones(L, np.int32)
+            sorts = rng.random(L) < 0.8
+            a0 = np.arange(H, dtype=np.int32)
+            want_y, want_a = pj.pbwt_encode_scan(
+                jnp.asarray(x), jnp.asarray(alts), jnp.asarray(sorts),
+                jnp.asarray(a0))
+            got_y, got_a = pj.pbwt_encode_chunked(
+                jnp.asarray(x), jnp.asarray(alts), jnp.asarray(sorts))
+            np.testing.assert_array_equal(np.asarray(got_y),
+                                          np.asarray(want_y))
+            np.testing.assert_array_equal(np.asarray(got_a),
+                                          np.asarray(want_a))
+            vals, a_fin = pj.pbwt_decode_chunked(got_y, jnp.asarray(sorts))
+            np.testing.assert_array_equal(np.asarray(vals), (x == 1))
+            np.testing.assert_array_equal(np.asarray(a_fin),
+                                          np.asarray(want_a))
+    finally:
+        pj._use_pallas.cache_clear()
+        pj._pallas_interpret.cache_clear()

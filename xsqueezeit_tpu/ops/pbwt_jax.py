@@ -158,15 +158,25 @@ DECODE_CHUNK = 16
 @functools.cache
 def _use_pallas() -> bool:
     """Pallas staged-shift partition kernels run on real TPU backends only;
-    the CPU test backend keeps the pure-XLA sort formulation (set
-    XSI_PALLAS=0 to force the sort path everywhere)."""
+    the CPU test backend keeps the pure-XLA sort formulation.  Overrides:
+    XSI_PALLAS=0 forces the sort path everywhere; XSI_PALLAS=interpret
+    runs the kernels in Pallas interpreter mode on any backend (tests)."""
     import os
-    if os.environ.get("XSI_PALLAS", "").lower() in ("0", "off", "no"):
+    v = os.environ.get("XSI_PALLAS", "").lower()
+    if v in ("0", "off", "no"):
         return False
+    if v == "interpret":
+        return True
     try:
         return jax.devices()[0].platform != "cpu"
     except Exception:
         return False
+
+
+@functools.cache
+def _pallas_interpret() -> bool:
+    import os
+    return os.environ.get("XSI_PALLAS", "").lower() == "interpret"
 
 
 def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4
@@ -268,7 +278,8 @@ def pbwt_encode_chunked(alleles: jnp.ndarray, alts: jnp.ndarray,
         from . import pbwt_pallas
         hp = pbwt_pallas._ceil_to(H, pbwt_pallas.LANE)
         q0p = jnp.pad(q0, ((0, 0), (0, hp - H)))
-        ysp = pbwt_pallas.chain_encode(q0p, ss.astype(jnp.int32), C, H)
+        ysp = pbwt_pallas.chain_encode(q0p, ss.astype(jnp.int32), C, H,
+                                       interpret=_pallas_interpret())
         ys = ysp[:, :, :H].reshape(Lp, H)[:L].astype(jnp.uint8)
     else:
         ssw = jnp.swapaxes(ss.astype(jnp.uint32), 0, 1)        # [C, n_ch]
@@ -328,11 +339,15 @@ def pbwt_decode_chunked(ys: jnp.ndarray, sorts: jnp.ndarray,
     jshift = jnp.arange(C, dtype=jnp.uint32)
 
     if _use_pallas():
+        # Two-epoch (C=32) kernel chunks were measured neutral-to-slower
+        # than C=16 single-epoch on v5e (the mid-chunk composition sorts
+        # offset the halved scan), so the simple form stays.
         from . import pbwt_pallas
         hp = pbwt_pallas._ceil_to(H, pbwt_pallas.LANE)
         ycp = jnp.pad(y.reshape(n_ch, C, H), ((0, 0), (0, 0), (0, hp - H)))
         ssp = sorts.reshape(n_ch, C).astype(jnp.int32)
-        p_fin = pbwt_pallas.chain_decode(ycp, ssp, C, H)[:, :H]
+        p_fin = pbwt_pallas.chain_decode(
+            ycp, ssp, C, H, interpret=_pallas_interpret())[:, -1, :H]
     else:
         # Stable-partition destinations for every line, one vectorized
         # cumsum (identity on non-sorting lines).

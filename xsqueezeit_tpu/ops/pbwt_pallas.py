@@ -73,23 +73,29 @@ def _partition_stage(vals, shifts, k: int, group0: bool, hp: int):
     return vals, shifts
 
 
-def _chain_decode_kernel(y_ref, ss_ref, p_ref, *, C: int, H: int, hp: int):
+def _chain_decode_kernel(y_ref, ss_ref, p_ref, *, C: int, H: int, hp: int,
+                         epochs: int = 1):
     """Decode chunk chain: payload (chunk-start slot << 16 | beta bits).
 
     y_ref:  i32[NB, C, hp] bits in arrangement order (padding lanes 0).
     ss_ref: i32[NB, 1] per-chunk sort-flag bitmask (bit j = line j sorts;
             the beta bit is appended either way).
-    p_ref:  u32[NB, hp] final chunk state.
+    p_ref:  u32[NB, epochs, hp] chunk state snapshots: the 16-bit register
+            fills C/epochs lines at a time and is snapshotted + cleared at
+            each epoch boundary (k keeps tracking through the whole chunk),
+            so one kernel chunk serves `epochs` flush groups -- fewer chunk
+            permutations for the composition scan outside.
     """
     NB = y_ref.shape[0]
     nbits = _nbits(H)
+    ep_len = C // epochs
     lanes = jax.lax.broadcasted_iota(jnp.int32, (NB, hp), 1)
     real = lanes < H
     p0 = (lanes << 16).astype(jnp.uint32)
 
     def line(j, p):
         y = y_ref[:, j, :]
-        p = p | (y << j).astype(jnp.uint32)
+        p = p | (y << (j % ep_len)).astype(jnp.uint32)
 
         cum = _prefix_sum_lanes(y, hp)
         ones_before = cum - y
@@ -109,9 +115,19 @@ def _chain_decode_kernel(y_ref, ss_ref, p_ref, *, C: int, H: int, hp: int):
             a, s0 = _partition_stage(a, s0, k, group0=True, hp=hp)
             b, s1 = _partition_stage(b, s1, k, group0=False, hp=hp)
         p_new = jnp.where(lanes < n_zeros, a, b)
-        return jnp.where(sort_j != 0, p_new, p)
+        p = jnp.where(sort_j != 0, p_new, p)
 
-    p_ref[:, :] = jax.lax.fori_loop(0, C, line, p0)
+        ep = j // ep_len
+        is_boundary = (j % ep_len) == (ep_len - 1)
+
+        @pl.when(is_boundary)
+        def _():
+            p_ref[:, ep, :] = p
+
+        # clear the register at epoch boundaries; k (high bits) keeps going
+        return jnp.where(is_boundary, p & jnp.uint32(0xFFFF0000), p)
+
+    jax.lax.fori_loop(0, C, line, p0)
 
 
 def _chain_encode_kernel(q_ref, ss_ref, y_ref, *, C: int, H: int, hp: int):
@@ -170,19 +186,23 @@ def _pick_nb(n_ch: int, NB: int) -> int:
     return n_ch
 
 
-@functools.partial(jax.jit, static_argnames=("C", "H", "NB", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("C", "H", "NB", "epochs", "interpret"))
 def chain_decode(yc: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
-                 NB: int = 8, interpret: bool = False) -> jnp.ndarray:
+                 NB: int = 8, epochs: int = 1,
+                 interpret: bool = False) -> jnp.ndarray:
     """Run the decode chunk chains.
 
     yc: i32[n_ch, C, hp] bits; ss: i32[n_ch, C] sort flags.
-    Returns u32[n_ch, hp] final chunk states.
+    Returns u32[n_ch, epochs, hp] chunk states (one snapshot per
+    C/epochs-line epoch; squeeze axis 1 for epochs=1).
     """
     n_ch, c, hp = yc.shape
-    assert c == C and hp % LANE == 0
+    assert c == C and hp % LANE == 0 and C % epochs == 0
     nb = _pick_nb(n_ch, NB)
     grid = (n_ch // nb,)
-    kern = functools.partial(_chain_decode_kernel, C=C, H=H, hp=hp)
+    kern = functools.partial(_chain_decode_kernel, C=C, H=H, hp=hp,
+                             epochs=epochs)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -190,9 +210,9 @@ def chain_decode(yc: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((nb, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((nb, hp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((nb, epochs, hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_ch, hp), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((n_ch, epochs, hp), jnp.uint32),
         interpret=interpret,
     )(yc, _pack_flags(ss, C))
 
