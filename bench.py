@@ -120,10 +120,10 @@ def main():
 
     vals = _decode_wah_and_scan(s_dev, sorts_dev, H, W)
     dec_s = slope_time(lambda: _decode_wah_and_scan(s_dev, sorts_dev, H, W),
-                       lambda o: np.asarray(o[1][:1]))
+                       lambda o: np.asarray(o[0, :1]))
 
     # --- bit-exactness -----------------------------------------------------
-    vals_np = np.asarray(vals[0][:n_wah])
+    vals_np = np.asarray(vals[:n_wah])
     mism = int((vals_np.astype(bool) != (alleles[is_wah] == 1)).sum())
     # sparse lines: verify indices round-trip
     sp_idx = np.asarray(out["sparse_idx"])

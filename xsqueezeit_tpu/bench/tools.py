@@ -188,7 +188,7 @@ def dot_prod_device(path: str, seed: int = 42) -> dict:
                     n += 1
                 first += max(na - 1, 0)
             continue
-        vals, _ = dev.decode_all()
+        vals = dev.decode_all()
         # binary line l belongs to record r with first_line(r) <= l; keep
         # only bi-allelic records (one line each)
         first = 0

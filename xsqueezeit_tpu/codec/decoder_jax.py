@@ -38,7 +38,7 @@ def _decode_wah_and_scan(stream, sorts, h, w):
             (zero-padded; padding decodes to all-zero rows, which are inert).
     sorts:  bool[Lw] per compacted line (padding rows may pass True: a stable
             partition by an all-zero column is the identity).
-    Returns (vals uint8[Lw, h] natural-order bits, ones int32[Lw]).
+    Returns vals uint8[Lw, h] (natural-order bits).
     """
     if pbwt_jax._use_pallas():
         from ..ops.wah_pallas import wah_expand_pallas
@@ -50,8 +50,7 @@ def _decode_wah_and_scan(stream, sorts, h, w):
         vals, _ = pbwt_jax.pbwt_decode_chunked(ys, sorts)
     else:
         vals, _ = pbwt_jax.pbwt_decode_blocked(ys, sorts)
-    ones = jnp.sum(ys.astype(jnp.int32), axis=1)
-    return vals, ones
+    return vals
 
 
 class DeviceBlockDecoder:
@@ -82,14 +81,9 @@ class DeviceBlockDecoder:
                          == WeirdnessStrategy.WS_PBWT_WAH))
 
     # ------------------------------------------------------------------
-    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
-        """Decode the whole block.
-
-        Returns (alleles int16[L_binary, H] per *binary line* carrier bits
-        folded into per-record allele codes, ones int32[L_binary]).
-
-        The result is cached; use `record_gt` to materialize one record.
-        """
+    def decode_all(self) -> np.ndarray:
+        """Decode the whole block; returns carrier bits uint8[L_binary, H]
+        in natural haplotype order (cached; record_alleles folds records)."""
         m = self.meta
         H = self.n_haps
         W = wah_jax.n_words_for(H)
@@ -108,12 +102,10 @@ class DeviceBlockDecoder:
         n_wah = int(is_wah.sum())
         Lw_pad = bucket(max(n_wah, 1))
         sorts_p = np.ones(Lw_pad, bool)  # padding rows decode all-zero: inert
-        vals_w, ones_w = _decode_wah_and_scan(
+        vals_w = _decode_wah_and_scan(
             jnp.asarray(padded), jnp.asarray(sorts_p), H, W)
         vals = np.zeros((L, H), np.uint8)
-        ones = np.zeros(L, np.int32)
         vals[is_wah] = np.asarray(vals_w[:n_wah])
-        ones[is_wah] = np.asarray(ones_w[:n_wah])
 
         # --- sparse lines (vectorised host scatter) -----------------------
         neg = np.zeros(L, bool)
@@ -137,12 +129,10 @@ class DeviceBlockDecoder:
             if len(line_rep):
                 vals[line_rep, idx_flat.astype(np.int64)] = \
                     np.where(neg[line_rep], 0, 1).astype(vals.dtype)
-            ones[sparse_lines] = np.where(negs, H - counts, counts)
 
         self._vals = vals
-        self._ones = ones
         self._neg = neg
-        return vals, ones
+        return vals
 
     def record_alleles(self, first_line: int, n_alleles: int) -> np.ndarray:
         """Fold a record's binary lines into allele codes [H].
