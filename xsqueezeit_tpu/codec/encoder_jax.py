@@ -96,7 +96,6 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
     return {
         "is_wah": is_wah,
         "negated": negated,
-        "ac": ac,
         "wah_words": wah_words,
         "wah_len": wah_len,
         "sparse_idx": sparse_idx,

@@ -35,7 +35,6 @@ def _encode_one_block(alleles, alts, mac_threshold, sparse_cap):
     from ..codec.encoder_jax import encode_block_core
 
     out = encode_block_core(alleles, alts, mac_threshold, sparse_cap)
-    out.pop("ac")
     is_wah, wah_len = out["is_wah"], out["wah_len"]
     # sparse entries serialize in A_T units: 2 bytes while n_haps fits u16
     aet_bytes = 2 if alleles.shape[1] <= 0xFFFF else 4
