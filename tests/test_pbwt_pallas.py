@@ -164,3 +164,32 @@ def test_chunked_paths_interpret_mode(monkeypatch):
     finally:
         pj._use_pallas.cache_clear()
         pj._pallas_interpret.cache_clear()
+
+
+def test_decode_wah_and_scan_interpret_mode(monkeypatch):
+    """The fused decode entry honors XSI_PALLAS=interpret end to end."""
+    from xsqueezeit_tpu.ops import pbwt_jax as pj
+    from xsqueezeit_tpu.ops import wah_np, wah_jax
+    from xsqueezeit_tpu.codec import decoder_jax
+    monkeypatch.setenv("XSI_PALLAS", "interpret")
+    pj._use_pallas.cache_clear()
+    pj._pallas_interpret.cache_clear()
+    try:
+        rng = np.random.default_rng(44)
+        H, L = 200, 32
+        W = wah_jax.n_words_for(H)
+        bits = (rng.random((L, H)) < 0.4).astype(np.uint8)
+        ys, _ = pj.pbwt_encode_scan(
+            jnp.asarray(bits.astype(np.int8)),
+            jnp.asarray(np.ones(L, np.int32)),
+            jnp.asarray(np.ones(L, bool)),
+            jnp.asarray(np.arange(H, dtype=np.int32)))
+        stream = np.concatenate(
+            [wah_np.wah_encode(r) for r in np.asarray(ys)]
+            + [np.zeros(W + 1, np.uint16)])
+        vals = decoder_jax._decode_wah_and_scan(
+            jnp.asarray(stream), jnp.asarray(np.ones(L, bool)), H, W)
+        np.testing.assert_array_equal(np.asarray(vals), bits)
+    finally:
+        pj._use_pallas.cache_clear()
+        pj._pallas_interpret.cache_clear()

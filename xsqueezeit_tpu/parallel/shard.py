@@ -92,7 +92,8 @@ def make_sharded_decoder(mesh: Mesh, axis: str = "blocks"):
     def one(stream, sorts, h, w):
         if pbwt_jax._use_pallas():
             from ..ops.wah_pallas import wah_expand_pallas
-            w15 = wah_expand_pallas(stream, sorts.shape[0], w)
+            w15 = wah_expand_pallas(stream, sorts.shape[0], w,
+                                interpret=pbwt_jax._pallas_interpret())
         else:
             w15 = wah_jax.wah_expand_stream(stream, sorts.shape[0], w)
         ys = wah_jax.unpack_bits(w15, h)
