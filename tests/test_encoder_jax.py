@@ -86,3 +86,28 @@ def test_unphased():
     rng = np.random.default_rng(7)
     records = [make_record(rng, 40, p_alt=0.3, phased=False) for _ in range(10)]
     check_identical(records, 40, mac_threshold=2, default_phasing=0)
+
+
+def test_sparse_cap_sort_fallback_matches_scan_path():
+    """sparse_cap > 32 switches index compaction to the batched partition
+    sort; both paths must agree where counts fit both capacities."""
+    from xsqueezeit_tpu.codec.encoder_jax import encode_block_core
+    rng = np.random.default_rng(55)
+    L, H = 64, 300
+    alleles = (rng.random((L, H)) < 0.05).astype(np.int8)
+    alts = np.ones(L, np.int32)
+    small = encode_block_core(jnp.asarray(alleles), jnp.asarray(alts),
+                              jnp.int32(30), 30)
+    big = encode_block_core(jnp.asarray(alleles), jnp.asarray(alts),
+                            jnp.int32(30), 40)
+    np.testing.assert_array_equal(np.asarray(small["is_wah"]),
+                                  np.asarray(big["is_wah"]))
+    np.testing.assert_array_equal(np.asarray(small["sparse_len"]),
+                                  np.asarray(big["sparse_len"]))
+    sl = np.asarray(small["sparse_len"])
+    iw = np.asarray(small["is_wah"])
+    a = np.asarray(small["sparse_idx"])
+    b = np.asarray(big["sparse_idx"])[:, :30]
+    for l in np.flatnonzero(~iw):
+        n = min(int(sl[l]), 30)
+        np.testing.assert_array_equal(a[l, :n], b[l, :n], err_msg=f"line {l}")
