@@ -91,6 +91,8 @@ def test_unphased():
 def test_sparse_cap_sort_fallback_matches_scan_path():
     """sparse_cap > 32 switches index compaction to the batched partition
     sort; both paths must agree where counts fit both capacities."""
+    import jax.numpy as jnp
+
     from xsqueezeit_tpu.codec.encoder_jax import encode_block_core
     rng = np.random.default_rng(55)
     L, H = 64, 300
