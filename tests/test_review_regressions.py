@@ -203,3 +203,126 @@ def test_unique_id():
         h, ["20", "123", "rs9", "G", "A", ".", ".", "."], 0, 0)
     rec = BcfRecord.parse(shared, b"")
     assert unique_id(rec) == "0_122_G_A_"
+
+
+# ---------------------------------------------------------------------------
+# Round-1 advisor findings (ADVICE.md)
+# ---------------------------------------------------------------------------
+def test_wah_zero_count_counter_rejected():
+    """A counter word with count==0 (corrupt/foreign stream) must raise, not
+    silently mis-decode (advisor: wah_jax.wah_expand_stream slot collision)."""
+    from xsqueezeit_tpu.format.constants import GTDict
+    from xsqueezeit_tpu.ops import wah_np
+
+    rng = np.random.default_rng(7)
+    # common variants -> WAH lines with literal words
+    recs = [((rng.integers(0, 2, 64) + 1) << 1, 2) for _ in range(8)]
+    payload = bytearray(_block([(g.tolist(), na) for g, na in recs],
+                               n_samples=32, mac_threshold=4))
+    dec = GtBlockDecoder(bytes(payload), 32, 64, np.uint16)
+    assert dec.wah_stream is not None and len(dec.wah_stream)
+    off = dec.dictionary[GTDict.KEY_MATRIX_WAH]
+    # overwrite the first stream word with a zero-count counter
+    payload[off:off + 2] = int(wah_np.WAH_HIGH_BIT).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="zero count"):
+        GtBlockDecoder(bytes(payload), 32, 64, np.uint16)
+
+
+def test_validate_wah_stream_direct():
+    from xsqueezeit_tpu.ops import wah_np
+    wah_np.validate_wah_stream(np.array([0x0001, 0x8003, 0xC001, 0, 0],
+                                        np.uint16))
+    for bad in (0x8000, 0xC000):
+        with pytest.raises(ValueError, match="zero count"):
+            wah_np.validate_wah_stream(np.array([0x0001, bad], np.uint16))
+
+
+def test_csi_depth_grows_with_contig_length():
+    """Advisor: depth was hardcoded 5, capping coordinates at 2^29."""
+    from xsqueezeit_tpu.io.csi import CsiBuilder, depth_for_max_len
+
+    assert depth_for_max_len(63_025_520) == 5          # human chr20
+    assert depth_for_max_len(None) == 5
+    assert depth_for_max_len((1 << 29) + 1) == 6       # > 537 Mbp grows
+    assert depth_for_max_len(1 << 33) == 7
+    # coordinates beyond the addressable range are rejected, not aliased
+    b = CsiBuilder(depth=5)
+    with pytest.raises(ValueError, match="addressable"):
+        b.add(0, (1 << 29) + 5, (1 << 29) + 6, 0, 1)
+    b6 = CsiBuilder(depth=6)
+    b6.add(0, (1 << 29) + 5, (1 << 29) + 6, 0, 1)      # fits at depth 6
+
+
+def test_long_contig_region_end_to_end(tmp_path):
+    """Compress + region-extract on a >2^29 bp contig (plant-scale)."""
+    pos = (1 << 29) + 12345
+    p = tmp_path / "long.vcf"
+    with open(p, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "##contig=<ID=1,length=1073741824>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                "S0\tS1\n")
+        f.write(f"1\t100\trs0\tG\tA\t.\tPASS\t.\tGT\t0|1\t0|0\n")
+        f.write(f"1\t{pos}\trs1\tG\tA\t.\tPASS\t.\tGT\t0|1\t1|1\n")
+        f.write(f"1\t{pos + 50}\trs2\tG\tT\t.\tPASS\t.\tGT\t1|0\t0|0\n")
+    xsi = str(tmp_path / "long.xsi")
+    out = str(tmp_path / "long.out.vcf")
+    assert cli_main(["-c", "-f", str(p), "-o", xsi]) == 0
+    assert cli_main(["-x", "-f", xsi, "-o", out,
+                     "-r", f"1:{pos}-{pos + 10}"]) == 0
+    inp = GtInput(out)
+    got = [rec.gt.tolist() for rec in inp]
+    inp.close()
+    assert got == [[2, 5, 4, 5]]
+
+
+def test_bgzf_wraps_positioned_file(tmp_path):
+    """Advisor: virtual offsets must be file-absolute when wrapping an
+    already-positioned file object."""
+    from xsqueezeit_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+    p = tmp_path / "pre.bin"
+    prefix = b"PREFIX--" * 4
+    with open(p, "wb") as raw:
+        raw.write(prefix)
+        w = BgzfWriter(raw)
+        v0 = w.tell_virtual()
+        assert (v0 >> 16) == len(prefix)
+        w.write(b"hello ")
+        voff = w.tell_virtual()
+        w.write(b"world")
+        w.close()
+    with open(p, "rb") as raw:
+        raw.seek(len(prefix))
+        r = BgzfReader(raw)
+        assert r.read() == b"hello world"
+        r.seek_virtual(voff)
+        assert r.read() == b"world"
+        r.close()
+
+
+def test_compress_failure_cleans_outputs(tmp_path):
+    """Advisor: a failed compression must not leave partial outputs or leak
+    the encode worker thread."""
+    import os
+    import threading
+
+    p = tmp_path / "bad.vcf"
+    with open(p, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "##contig=<ID=20>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                "S0\tS1\n")
+        # zero-ALT site carrying missing: the encoder must reject it
+        f.write("20\t60001\trs1\tG\t.\t.\tPASS\t.\tGT\t./.\t0|0\n")
+    xsi = str(tmp_path / "bad.xsi")
+    from xsqueezeit_tpu.codec.compressor import compress_file
+    before = threading.active_count()
+    with pytest.raises(ValueError):
+        compress_file(str(p), xsi)
+    assert not os.path.exists(xsi)
+    assert not os.path.exists(xsi + "_var.bcf")
+    assert not os.path.exists(xsi + "_var.bcf.csi")
+    assert threading.active_count() <= before + 1  # no leaked encode worker

@@ -131,6 +131,11 @@ class BlockEncodeDispatcher:
         records, self.pending = self.pending, []
         return self._executor.submit(self._encode, records)
 
+    def shutdown(self) -> None:
+        if self._executor is not None:
+            self._executor.shutdown(wait=False, cancel_futures=True)
+            self._executor = None
+
 
 def make_variant_header(src: BcfHeader, xsi_basename: str) -> BcfHeader:
     """Header for the `_var.bcf` variant file: pseudo-sample + BM + ##XSI.
@@ -197,12 +202,42 @@ def compress_file(input_path: str, output_path: str,
     var_path = output_path + XSI_BCF_VAR_EXTENSION
     var_header = make_variant_header(inp.header, os.path.basename(output_path))
     var_writer = BcfWriter(var_path, var_header)
-    csi = CsiBuilder()  # reference parity: create_index_file, xcf.cpp:39-57
+    # reference parity: create_index_file, xcf.cpp:39-57; depth grows with the
+    # longest declared contig so >537 Mbp coordinates stay addressable
+    from ..io.csi import depth_for_max_len
+    csi = CsiBuilder(depth=depth_for_max_len(
+        max(var_header.contig_lengths.values(), default=0)))
 
     block = BlockEncodeDispatcher(
         n_samples, opts.block_length, mac_threshold,
         default_phasing=default_phased, aet_dtype=aet_dtype,
         weirdness_strategy=ws, device_cls=_device_encoder_cls(opts.device))
+    try:
+        return _compress_loop(inp, opts, xsi, var_writer, var_header, csi,
+                              block, var_path, output_path, max_ploidy)
+    except BaseException:
+        # A failed compression must not leak the encode worker thread or
+        # leave half-written output behind (the zero-ALT ValueError surfaces
+        # here through pending_block.result()).
+        block.shutdown()
+        for f in (getattr(xsi, "f", None), getattr(var_writer, "_f", None)):
+            try:
+                if f is not None and not f.closed:
+                    f.close()
+            except Exception:
+                pass
+        for path in (output_path, var_path, var_path + ".csi"):
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        raise
+    finally:
+        inp.close()
+
+
+def _compress_loop(inp, opts, xsi, var_writer, var_header, csi, block,
+                   var_path, output_path, max_ploidy) -> dict:
     entry_counter = 0
     variant_counter = 0
     bm_block = 0
@@ -259,12 +294,11 @@ def compress_file(input_path: str, output_path: str,
               file=__import__('sys').stderr)
     var_writer.close()
     csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
-    inp.close()
 
     return {
         "entries": entry_counter,
         "variants": variant_counter,
-        "n_samples": n_samples,
+        "n_samples": len(inp.samples),
         "xsi_bytes": os.path.getsize(output_path),
         "variant_bytes": os.path.getsize(var_path),
     }

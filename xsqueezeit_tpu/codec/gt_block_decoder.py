@@ -43,6 +43,12 @@ class GtBlockDecoder:
         self.weirdness_strat = d.get(GTDict.KEY_WEIRDNESS_STRATEGY,
                                      WeirdnessStrategy.WS_PBWT_WAH)
 
+        # Offsets of every offset-valued section (keys >= 0x10; lower keys
+        # are scalars like KEY_BCF_LINES), used to bound section views.
+        self._section_offsets = sorted(
+            v for k, v in self.dictionary.items()
+            if k >= GTDict.KEY_LINE_SORT and v != GTDict.VAL_UNDEFINED)
+
         self.line_is_wah = self._bool_vec(GTDict.KEY_LINE_SELECT)
         sort = self._bool_vec(GTDict.KEY_LINE_SORT)
         self.line_is_sorting = sort if sort is not None else self.line_is_wah
@@ -63,6 +69,25 @@ class GtBlockDecoder:
         self.eov_wah = self._typed(GTDict.KEY_MATRIX_END_OF_VECTORS, np.uint16)
         self.eov_sparse = self._typed(GTDict.KEY_MATRIX_END_OF_VECTORS_SPARSE, self.aet_dtype)
         self.phase_wah = self._typed(GTDict.KEY_MATRIX_NON_UNIFORM_PHASING, np.uint16)
+        # Zero-count counters from corrupt/foreign streams would silently
+        # break the device expansion kernels; reject them at parse time.
+        # Only sections some line actually references are validated: an
+        # EMPTY section shares its offset with whatever was written after it
+        # (the dictionary stores no sizes), so its bounded view aliases a
+        # neighbour's bytes and must not be interpreted as WAH words.
+        def used(vec):
+            return vec is not None and bool(np.any(vec))
+
+        for stream, in_use, name in (
+                (self.wah_stream, used(self.line_is_wah), "MATRIX_WAH"),
+                (self.missing_wah, used(self.line_has_missing),
+                 "MATRIX_MISSING"),
+                (self.eov_wah, used(self.line_has_eov),
+                 "MATRIX_END_OF_VECTORS"),
+                (self.phase_wah, used(self.line_has_nup),
+                 "MATRIX_NON_UNIFORM_PHASING")):
+            if stream is not None and in_use:
+                wah_np.validate_wah_stream(stream, name)
 
         self.reset()
 
@@ -80,8 +105,13 @@ class GtBlockDecoder:
         off = self.dictionary.get(key)
         if off is None or off == GTDict.VAL_UNDEFINED:
             return None
+        # Bound the view at the next section's offset: the dictionary stores
+        # offsets only (no sizes, interfaces.hpp:37-97), and reading through
+        # to end-of-payload would alias later sections' bytes into this one.
+        end = min((o for o in self._section_offsets if o > off),
+                  default=len(self.buf))
         dtype = np.dtype(dtype)
-        n = (len(self.buf) - off) // dtype.itemsize
+        n = (end - off) // dtype.itemsize
         return np.frombuffer(self.buf[off:off + n * dtype.itemsize], dtype)
 
     # --------------------------------------------------------------- cursor

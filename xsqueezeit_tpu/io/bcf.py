@@ -151,6 +151,7 @@ _IDX_RE = re.compile(r"[<,]IDX=(\d+)")
 _ID_RE = re.compile(r"[<,]ID=([^,>]+)")
 _NUMBER_RE = re.compile(r"[<,]Number=([^,>]+)")
 _TYPE_RE = re.compile(r"[<,]Type=([^,>]+)")
+_LENGTH_RE = re.compile(r"[<,]length=(\d+)")
 
 
 @dataclass
@@ -164,6 +165,7 @@ class BcfHeader:
     contig2idx: dict[str, int] = field(default_factory=dict)
     info_meta: dict[str, tuple[str, str]] = field(default_factory=dict)  # id -> (Number, Type)
     format_meta: dict[str, tuple[str, str]] = field(default_factory=dict)
+    contig_lengths: dict[str, int] = field(default_factory=dict)  # from length=
     explicit_idx: bool = False
 
     @staticmethod
@@ -234,6 +236,9 @@ class BcfHeader:
                 if ident not in seen_ctg:
                     seen_ctg.add(ident)
                     contig_entries.append((ident, idx))
+                lm = _LENGTH_RE.search(line)
+                if lm:
+                    h.contig_lengths[ident] = int(lm.group(1))
         if not has_pass:
             # PASS is always index 0 when not declared
             str_entries.insert(0, ("PASS", 0 if any(

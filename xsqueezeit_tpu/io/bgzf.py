@@ -17,6 +17,16 @@ BGZF_EOF = bytes.fromhex(
 MAX_BLOCK = 0xFF00  # keep compressed blocks under 64 KiB
 
 
+def _initial_offset(f) -> int:
+    """Current byte position of a wrapped file object, 0 for pipes."""
+    try:
+        if f.seekable():
+            return f.tell()
+    except (AttributeError, OSError, ValueError):
+        pass
+    return 0
+
+
 def is_gzip(path: str) -> bool:
     with open(path, "rb") as f:
         return f.read(2) == b"\x1f\x8b"
@@ -50,7 +60,10 @@ class BgzfWriter(io.RawIOBase):
             self._own = False
         self._level = level
         self._buf = bytearray()
-        self._coffset = 0  # compressed bytes flushed (stdout has no tell())
+        # Compressed bytes flushed, tracked by hand (stdout has no tell()).
+        # Starts at the wrapped object's current position so tell_virtual()
+        # stays correct when wrapping an already-positioned seekable file.
+        self._coffset = _initial_offset(self._f)
 
     def writable(self):
         return True
@@ -104,9 +117,12 @@ class BgzfReader(io.RawIOBase):
             self._own = False
         self._block = b""
         self._block_pos = 0          # position within decompressed block
-        self._block_coffset = 0      # compressed offset of current block
-        self._coffset = 0            # compressed bytes consumed (pipes have
-                                     # no tell(); seek_virtual resyncs it)
+        # Compressed bytes consumed, tracked by hand (pipes have no tell();
+        # seek_virtual resyncs it).  Starts at the wrapped object's current
+        # position so virtual offsets are file-absolute even when the source
+        # was already positioned mid-file.
+        self._coffset = _initial_offset(self._f)
+        self._block_coffset = self._coffset
 
     def readable(self):
         return True

@@ -26,6 +26,24 @@ def n_bins(depth: int) -> int:
     return ((1 << 3 * (depth + 1)) - 1) // 7
 
 
+def depth_for_max_len(max_len: int | None,
+                      min_shift: int = DEFAULT_MIN_SHIFT) -> int:
+    """Index depth (n_lvls) that makes the longest contig addressable.
+
+    htslib's bcf_index grows n_lvls until max_contig_len + 256 fits a single
+    level-0 bin (vcf.c).  We apply the same growth rule but never go below
+    htslib's BCF default of 5, so human-scale files keep the depth they have
+    always had here and only >537 Mbp contigs (plants, amphibia) deepen the
+    tree.  Readers take depth from the index file, so both are compatible.
+    """
+    depth = DEFAULT_DEPTH
+    if max_len:
+        need = max_len + 256
+        while (1 << (min_shift + 3 * depth)) < need:
+            depth += 1
+    return depth
+
+
 def reg2bin(beg: int, end: int, min_shift: int = DEFAULT_MIN_SHIFT,
             depth: int = DEFAULT_DEPTH) -> int:
     """Smallest bin fully containing the 0-based half-open interval."""
@@ -86,6 +104,12 @@ class CsiBuilder:
         offsets of the record's byte range in the file."""
         ref = self.refs.setdefault(rid, _RefIndex())
         end = max(end, beg + 1)
+        if end > (1 << (self.min_shift + 3 * self.depth)):
+            raise ValueError(
+                f"record at [{beg}, {end}) exceeds the CSI addressable range "
+                f"2^{self.min_shift + 3 * self.depth} for min_shift="
+                f"{self.min_shift} depth={self.depth}; the contig is longer "
+                f"than its ##contig length= declared")
         b = reg2bin(beg, end, self.min_shift, self.depth)
         chunks = ref.bins.setdefault(b, [])
         if chunks and chunks[-1][1] == voff_beg:

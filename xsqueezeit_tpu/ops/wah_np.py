@@ -87,6 +87,25 @@ def wah_encode_words(words: np.ndarray) -> np.ndarray:
     return out_word[emit]
 
 
+def validate_wah_stream(words: np.ndarray, name: str = "WAH") -> None:
+    """Reject counter words with a zero count.
+
+    The in-repo encoder never emits them, but the decoder also accepts
+    foreign/corrupt files, where a zero-count counter would make two words
+    claim the same output slot — the device expansion kernels
+    (wah_jax.wah_expand_stream, wah_pallas) would then produce silently
+    wrong genotypes instead of an error.  One vectorised pass at block-parse
+    time; padding zeros are literal words and pass.
+    """
+    words = np.asarray(words, dtype=np.uint16)
+    bad = ((words & WAH_HIGH_BIT) != 0) & ((words & WAH_MAX_COUNTER) == 0)
+    if bad.any():
+        raise ValueError(
+            f"{name} stream: counter word with zero count at word index "
+            f"{int(np.flatnonzero(bad)[0])} (corrupt or non-conforming "
+            f"encoder)")
+
+
 def wah_words_consumed(words: np.ndarray, n_bits: int) -> int:
     """Number of leading WAH words that cover n_bits decoded bits.
 

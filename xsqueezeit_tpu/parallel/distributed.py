@@ -40,7 +40,7 @@ from ..format.constants import (
 from ..format.container import XsiWriter
 from ..format.header import XsiHeader
 from ..io.bcf import BcfWriter, patch_shared_sample_counts
-from ..io.csi import CsiBuilder
+from ..io.csi import CsiBuilder, depth_for_max_len
 from ..io.sites import encode_bm_indiv
 from ..io.unified import (
     GtInput,
@@ -156,7 +156,8 @@ def compress_file_distributed(input_path: str, output_path: str,
     var_path = output_path + XSI_BCF_VAR_EXTENSION
     var_header = make_variant_header(inp.header, os.path.basename(output_path))
     var_writer = BcfWriter(var_path, var_header)
-    csi = CsiBuilder()
+    csi = CsiBuilder(depth=depth_for_max_len(
+        max(var_header.contig_lengths.values(), default=0)))
 
     entry_counter = 0
     variant_counter = 0
