@@ -262,3 +262,64 @@ def test_mixed_ploidy_at_scale(tmp_path):
     orig, _ = read_all(str(p))
     got, _ = read_all(out)
     assert got == orig
+
+
+def test_recompress_with_sample_subset(tmp_path):
+    """-O x combined with -s: subset-recompress-extract must equal the
+    direct subset extraction (reference BM-rewrite semantics,
+    gt_decompressor_new.hpp:432-543)."""
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=16,
+                              n_records=60, seed=9)
+    xsi = str(tmp_path / "o.xsi")
+    xsi2 = str(tmp_path / "sub.xsi")
+    out_via_xsi = str(tmp_path / "via_xsi.vcf")
+    out_direct = str(tmp_path / "direct.vcf")
+    keep = "S002,S005,S010,S011"
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", xsi2, "-O", "x", "-s", keep])
+    cli_main(["-x", "-f", xsi2, "-o", out_via_xsi])
+    cli_main(["-x", "-f", xsi, "-o", out_direct, "-s", keep])
+    got, samples = read_all(out_via_xsi)
+    want, samples_direct = read_all(out_direct)
+    assert samples == samples_direct == keep.split(",")
+    assert got == want
+
+
+def test_recompress_with_region(tmp_path):
+    """-O x combined with -r: the re-compressed XSI holds only the region
+    and extracts identically to a direct region query."""
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=12,
+                              n_records=80, seed=10)
+    xsi = str(tmp_path / "o.xsi")
+    xsi2 = str(tmp_path / "rgn.xsi")
+    out_via_xsi = str(tmp_path / "via_xsi.vcf")
+    out_direct = str(tmp_path / "direct.vcf")
+    region = "20:60300-61500"
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", xsi2, "-O", "x", "-r", region])
+    cli_main(["-x", "-f", xsi2, "-o", out_via_xsi])
+    cli_main(["-x", "-f", xsi, "-o", out_direct, "-r", region])
+    got, _ = read_all(out_via_xsi)
+    want, _ = read_all(out_direct)
+    assert len(want) > 0
+    assert got == want
+
+
+def test_recompress_with_region_and_samples(tmp_path):
+    vcf = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=10,
+                              n_records=70, seed=11)
+    xsi = str(tmp_path / "o.xsi")
+    xsi2 = str(tmp_path / "rs.xsi")
+    out_via_xsi = str(tmp_path / "via_xsi.vcf")
+    out_direct = str(tmp_path / "direct.vcf")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    cli_main(["-x", "-f", xsi, "-o", xsi2, "-O", "x",
+              "-r", "20:60200-61800", "-s", "^S001"])
+    cli_main(["-x", "-f", xsi2, "-o", out_via_xsi])
+    cli_main(["-x", "-f", xsi, "-o", out_direct,
+              "-r", "20:60200-61800", "-s", "^S001"])
+    got, samples = read_all(out_via_xsi)
+    want, samples_direct = read_all(out_direct)
+    assert samples == samples_direct
+    assert len(want) > 0
+    assert got == want

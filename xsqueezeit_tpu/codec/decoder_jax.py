@@ -30,6 +30,45 @@ ensure_compilation_cache()
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
+def _decode_block_full(stream, sorts, rank, is_wah, neg, car_line, car_idx,
+                       h, w):
+    """Decode a whole mixed block (WAH + sparse lines) to natural-order bits.
+
+    One fused device program (the analog of the reference's single decode
+    pass, accessor_internals_new.hpp:198-384):
+
+      stream:   uint16[N]  WAH words of the block's WAH lines, back to back
+                (zero padded)
+      sorts:    bool[Lw]   per compacted WAH line (padding rows may be True)
+      rank:     int32[Lp]  compacted WAH row for each block line (clipped;
+                read only where is_wah)
+      is_wah:   bool[Lp]
+      neg:      uint8[Lp]  1 for negated sparse lines
+      car_line: int32[Nc]  sparse carriers, padded with line >= Lp (dropped)
+      car_idx:  int32[Nc]
+
+    Returns vals uint8[Lp, h].  The merge is a monotone row gather (near
+    free on TPU, unlike a row scatter) + ONE flat element scatter for every
+    sparse carrier + an elementwise XOR for negated rows (stored indices of
+    a negated line are the REF positions: scatter 1s, then the row-XOR
+    turns them into 0s and everything else into 1s).
+    """
+    vals_w = _decode_wah_and_scan(stream, sorts, h, w)
+    vals = jnp.where(is_wah[:, None], jnp.take(vals_w, rank, axis=0),
+                     jnp.uint8(0))
+    vals = vals.at[car_line, car_idx].set(jnp.uint8(1), mode="drop")
+    return vals ^ neg[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fold_biallelic(vals, default_phasing):
+    """htslib gt codes for biallelic records: ((allele+1)<<1) | phase."""
+    h = vals.shape[1]
+    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
+    return ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
 def _decode_wah_and_scan(stream, sorts, h, w):
     """Decode a block's WAH lines (compacted: sorting/WAH lines only) and
     scatter every line's bits back to natural haplotype order.
@@ -82,34 +121,41 @@ class DeviceBlockDecoder:
                          == WeirdnessStrategy.WS_PBWT_WAH))
 
     # ------------------------------------------------------------------
-    def decode_all(self) -> np.ndarray:
-        """Decode the whole block; returns carrier bits uint8[L_binary, H]
-        in natural haplotype order (cached; record_alleles folds records)."""
+    def host_inputs(self) -> tuple:
+        """Parse the payload streams into the padded device-input arrays for
+        `_decode_block_full` (all host work of a block decode lives here; it
+        overlaps the previous block's device work in the pipelined driver).
+
+        Returns (padded_stream u16[Np], sorts bool[Lwp], rank i32[Lpad],
+        is_wah bool[Lpad], neg u8[Lpad], car_line i32[Nc], car_idx i32[Nc],
+        H, W, L, n_wah) with every axis bucket-padded so the number of XLA
+        compilations stays constant across blocks.
+        """
+        from ..utils.shapes import bucket
+
         m = self.meta
         H = self.n_haps
         W = wah_jax.n_words_for(H)
         L = m.binary_lines
         is_wah = m.line_is_wah.astype(bool)
 
-        # --- WAH lines (device, compacted) --------------------------------
-        from ..utils.shapes import bucket
         stream = m.wah_stream if m.wah_stream is not None else \
             np.zeros(0, np.uint16)
-        # Bucketed padding on both the stream and the compacted-line axis
-        # keeps the number of XLA compilations constant across blocks.
         n_pad = bucket(stream.shape[0] + 1)
         padded = np.concatenate(
             [stream, np.zeros(n_pad - stream.shape[0], np.uint16)])
         n_wah = int(is_wah.sum())
         Lw_pad = bucket(max(n_wah, 1))
         sorts_p = np.ones(Lw_pad, bool)  # padding rows decode all-zero: inert
-        vals_w = _decode_wah_and_scan(
-            jnp.asarray(padded), jnp.asarray(sorts_p), H, W)
-        vals = np.zeros((L, H), np.uint8)
-        vals[is_wah] = np.asarray(vals_w[:n_wah])
 
-        # --- sparse lines (vectorised host scatter) -----------------------
-        neg = np.zeros(L, bool)
+        Lp = bucket(L)
+        is_wah_p = np.zeros(Lp, bool)
+        is_wah_p[:L] = is_wah
+        rank = np.clip(np.cumsum(is_wah_p) - 1, 0, Lw_pad - 1).astype(np.int32)
+        neg_p = np.zeros(Lp, np.uint8)
+
+        car_line = np.zeros(0, np.int32)
+        car_idx = np.zeros(0, np.int32)
         if (~is_wah).any():
             from ..ops.sparse_np import msb as _msb, sparse_line_offsets
             sp = m.sparse_stream
@@ -117,23 +163,37 @@ class DeviceBlockDecoder:
             sparse_lines = np.flatnonzero(~is_wah)
             offs = sparse_line_offsets(sp, len(sparse_lines))
             heads = sp[offs[:-1]].astype(np.int64)
-            starts = offs[:-1] + 1
             counts = heads & (msb - 1)
             negs = (heads & msb) != 0
-            neg[sparse_lines] = negs
-            # one flat scatter for all sparse carriers
-            line_rep = np.repeat(sparse_lines, counts)
-            idx_flat = np.concatenate(
-                [sp[s:s + c] for s, c in zip(starts, counts)]) \
-                if counts.sum() else np.zeros(0, self.aet_dtype)
-            vals[neg] = 1
-            if len(line_rep):
-                vals[line_rep, idx_flat.astype(np.int64)] = \
-                    np.where(neg[line_rep], 0, 1).astype(vals.dtype)
+            neg_p[sparse_lines] = negs
+            # flat (line, index) carrier pairs: every sparse element that is
+            # not a head, tagged with its line
+            total = int(counts.sum())
+            if total:
+                car_line = np.repeat(sparse_lines, counts).astype(np.int32)
+                take = np.ones(int(offs[-1]), bool)
+                take[offs[:-1]] = False
+                car_idx = sp[:offs[-1]][take].astype(np.int32)
+        Nc = bucket(len(car_line) + 1)
+        car_line = np.concatenate(
+            [car_line, np.full(Nc - len(car_line), Lp, np.int32)])
+        car_idx = np.concatenate(
+            [car_idx, np.zeros(Nc - len(car_idx), np.int32)])
+        return (padded, sorts_p, rank, is_wah_p, neg_p, car_line, car_idx,
+                H, W, L, n_wah)
 
-        self._vals = vals
-        self._neg = neg
-        return vals
+    def decode_all(self) -> np.ndarray:
+        """Decode the whole block; returns carrier bits uint8[L_binary, H]
+        in natural haplotype order (cached; record_alleles folds records)."""
+        (padded, sorts_p, rank, is_wah_p, neg_p, car_line, car_idx,
+         H, W, L, _n_wah) = self.host_inputs()
+        vals_p = _decode_block_full(
+            jnp.asarray(padded), jnp.asarray(sorts_p), jnp.asarray(rank),
+            jnp.asarray(is_wah_p), jnp.asarray(neg_p), jnp.asarray(car_line),
+            jnp.asarray(car_idx), H, W)
+        self._vals = np.asarray(vals_p[:L])
+        self._neg = neg_p[:L].astype(bool)
+        return self._vals
 
     def record_alleles(self, first_line: int, n_alleles: int) -> np.ndarray:
         """Fold a record's binary lines into allele codes [H].

@@ -49,13 +49,45 @@ def sparse_decode(stream: np.ndarray, pos: int = 0) -> tuple[np.ndarray, bool, i
 
 
 def sparse_line_offsets(stream: np.ndarray, n_lines: int) -> np.ndarray:
-    """Start offsets (in elements) of the first n_lines lines of a stream."""
+    """Start offsets (in elements) of the first n_lines lines of a stream.
+
+    The walk is pointer-chasing (each head stores its line's length), so the
+    naive form is a Python loop — too slow on the block decode path (~0.5 us
+    per line x thousands of sparse lines per block).  For large inputs we
+    vectorise with binary lifting: jump table J_b[p] = position reached after
+    2^b line-advances from p (computed for EVERY position, head or not; only
+    values reached from offset 0 are ever read), then offset i composes the
+    set bits of i.  O(N log n_lines) fully-vectorised numpy.
+    """
     stream = np.asarray(stream)
     flag = msb(stream.dtype)
-    offsets = np.empty(n_lines + 1, np.int64)
-    pos = 0
-    for i in range(n_lines):
-        offsets[i] = pos
-        pos += 1 + (int(stream[pos]) & (flag - 1))
-    offsets[n_lines] = pos
-    return offsets
+    if n_lines <= 0:
+        return np.zeros(1, np.int64)
+    if n_lines < 128 or stream.shape[0] < 4096:
+        offsets = np.empty(n_lines + 1, np.int64)
+        pos = 0
+        for i in range(n_lines):
+            offsets[i] = pos
+            pos += 1 + (int(stream[pos]) & (flag - 1))
+        offsets[n_lines] = pos
+        return offsets
+
+    N = stream.shape[0]
+    counts = stream.astype(np.int64) & (flag - 1)
+    bits = int(n_lines).bit_length()
+    # J[p] = position after one line-advance from p; slot N is the saturating
+    # sentinel so levels compose with plain fancy indexing.
+    J = np.empty(N + 1, np.int64)
+    np.minimum(np.arange(1, N + 1, dtype=np.int64) + counts, N, out=J[:N])
+    J[N] = N
+    tables = [J]
+    for _ in range(bits - 1):
+        J = J[J]          # 2^(b+1) advances; sentinel self-maps
+        tables.append(J)
+    i = np.arange(n_lines + 1, dtype=np.int64)
+    off = np.zeros(n_lines + 1, np.int64)
+    for b in range(bits):  # n_lines < 2^bits, so bits bit-positions suffice
+        sel = ((i >> b) & 1) == 1
+        if sel.any():
+            off[sel] = tables[b][off[sel]]
+    return off

@@ -13,11 +13,20 @@ to identity at every block boundary), so
     output (the north-star contract), while worker 0 also writes the
     variant BCF + CSI in its streaming pass.
 
-`compress_file_distributed` drives N emulated workers in-process (threads)
-and is the unit-tested path; `init_distributed`/`process_layout` are the
-thin adapters a real multi-host launcher uses to map the same plan onto
-`jax.process_index()/process_count()`, with the byte gather riding
-`multihost_utils.process_allgather` (padded uint8 tensors over DCN).
+Two drivers share the plan:
+
+  * `compress_file_distributed` — N emulated workers in-process (threads);
+    fast to test, validates partition/gather/assembly byte-identity.
+  * `compress_file_multihost` — real separate processes under
+    `jax.distributed` (launch one process per host with the same CLI
+    arguments plus --distributed/--dist-nproc/--dist-procid, or call
+    `init_distributed` yourself).  Process 0 writes the variant BCF + CSI
+    during its streaming pass; every process encodes its contiguous block
+    range; the per-block payload bytes ride `gather_blocks_to_host0`
+    (three `multihost_utils.process_allgather` calls: counts, lengths,
+    padded uint8 bytes — metadata first so every process pads to the same
+    global shape) and process 0 assembles the container.  Output is
+    byte-identical to the single-process `compress_file`.
 """
 from __future__ import annotations
 
