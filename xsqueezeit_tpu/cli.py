@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default="",
                    help="Write a JAX profiler trace of the run to this "
                         "directory (view with TensorBoard / xprof)")
+    p.add_argument("--distributed", default="", metavar="HOST:PORT",
+                   help="Multi-host compression: jax.distributed coordinator "
+                        "address; launch one identical process per host with "
+                        "--dist-nproc/--dist-procid (process 0 writes output)")
+    p.add_argument("--dist-nproc", type=int, default=None,
+                   help="Total number of processes of the distributed run")
+    p.add_argument("--dist-procid", type=int, default=None,
+                   help="This process's id (0-based) in the distributed run")
     return p
 
 
@@ -100,7 +108,17 @@ def _dispatch(args) -> int:
             zstd=args.zstd, zstd_level=args.zstd_level,
             wah_encode_missing=args.wah_encode_missing,
             verbose=args.verbose)
-        stats = compress_file(args.file, args.output, opts)
+        if args.distributed:
+            from .parallel.distributed import compress_file_multihost
+            stats = compress_file_multihost(
+                args.file, args.output, opts,
+                coordinator=args.distributed,
+                num_processes=args.dist_nproc,
+                process_id=args.dist_procid)
+            if stats is None:      # non-zero process: encode + gather only
+                return 0
+        else:
+            stats = compress_file(args.file, args.output, opts)
         if args.verbose:
             print(f"Compressed {stats['entries']} entries "
                   f"({stats['variants']} variants) of {stats['n_samples']} "

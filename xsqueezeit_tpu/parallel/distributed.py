@@ -75,6 +75,67 @@ def init_distributed(coordinator: str | None = None,
         return 0, 1
 
 
+def process_layout(n_blocks: int, process_index: int | None = None,
+                   process_count: int | None = None) -> tuple[int, int]:
+    """Contiguous block range [start, end) owned by this jax.distributed
+    process under the balanced plan (same plan the emulated path tests)."""
+    import jax
+
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    return plan_block_ranges(n_blocks, process_count)[process_index]
+
+
+def gather_blocks_to_host0(payloads: list[bytes]) -> list[bytes] | None:
+    """Ordered gather of per-block payload bytes onto process 0 over DCN.
+
+    Three `multihost_utils.process_allgather` rounds: (1) per-process block
+    counts, (2) per-block lengths padded to the global max count, (3) the
+    concatenated payload bytes padded to the global max total, as uint8 —
+    metadata first because allgather needs identical shapes on every
+    process.  Returns the global payload list in original block order on
+    process 0 (block ranges are contiguous and ascending by process), None
+    elsewhere.  Single-process: identity.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return list(payloads)
+
+    lens = np.asarray([len(p) for p in payloads], np.int32)
+    counts = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([len(payloads)], jnp.int32))).reshape(-1)
+    cmax = int(counts.max())
+    lens_pad = np.zeros(cmax, np.int32)
+    lens_pad[:lens.shape[0]] = lens
+    lens_all = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(lens_pad))).reshape(len(counts), cmax)
+    totals = lens_all.sum(axis=1)
+    tmax = int(totals.max())
+
+    buf = np.zeros(tmax, np.uint8)
+    if lens.size:
+        local = np.frombuffer(b"".join(payloads), np.uint8)
+        buf[:local.shape[0]] = local
+    bufs = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(buf))).reshape(len(counts), tmax)
+
+    if jax.process_index() != 0:
+        return None
+    out: list[bytes] = []
+    for p in range(len(counts)):
+        pos = 0
+        for b in range(int(counts[p])):
+            n = int(lens_all[p, b])
+            out.append(bufs[p, pos:pos + n].tobytes())
+            pos += n
+    return out
+
+
 def plan_block_ranges(n_blocks: int, n_parts: int) -> list[tuple[int, int]]:
     """Contiguous block ranges [start, end) per worker, balanced to within
     one block.  Contiguity keeps each worker's input scan a single window."""
@@ -126,18 +187,10 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
     return payloads
 
 
-def compress_file_distributed(input_path: str, output_path: str,
-                              opts: CompressorOptions | None = None,
-                              n_parts: int = 4) -> dict:
-    """Data-parallel compression over `n_parts` emulated workers.
-
-    Produces output byte-identical to codec.compressor.compress_file: the
-    block partition/ordered-gather/assembly logic is exactly the multi-host
-    plan, with workers run on a thread pool instead of separate hosts.
-    """
+def _setup(input_path: str, opts: CompressorOptions):
+    """Deterministic per-process setup (every process computes the same)."""
     from ..format.constants import WeirdnessStrategy
 
-    opts = opts or CompressorOptions()
     inp = GtInput(input_path)
     samples = inp.samples
     if not samples:
@@ -147,21 +200,18 @@ def compress_file_distributed(input_path: str, output_path: str,
     sniffed_ploidy = sniff_max_ploidy_first_entry(input_path)
     if sniffed_ploidy == 0:
         raise ValueError(f"File {input_path} has no GT entries")
-
     n_haps = n_samples * 2
     aet_dtype = np.uint16 if n_haps <= 0xFFFF else np.uint32
     mac_threshold = int(n_haps * opts.maf)
     ws = (WeirdnessStrategy.WS_WAH if opts.wah_encode_missing
           else WeirdnessStrategy.WS_SPARSE)
+    return (inp, samples, n_samples, default_phased, sniffed_ploidy,
+            aet_dtype, mac_threshold, ws)
 
-    # --- worker-0 streaming pass: variant BCF + CSI + entry count ---------
-    header = XsiHeader(
-        version=5, ind_bytes=4, aet_bytes=np.dtype(aet_dtype).itemsize,
-        wah_bytes=2, iota_ppa=True, no_sort=False,
-        default_phased=bool(default_phased), ss_rate=opts.block_length,
-        rare_threshold=mac_threshold)
-    xsi = XsiWriter(output_path, header, samples,
-                    zstd_on=opts.zstd, zstd_level=opts.zstd_level)
+
+def _variant_pass(inp, opts, output_path, sniffed_ploidy):
+    """Streaming pass over the input: writes the `_var.bcf` + CSI and
+    counts entries/variants (the worker-0 half of the pipeline)."""
     var_path = output_path + XSI_BCF_VAR_EXTENSION
     var_header = make_variant_header(inp.header, os.path.basename(output_path))
     var_writer = BcfWriter(var_path, var_header)
@@ -192,9 +242,35 @@ def compress_file_distributed(input_path: str, output_path: str,
         variant_counter += n_alts
         entry_counter += 1
         max_ploidy = max(max_ploidy, rec.ploidy)
-    inp.close()
     var_writer.close()
     csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
+    return entry_counter, variant_counter, max_ploidy
+
+
+def compress_file_distributed(input_path: str, output_path: str,
+                              opts: CompressorOptions | None = None,
+                              n_parts: int = 4) -> dict:
+    """Data-parallel compression over `n_parts` emulated workers.
+
+    Produces output byte-identical to codec.compressor.compress_file: the
+    block partition/ordered-gather/assembly logic is exactly the multi-host
+    plan, with workers run on a thread pool instead of separate hosts.
+    """
+    opts = opts or CompressorOptions()
+    (inp, samples, n_samples, default_phased, sniffed_ploidy,
+     aet_dtype, mac_threshold, ws) = _setup(input_path, opts)
+
+    header = XsiHeader(
+        version=5, ind_bytes=4, aet_bytes=np.dtype(aet_dtype).itemsize,
+        wah_bytes=2, iota_ppa=True, no_sort=False,
+        default_phased=bool(default_phased), ss_rate=opts.block_length,
+        rare_threshold=mac_threshold)
+    xsi = XsiWriter(output_path, header, samples,
+                    zstd_on=opts.zstd, zstd_level=opts.zstd_level)
+    var_path = output_path + XSI_BCF_VAR_EXTENSION
+    entry_counter, variant_counter, max_ploidy = _variant_pass(
+        inp, opts, output_path, sniffed_ploidy)
+    inp.close()
 
     # --- partition blocks, encode on workers, ordered gather --------------
     n_blocks = -(-entry_counter // opts.block_length)
@@ -219,4 +295,94 @@ def compress_file_distributed(input_path: str, output_path: str,
         "n_blocks": n_blocks,
         "n_parts": n_parts,
         "xsi_bytes": os.path.getsize(output_path),
+    }
+
+
+def compress_file_multihost(input_path: str, output_path: str,
+                            opts: CompressorOptions | None = None,
+                            coordinator: str | None = None,
+                            num_processes: int | None = None,
+                            process_id: int | None = None) -> dict | None:
+    """Real multi-process data-parallel compression (jax.distributed).
+
+    Every process must see `input_path`; only process 0 writes output.
+    Launch one process per host with the same arguments (plus coordinator
+    address / process id), e.g. via the CLI's --distributed flags.
+
+    Plan (SURVEY §5 "distributed communication backend"):
+      1. every process runs the same deterministic setup (phasing sniff,
+         A_T selection, MAC threshold);
+      2. process 0 streams the input once, writing `_var.bcf` + CSI and
+         counting entries; the others count entries with a light scan;
+      3. the entry count is allgathered and cross-checked (every process
+         must have seen the same input);
+      4. each process encodes its contiguous block range (process_layout),
+         device codec on its local chips;
+      5. per-block payload bytes gather to process 0 in original block
+         order (gather_blocks_to_host0) which assembles the container —
+         byte-identical to the single-process output.
+
+    zstd framing (when enabled) is applied by process 0 during assembly,
+    mirroring the reference's single-writer container layout.
+
+    Returns the summary dict on process 0, None on other processes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    pidx, pcount = init_distributed(coordinator, num_processes, process_id)
+    opts = opts or CompressorOptions()
+    (inp, samples, n_samples, default_phased, sniffed_ploidy,
+     aet_dtype, mac_threshold, ws) = _setup(input_path, opts)
+
+    if pidx == 0:
+        header = XsiHeader(
+            version=5, ind_bytes=4, aet_bytes=np.dtype(aet_dtype).itemsize,
+            wah_bytes=2, iota_ppa=True, no_sort=False,
+            default_phased=bool(default_phased), ss_rate=opts.block_length,
+            rare_threshold=mac_threshold)
+        xsi = XsiWriter(output_path, header, samples,
+                        zstd_on=opts.zstd, zstd_level=opts.zstd_level)
+        entry_counter, variant_counter, max_ploidy = _variant_pass(
+            inp, opts, output_path, sniffed_ploidy)
+    else:
+        entry_counter = 0
+        max_ploidy = sniffed_ploidy
+        for rec in inp:
+            entry_counter += 1
+            max_ploidy = max(max_ploidy, rec.ploidy)
+    inp.close()
+
+    if pcount > 1:
+        counts = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([entry_counter], jnp.int32))).reshape(-1)
+        if not (counts == counts[0]).all():
+            raise RuntimeError(
+                f"processes disagree on input entry count: {counts.tolist()}"
+                " — every process must read the same input file")
+
+    n_blocks = -(-entry_counter // opts.block_length)
+    start_blk, end_blk = process_layout(n_blocks, pidx, pcount)
+    payloads = _encode_block_range(
+        input_path, (start_blk, end_blk), n_samples, opts,
+        mac_threshold, default_phased, aet_dtype, ws)
+
+    gathered = gather_blocks_to_host0(payloads)
+    if pidx != 0:
+        return None
+
+    for payload in gathered:                 # original block order
+        xsi.write_block(payload)
+    xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
+                 max_ploidy=max_ploidy)
+    return {
+        "entries": entry_counter,
+        "variants": variant_counter,
+        "n_samples": n_samples,
+        "n_blocks": n_blocks,
+        "n_processes": pcount,
+        "xsi_bytes": os.path.getsize(output_path),
+        "variant_bytes": os.path.getsize(
+            output_path + XSI_BCF_VAR_EXTENSION),
     }
