@@ -326,3 +326,23 @@ def test_compress_failure_cleans_outputs(tmp_path):
     assert not os.path.exists(xsi + "_var.bcf")
     assert not os.path.exists(xsi + "_var.bcf.csi")
     assert threading.active_count() <= before + 1  # no leaked encode worker
+
+
+def test_bgzf_threaded_writer_roundtrip(tmp_path):
+    """threads>0 parallelizes BGZF block deflate; output must read back
+    identically and virtual offsets must stay exact (drain-on-tell)."""
+    from xsqueezeit_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, 1_000_000, dtype=np.uint8).tobytes()
+    p = tmp_path / "t.bgzf"
+    w = BgzfWriter(str(p), threads=3)
+    w.write(data[:300_000])
+    v = w.tell_virtual()
+    w.write(data[300_000:])
+    w.close()
+    r = BgzfReader(str(p))
+    assert r.read() == data
+    r.seek_virtual(v)
+    assert r.read() == data[300_000:]
+    r.close()

@@ -52,6 +52,14 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("phase-switch-errors")
     s.add_argument("test_file")
     s.add_argument("ref_file")
+    s = sub.add_parser("e2e")
+    s.add_argument("--records", type=int, default=20000)
+    s.add_argument("--samples", type=int, default=2504)
+    s.add_argument("--dir", default=None,
+                   help="working directory (kept); default: temp")
+    s.add_argument("--device", default="auto",
+                   choices=["auto", "jax", "numpy"])
+    s.add_argument("--zstd", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -93,6 +101,11 @@ def main(argv: list[str] | None = None) -> int:
         out = compute_phase_switch_errors(args.test_file, args.ref_file)
         out.pop("per_sample")
         print(json.dumps(out))
+    elif args.cmd == "e2e":
+        from .e2e import run
+        print(json.dumps(run(n_records=args.records, n_samples=args.samples,
+                             workdir=args.dir, device=args.device,
+                             zstd=args.zstd)))
     return 0
 
 

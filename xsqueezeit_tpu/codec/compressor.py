@@ -79,7 +79,8 @@ class BlockEncodeDispatcher:
     at flush time (device requires a uniformly diploid block)."""
 
     def __init__(self, n_samples, block_length, mac_threshold,
-                 default_phasing, aet_dtype, weirdness_strategy, device_cls):
+                 default_phasing, aet_dtype, weirdness_strategy, device_cls,
+                 force_device: bool = False):
         self._kw = dict(
             n_samples=n_samples, block_bcf_lines=block_length,
             mac_threshold=mac_threshold, default_phasing=default_phasing,
@@ -87,6 +88,7 @@ class BlockEncodeDispatcher:
         self.n_haps = n_samples * 2
         self.block_length = block_length
         self.device_cls = device_cls
+        self.force_device = force_device
         self.pending: list[tuple[np.ndarray, int]] = []
         self._executor = None
 
@@ -104,11 +106,17 @@ class BlockEncodeDispatcher:
     def _encode(self, records) -> bytes:
         from .gt_block import GtBlockEncoder
 
-        uniform_diploid = all(g.shape[0] == self.n_haps for g, _ in records)
+        n_samples = self.n_haps // 2
+        lengths = {g.shape[0] for g, _ in records}
+        # Uniformly diploid or uniformly haploid blocks take the device
+        # pipeline; mixed-ploidy blocks stay on the NumPy encoder.
+        uniform = lengths in ({self.n_haps}, {n_samples})
         # Small blocks encode faster on host: device dispatch + transfer
         # latency (seconds over a tunneled chip) dwarfs the compute.
-        big_enough = len(records) * self.n_haps >= _device_min_cells()
-        cls = self.device_cls if (self.device_cls and uniform_diploid
+        # device="jax" (option or env) forces the device path regardless.
+        big_enough = (self.force_device
+                      or len(records) * self.n_haps >= _device_min_cells())
+        cls = self.device_cls if (self.device_cls and uniform
                                   and big_enough) else GtBlockEncoder
         enc = cls(**self._kw)
         for gt, na in records:
@@ -208,10 +216,13 @@ def compress_file(input_path: str, output_path: str,
     csi = CsiBuilder(depth=depth_for_max_len(
         max(var_header.contig_lengths.values(), default=0)))
 
+    force_device = (opts.device == "jax"
+                    or os.environ.get("XSI_DEVICE") == "jax")
     block = BlockEncodeDispatcher(
         n_samples, opts.block_length, mac_threshold,
         default_phasing=default_phased, aet_dtype=aet_dtype,
-        weirdness_strategy=ws, device_cls=_device_encoder_cls(opts.device))
+        weirdness_strategy=ws, device_cls=_device_encoder_cls(opts.device),
+        force_device=force_device)
     try:
         return _compress_loop(inp, opts, xsi, var_writer, var_header, csi,
                               block, var_path, output_path, max_ploidy)

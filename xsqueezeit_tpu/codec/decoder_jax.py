@@ -105,15 +105,23 @@ class DeviceBlockDecoder:
         # Reuse the NumPy decoder's header/metadata parsing.
         self.meta = GtBlockDecoder(payload, n_samples, n_haps, aet_dtype)
         self._decoded: np.ndarray | None = None
+        # Uniformly-haploid blocks collapse to an N-element PBWT over
+        # samples (see encoder_jax.DeviceBlockEncoder.serialize); the same
+        # kernels decode them with H = n_samples.
+        self.uniform_haploid = (self.meta.binary_lines > 0
+                                and bool(self.meta.haploid_line.all()))
+        self.n_eff = n_samples if self.uniform_haploid else n_haps
 
     @property
     def eligible(self) -> bool:
-        """Device path: uniform diploid block, no PBWT-sorted weirdness
-        arrangement (WS_PBWT_WAH v4 files replay on the NumPy path), and
-        sort == select (the batched kernels partition after every WAH line;
-        a file whose LINE_SORT track diverges replays on the NumPy path)."""
+        """Device path: uniformly diploid OR uniformly haploid block, no
+        PBWT-sorted weirdness arrangement (WS_PBWT_WAH v4 files replay on
+        the NumPy path), and sort == select (the batched kernels partition
+        after every WAH line; a file whose LINE_SORT track diverges replays
+        on the NumPy path)."""
         has_weird = self.meta.has_weirdness
-        return (not bool(self.meta.haploid_line.any())
+        return ((self.uniform_haploid
+                 or not bool(self.meta.haploid_line.any()))
                 and self.meta.binary_lines > 0
                 and bool(np.array_equal(self.meta.line_is_sorting,
                                         self.meta.line_is_wah))
@@ -134,7 +142,7 @@ class DeviceBlockDecoder:
         from ..utils.shapes import bucket
 
         m = self.meta
-        H = self.n_haps
+        H = self.n_eff
         W = wah_jax.n_words_for(H)
         L = m.binary_lines
         is_wah = m.line_is_wah.astype(bool)
@@ -207,7 +215,7 @@ class DeviceBlockDecoder:
         vals = self._vals
         neg = self._neg
         if n_alleles <= 1:
-            return np.zeros(self.n_haps, np.int16)
+            return np.zeros(self.n_eff, np.int16)
         out = vals[first_line].astype(np.int16)
         for j in range(1, n_alleles - 1):
             row = vals[first_line + j].astype(bool)
@@ -255,10 +263,17 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
     if not dev.eligible:
         return numpy_random_access()
 
-    dp = m.default_phasing
-    H = n_haps
+    # Haploid records carry one slot per sample and no phase bit.
+    dp = 0 if dev.uniform_haploid else m.default_phasing
+    H = dev.n_eff
     idx = np.arange(H)
     phase_term = ((idx & 1) & dp).astype(np.int32)
+    # Zero-ALT records own no binary line; the NumPy decoder emits them at
+    # full diploid width with default phasing regardless of block ploidy --
+    # mirror it exactly (device == numpy is the tested contract).
+    zero_alt_gt = (np.int32(1 << 1)
+                   | ((np.arange(n_haps) & 1)
+                      & m.default_phasing)).astype(np.int32)
 
     no_weird = ((m.line_has_missing is None or not m.line_has_missing.any())
                 and (m.line_has_eov is None or not m.line_has_eov.any())
@@ -285,7 +300,7 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
         out = []
         for off, na in zip(offsets, n_alleles_per_record):
             if na <= 1:
-                out.append((np.int32(1 << 1) | phase_term).astype(np.int32))
+                out.append(zero_alt_gt.copy())
                 continue
             alleles = dev.record_alleles(off, na)
             out.append((((alleles.astype(np.int32) + 1) << 1)
@@ -305,7 +320,7 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
         if na <= 1:
             # zero-ALT record: no binary line, all-REF with default phasing
             # (first_line belongs to the NEXT record -- no overlays apply)
-            out.append((np.int32(1 << 1) | phase_term).astype(np.int32))
+            out.append(zero_alt_gt.copy())
             continue
         alleles = dev.record_alleles(first_line, na)
         gt = ((alleles.astype(np.int32) + 1) << 1) | phase_term

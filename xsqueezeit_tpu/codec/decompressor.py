@@ -390,7 +390,12 @@ class Decompressor:
     def _decompress_to_bcf(self, output_path: str, level: int = 6) -> dict:
         header = self.output_header()
         n_out = len(self.output_samples)
-        writer = BcfWriter(output_path, header, level=level)
+        # Parallel BGZF deflate: block compression is the reference's own
+        # dominant decompress cost (>60% bcf_write1,
+        # gt_decompressor_new.hpp:315); the output writer never calls
+        # tell_virtual, so the threaded pipeline stays fully async.
+        writer = BcfWriter(output_path, header, level=level,
+                           threads=min(os.cpu_count() or 1, 8))
         n = 0
         for rec, gt in self.iter_decoded_records():
             ploidy = self._line_ploidy(gt.shape[0])

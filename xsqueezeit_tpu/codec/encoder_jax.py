@@ -147,7 +147,8 @@ class DeviceBlockEncoder:
         return ploidy == 2
 
     def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
-        assert gt.shape[0] == self.n_haps, "device path requires diploid rows"
+        assert gt.shape[0] in (self.n_haps, self.n_samples), \
+            "device path requires uniformly diploid or uniformly haploid rows"
         self._gt_rows.append(np.asarray(gt, np.int32))
         self._n_alleles.append(n_alleles)
 
@@ -156,7 +157,16 @@ class DeviceBlockEncoder:
         gt_block = np.stack(self._gt_rows)          # [n_rec, H]
         n_alleles = np.asarray(self._n_alleles)
         n_alts = np.maximum(n_alleles - 1, 0)
-        H = self.n_haps
+        # Uniformly-haploid blocks (chrX male panels): the diploid 2N
+        # arrangement keeps haplotype pairs adjacent when every line's
+        # partition key is per-sample, so it collapses to an N-element
+        # PBWT over samples -- the SAME kernels run with H = n_samples
+        # (reference semantics: haploid_rearrangement_from_diploid,
+        # interfaces.hpp:318-333 + pbwt_sort1).  Mixed-ploidy blocks stay
+        # on the NumPy encoder.
+        haploid = gt_block.shape[1] == self.n_samples \
+            and self.n_samples != self.n_haps
+        H = gt_block.shape[1]
 
         # Expand records to binary lines (one per ALT).
         rec_of_line = np.repeat(np.arange(len(n_alts)), n_alts)
@@ -192,9 +202,13 @@ class DeviceBlockEncoder:
         eov_rec = alleles_rec == EOV_CODE
         rec_has_missing = miss_rec.any(axis=1)
         rec_has_eov = eov_rec.any(axis=1)
-        second = (np.arange(H) & 1).astype(bool)
-        nup_rec_bits = second[None, :] & (
-            (gt_block & 1) != self.default_phasing)
+        if haploid:
+            # single-slot samples carry no phase bit
+            nup_rec_bits = np.zeros_like(gt_block, bool)
+        else:
+            second = (np.arange(H) & 1).astype(bool)
+            nup_rec_bits = second[None, :] & (
+                (gt_block & 1) != self.default_phasing)
         # phase applies only to non-first alleles; specials included (ref parity)
         rec_has_nup = nup_rec_bits.any(axis=1)
 
@@ -236,7 +250,7 @@ class DeviceBlockEncoder:
         d: dict[int, int] = {
             GTDict.KEY_BCF_LINES: len(n_alts),
             GTDict.KEY_BINARY_LINES: L,
-            GTDict.KEY_MAX_LINE_PLOIDY: 2,
+            GTDict.KEY_MAX_LINE_PLOIDY: 1 if haploid else 2,
             GTDict.KEY_DEFAULT_PHASING: self.default_phasing,
             GTDict.KEY_WEIRDNESS_STRATEGY: ws,
             GTDict.KEY_LINE_SORT: GTDict.VAL_UNDEFINED,
@@ -244,6 +258,8 @@ class DeviceBlockEncoder:
             GTDict.KEY_MATRIX_WAH: GTDict.VAL_UNDEFINED,
             GTDict.KEY_MATRIX_SPARSE: GTDict.VAL_UNDEFINED,
         }
+        if haploid:
+            d[GTDict.KEY_LINE_HAPLOID] = GTDict.VAL_UNDEFINED
         if rec_has_missing.any():
             d[GTDict.KEY_LINE_MISSING] = GTDict.VAL_UNDEFINED
             d[GTDict.KEY_MATRIX_MISSING if wah_weird
@@ -305,6 +321,9 @@ class DeviceBlockEncoder:
             d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = len(payload)
             for t in phase_tracks:
                 payload.extend(np.ascontiguousarray(t).tobytes())
+        if haploid:
+            d[GTDict.KEY_LINE_HAPLOID] = len(payload)
+            payload.extend(wah_np.wah_encode(np.ones(L, np.uint8)).tobytes())
 
         payload[: len(dict_bytes)] = write_dictionary(d)
         return bytes(payload)

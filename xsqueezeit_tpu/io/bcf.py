@@ -437,8 +437,9 @@ class BcfReader:
 
 
 class BcfWriter:
-    def __init__(self, path_or_file, header: BcfHeader, level: int = 6):
-        self._f = BgzfWriter(path_or_file, level=level)
+    def __init__(self, path_or_file, header: BcfHeader, level: int = 6,
+                 threads: int = 0):
+        self._f = BgzfWriter(path_or_file, level=level, threads=threads)
         self.header = header
         text = header.to_text().encode() + b"\0"
         self._f.write(BCF_MAGIC)

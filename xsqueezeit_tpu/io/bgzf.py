@@ -47,7 +47,18 @@ def _compress_block(data: bytes, level: int = 6) -> bytes:
 
 
 class BgzfWriter(io.RawIOBase):
-    def __init__(self, path_or_file, level: int = 6):
+    """BGZF writer, optionally with parallel block deflate.
+
+    BGZF members are independent gzip streams, so `threads > 0` hands each
+    64 KiB block to a thread pool (zlib releases the GIL) and writes the
+    compressed members back in order — the same design as htslib's bgzf
+    thread pool, which dominates its own write path.  tell_virtual() needs
+    the exact compressed offset, so calling it drains the pipeline first;
+    writers that index while writing (the variant-BCF + CSI path) should
+    keep threads=0.
+    """
+
+    def __init__(self, path_or_file, level: int = 6, threads: int = 0):
         if path_or_file == "-":
             import sys
             self._f = sys.stdout.buffer
@@ -64,6 +75,14 @@ class BgzfWriter(io.RawIOBase):
         # Starts at the wrapped object's current position so tell_virtual()
         # stays correct when wrapping an already-positioned seekable file.
         self._coffset = _initial_offset(self._f)
+        self._pool = None
+        self._pending = None
+        if threads > 0:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=threads)
+            self._pending = deque()
+            self._max_pending = threads * 4
 
     def writable(self):
         return True
@@ -76,9 +95,24 @@ class BgzfWriter(io.RawIOBase):
         return len(data)
 
     def _flush_block(self, chunk) -> None:
-        out = _compress_block(bytes(chunk), self._level)
+        if self._pool is not None:
+            data = bytes(chunk)
+            self._pending.append(
+                self._pool.submit(_compress_block, data, self._level))
+            while (len(self._pending) > self._max_pending
+                   or (self._pending and self._pending[0].done())):
+                self._write_out(self._pending.popleft().result())
+            return
+        self._write_out(_compress_block(bytes(chunk), self._level))
+
+    def _write_out(self, out: bytes) -> None:
         self._f.write(out)
         self._coffset += len(out)
+
+    def _drain(self) -> None:
+        if self._pending:
+            while self._pending:
+                self._write_out(self._pending.popleft().result())
 
     def tell_virtual(self) -> int:
         """Virtual offset of the next byte to be written.
@@ -88,6 +122,7 @@ class BgzfWriter(io.RawIOBase):
         the in-block offset always fits the low 16 bits.  Tracks the
         compressed offset itself: stdout pipes have no tell().
         """
+        self._drain()
         return (self._coffset << 16) | len(self._buf)
 
     def flush_pending(self) -> None:
@@ -99,6 +134,10 @@ class BgzfWriter(io.RawIOBase):
         if self.closed:
             return
         self.flush_pending()
+        self._drain()
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
         self._f.write(BGZF_EOF)
         if self._own:
             self._f.close()

@@ -168,7 +168,9 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
         n_samples, opts.block_length, mac_threshold,
         default_phasing=default_phased, aet_dtype=aet_dtype,
         weirdness_strategy=weirdness_strategy,
-        device_cls=_device_encoder_cls(opts.device))
+        device_cls=_device_encoder_cls(opts.device),
+        force_device=(opts.device == "jax"
+                      or os.environ.get("XSI_DEVICE") == "jax"))
     payloads: list[bytes] = []
     inp = GtInput(input_path)
     for i, rec in enumerate(inp):

@@ -118,3 +118,38 @@ def make_sharded_decoder(mesh: Mesh, axis: str = "blocks"):
         return jax.jit(sharded)
 
     return build
+
+
+def make_sharded_block_decoder(mesh: Mesh, axis: str = "blocks"):
+    """Full mixed-block decoder over the mesh: WAH lines AND sparse lines
+    (carrier scatter + negated-row fold) land in natural line order, the
+    same fused program as codec.decoder_jax._decode_block_full vmapped over
+    each device's shard of blocks.
+
+    fn = build(h, w); fn(stream u16[B, N], sorts bool[B, Lw],
+                         rank i32[B, Lp], is_wah bool[B, Lp],
+                         neg u8[B, Lp], car_line i32[B, Nc],
+                         car_idx i32[B, Nc]) -> vals uint8[B, Lp, h]
+    """
+    from ..codec.decoder_jax import _decode_block_full
+
+    from jax import shard_map
+
+    def per_shard(stream, sorts, rank, is_wah, neg, car_line, car_idx, h, w):
+        return jax.vmap(
+            lambda s, so, r, iw, ng, cl, ci:
+            _decode_block_full(s, so, r, iw, ng, cl, ci, h, w)
+        )(stream, sorts, rank, is_wah, neg, car_line, car_idx)
+
+    def build(h: int, w: int):
+        sharded = shard_map(
+            functools.partial(per_shard, h=h, w=w), mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None), P(axis, None), P(axis, None),
+                      P(axis, None)),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    return build
