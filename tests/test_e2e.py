@@ -323,3 +323,14 @@ def test_recompress_with_region_and_samples(tmp_path):
     assert samples == samples_direct
     assert len(want) > 0
     assert got == want
+
+
+def test_count_xcf(tmp_path, capsys):
+    vcf = fixtures.random_vcf(str(tmp_path / "c.vcf"), n_samples=8,
+                              n_records=37, seed=13)
+    assert cli_main(["--count-xcf", "-f", vcf]) == 0
+    assert "Number of entries is : 37" in capsys.readouterr().err
+    xsi = str(tmp_path / "c.xsi")
+    cli_main(["-c", "-f", vcf, "-o", xsi])
+    assert cli_main(["--count-xcf", "-f", xsi + "_var.bcf"]) == 0
+    assert "Number of entries is : 37" in capsys.readouterr().err

@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("phase-switch-errors")
     s.add_argument("test_file")
     s.add_argument("ref_file")
+    s = sub.add_parser("phase")
+    s.add_argument("infile")
+    s.add_argument("outfile")
+    s = sub.add_parser("stats")
+    s.add_argument("file")
     s = sub.add_parser("e2e")
     s.add_argument("--records", type=int, default=20000)
     s.add_argument("--samples", type=int, default=2504)
@@ -101,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
         out = compute_phase_switch_errors(args.test_file, args.ref_file)
         out.pop("per_sample")
         print(json.dumps(out))
+    elif args.cmd == "phase":
+        from ..utils.phasing import phase_file
+        print(json.dumps(phase_file(args.infile, args.outfile)))
+    elif args.cmd == "stats":
+        from ..utils.stats import xsi_block_stats
+        print(json.dumps(xsi_block_stats(args.file)))
     elif args.cmd == "e2e":
         from .e2e import run
         print(json.dumps(run(n_records=args.records, n_samples=args.samples,

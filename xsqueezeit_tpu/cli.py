@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default="",
                    help="Write a JAX profiler trace of the run to this "
                         "directory (view with TensorBoard / xprof)")
+    p.add_argument("--count-xcf", action="store_true",
+                   help="Count the variant entries of a VCF/BCF and print "
+                        "the elapsed time (reference debug utility)")
     p.add_argument("--distributed", default="", metavar="HOST:PORT",
                    help="Multi-host compression: jax.distributed coordinator "
                         "address; launch one identical process per host with "
@@ -99,6 +102,18 @@ def _dispatch(args) -> int:
         with open(args.file, "rb") as f:
             header = XsiHeader.unpack(f.read(256))
         print(header.info_string(), file=sys.stderr)
+        return 0
+
+    if args.count_xcf:
+        # reference parity: --count-xcf (xsqueezeit.cpp:58-64 ->
+        # count_entries, xcf.cpp:318-340)
+        import time as _time
+        from .io.unified import count_entries
+        t0 = _time.perf_counter()
+        count = count_entries(args.file)
+        elapsed = _time.perf_counter() - t0
+        print(f"INFO : Number of entries is : {count}", file=sys.stderr)
+        print(f"Time taken : {elapsed:.6f} s", file=sys.stderr)
         return 0
 
     if args.compress:

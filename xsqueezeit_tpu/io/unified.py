@@ -105,3 +105,32 @@ def sniff_max_ploidy_first_entry(path: str) -> int:
         return rec.ploidy if rec.gt is not None else 0
     inp.close()
     return 0
+
+
+def count_entries(path: str) -> int:
+    """Number of variant records in a VCF/BCF (reference: count_entries,
+    xcf.cpp:318-340).  BCF records are skipped without decoding genotypes."""
+    fmt = sniff_format(path)
+    n = 0
+    if fmt == "bcf":
+        import struct
+        from .bgzf import BgzfReader
+        r = BgzfReader(path)
+        r.read(5)
+        (l_text,) = struct.unpack("<I", r.read(4))
+        r.read(l_text)
+        while True:
+            head = r.read(8)
+            if len(head) < 8:
+                break
+            l_shared, l_indiv = struct.unpack("<II", head)
+            r.read(l_shared + l_indiv)
+            n += 1
+        r.close()
+        return n
+    from .vcf import VcfReader
+    v = VcfReader(path)
+    for _ in v:
+        n += 1
+    v.close()
+    return n
