@@ -157,6 +157,37 @@ def wah_decode(words: np.ndarray, n_bits: int) -> tuple[np.ndarray, int]:
     return out[:n_bits], n_used
 
 
+def wah_expand_block(stream: np.ndarray, n_lines: int, w: int) -> np.ndarray:
+    """Expand a uniform-width WAH stream to packed 15-bit groups, whole
+    block at once (the numpy mirror of wah_jax.wah_expand_stream).
+
+    stream holds the WAH words of `n_lines` lines back to back, each line
+    spanning exactly w 15-bit groups (the codec invariant: lines pad to
+    w*15 bits, so fill counters never straddle a line boundary).  Trailing
+    words beyond the grid are ignored.  Returns uint16[n_lines, w].
+
+    One vectorised pass replaces per-line wah_decode calls, whose fixed
+    numpy overhead dominates the host-path block decode.
+    """
+    s = np.asarray(stream).astype(np.int64)
+    is_counter = (s & WAH_HIGH_BIT) != 0
+    span = np.where(is_counter, s & WAH_MAX_COUNTER, 1)
+    start = np.cumsum(span) - span
+    total = n_lines * w
+    valid = start < total
+    # plant (pos_in_row+1) << 16 | word at each run start; an in-row
+    # running max forward-fills counter coverage (zero-count counters --
+    # which would collide -- are rejected at parse time)
+    packed = (((start % w) + 1) << 16) | s
+    z = np.zeros(total, np.int64)
+    z[start[valid]] = packed[valid]
+    z = z.reshape(n_lines, w)
+    np.maximum.accumulate(z, axis=1, out=z)
+    word = z & 0xFFFF
+    fill = np.where((word & WAH_COUNT_1_BIT) != 0, WAH_ALL_SET, 0)
+    return np.where((word & WAH_HIGH_BIT) != 0, fill, word).astype(np.uint16)
+
+
 def wah_decode_count_ones(words: np.ndarray, n_bits: int) -> tuple[np.ndarray, int, int]:
     """Decode and also return the popcount over the *full decoded span*.
 
