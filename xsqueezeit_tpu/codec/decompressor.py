@@ -404,7 +404,7 @@ class Decompressor:
             if self._select is not None:
                 shared = self._patch_shared_ac_an(shared, gt, rec.n_allele)
             indiv = encode_gt_indiv(self.var_header, gt, ploidy, n_out)
-            writer.write_raw(shared, indiv)
+            writer.write_raw(shared, indiv, want_offsets=False)
             n += 1
         writer.close()
         return self._emit_stats(n)

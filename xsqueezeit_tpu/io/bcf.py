@@ -446,13 +446,18 @@ class BcfWriter:
         self._f.write(struct.pack("<I", len(text)))
         self._f.write(text)
 
-    def write_raw(self, shared: bytes, indiv: bytes) -> tuple[int, int]:
+    def write_raw(self, shared: bytes, indiv: bytes,
+                  want_offsets: bool = True) -> tuple[int, int] | None:
         """Write one record; returns its (start, end) BGZF virtual offsets
-        (used by the CSI index builder)."""
-        vbeg = self._f.tell_virtual()
+        (used by the CSI index builder).  Pass want_offsets=False on bulk
+        writers that don't index: tell_virtual() must drain the threaded
+        deflate pipeline, which would serialize it per record."""
+        vbeg = self._f.tell_virtual() if want_offsets else 0
         self._f.write(struct.pack("<II", len(shared), len(indiv)))
         self._f.write(shared)
         self._f.write(indiv)
+        if not want_offsets:
+            return None
         return vbeg, self._f.tell_virtual()
 
     def write_record(self, rec: BcfRecord) -> None:
