@@ -148,3 +148,17 @@ def test_multihost_two_processes_zstd(tmp_path):
     multi = str(tmp_path / "multi.xsi")
     _run_multihost(vcf, multi, 2, tmp_path, zstd=True)
     assert open(multi, "rb").read() == open(single, "rb").read()
+
+
+def test_multihost_more_processes_than_blocks(tmp_path):
+    """3 processes, 2 blocks: one process contributes nothing; the gather
+    must still assemble a byte-identical container."""
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=7,
+                              n_records=25, seed=33)
+    (tmp_path / "s").mkdir()
+    (tmp_path / "m").mkdir()
+    single = str(tmp_path / "s" / "out.xsi")
+    compress_file(vcf, single, CompressorOptions(block_length=16))
+    multi = str(tmp_path / "m" / "out.xsi")
+    _run_multihost(vcf, multi, 3, tmp_path)
+    assert open(multi, "rb").read() == open(single, "rb").read()

@@ -156,3 +156,21 @@ def test_reference_c_api_test_unmodified(xcf_pair):
     out2 = subprocess.run([binary, plain], check=True,
                           capture_output=True, text=True).stdout
     assert "Exctacted 75 records" in out2
+
+
+def test_c_xcf_zstd_container(c_xcf_built, tmp_path):
+    """The c_xcf route decodes zstd-compressed containers too."""
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=11,
+                              n_records=50, seed=44)
+    xsi = str(tmp_path / "z.xsi")
+    assert cli_main(["-c", "-f", vcf, "-o", xsi, "--zstd",
+                     "--variant-block-length", "20"]) == 0
+    out = subprocess.run([c_xcf_built, xsi + "_var.bcf"], check=True,
+                         capture_output=True, text=True).stdout
+    want_chk = []
+    for r in GtInput(vcf):
+        g = r.gt.astype(np.int64)
+        want_chk.append(int((g * np.arange(1, g.shape[0] + 1)).sum()))
+    got_chk = [int(line.split()[-1]) for line in out.splitlines()
+               if line.startswith("record ")]
+    assert got_chk == want_chk
