@@ -162,3 +162,56 @@ def test_multihost_more_processes_than_blocks(tmp_path):
     multi = str(tmp_path / "m" / "out.xsi")
     _run_multihost(vcf, multi, 3, tmp_path)
     assert open(multi, "rb").read() == open(single, "rb").read()
+
+
+_MULTIHOST_X_WORKER = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+xsi_path, output_path, port, procid, nproc = sys.argv[1:6]
+import jax
+jax.config.update("jax_platforms", "cpu")
+from xsqueezeit_tpu.parallel.distributed import decompress_file_multihost
+stats = decompress_file_multihost(
+    xsi_path, output_path,
+    coordinator=f"localhost:{port}",
+    num_processes=int(nproc), process_id=int(procid))
+print("OK", stats is not None)
+"""
+
+
+def test_multihost_decompress_two_processes(tmp_path):
+    """Multi-process extraction: segments of BGZF records concatenate into
+    one valid BCF equal to the single-process extraction record for
+    record (beyond-reference scale-out)."""
+    import socket
+    import subprocess
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=15,
+                              n_records=90, seed=35)
+    xsi = str(tmp_path / "o.xsi")
+    compress_file(vcf, xsi, CompressorOptions(block_length=16))
+    single = str(tmp_path / "single.bcf")
+    from xsqueezeit_tpu.codec.decompressor import DecompressorOptions
+    Decompressor(xsi, DecompressorOptions(output_type="b")).decompress(single)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "xworker.py"
+    worker.write_text(_MULTIHOST_X_WORKER)
+    multi = str(tmp_path / "multi.bcf")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), xsi, multi, str(port), str(i), "2"],
+            cwd="/root/repo", stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o}"
+
+    from xsqueezeit_tpu.io.unified import GtInput
+    a = [(r.n_alleles, r.gt.tolist()) for r in GtInput(single)]
+    b = [(r.n_alleles, r.gt.tolist()) for r in GtInput(multi)]
+    assert len(a) == 90 and a == b

@@ -63,3 +63,14 @@ def test_zstd_region_and_samples(vcf, tmp_path):
     orig = _read(vcf)
     keep = [i for i in range(120) if 60300 <= 60000 + i * 37 <= 61500]
     assert len(rows) == len(keep)
+
+
+def test_e2e_bench_tool_small():
+    """The file-level wall-clock bench tool itself (synth -> compress ->
+    extract -> verify) on a tiny workload, host path."""
+    from xsqueezeit_tpu.bench.e2e import run
+
+    out = run(n_records=400, n_samples=40, device="numpy")
+    assert out["records"] == 400
+    assert out["compress_mb_s"] > 0 and out["extract_mb_s"] > 0
+    assert out["xsi_mb"] < out["logical_mb"]

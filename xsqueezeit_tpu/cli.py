@@ -169,6 +169,14 @@ def _dispatch(args) -> int:
             regions=regions, targets=args.targets, samples=args.samples,
             samples_file=args.samples_file, output_type=output_type,
             no_header=args.no_header, verbose=args.verbose)
+        if args.distributed:
+            from .parallel.distributed import decompress_file_multihost
+            decompress_file_multihost(
+                args.file, out, opts,
+                coordinator=args.distributed,
+                num_processes=args.dist_nproc,
+                process_id=args.dist_procid)
+            return 0
         Decompressor(args.file, opts).decompress(out)
         return 0
 

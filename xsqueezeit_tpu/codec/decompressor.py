@@ -77,6 +77,8 @@ class DecompressorOptions:
     no_header: bool = False
     verbose: bool = False
     device: str = "auto"       # "auto" | "jax" | "numpy"
+    block_range: tuple[int, int] | None = None  # [start, end) block window
+    #                 (multi-host partition; parallel/distributed.py)
 
 
 class Decompressor:
@@ -291,6 +293,11 @@ class Decompressor:
                     break
             if bm is None:
                 raise ValueError("Variant record without BM field")
+            if self.opts.block_range is not None:
+                blk = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS
+                if not (self.opts.block_range[0] <= blk
+                        < self.opts.block_range[1]):
+                    continue
             if regions is not None or targets is not None:
                 chrom = (reader.header.dict_contigs[rec.rid]
                          if rec.rid < len(reader.header.dict_contigs) else "")
@@ -387,7 +394,12 @@ class Decompressor:
             out.append(f"AN={an}")
         return ";".join(out) if out else "."
 
-    def _decompress_to_bcf(self, output_path: str, level: int = 6) -> dict:
+    def _decompress_to_bcf(self, output_path, level: int = 6,
+                           write_header: bool = True,
+                           write_eof: bool = True) -> dict:
+        """output_path: path or file object.  write_header/write_eof=False
+        emit a records-only BGZF body segment (multi-host partition;
+        segments concatenate into one valid BCF)."""
         header = self.output_header()
         n_out = len(self.output_samples)
         # Parallel BGZF deflate: block compression is the reference's own
@@ -395,7 +407,8 @@ class Decompressor:
         # gt_decompressor_new.hpp:315); the output writer never calls
         # tell_virtual, so the threaded pipeline stays fully async.
         writer = BcfWriter(output_path, header, level=level,
-                           threads=min(os.cpu_count() or 1, 8))
+                           threads=min(os.cpu_count() or 1, 8),
+                           write_header=write_header)
         n = 0
         for rec, gt in self.iter_decoded_records():
             ploidy = self._line_ploidy(gt.shape[0])
@@ -406,6 +419,7 @@ class Decompressor:
             indiv = encode_gt_indiv(self.var_header, gt, ploidy, n_out)
             writer.write_raw(shared, indiv, want_offsets=False)
             n += 1
+        writer._f.finish(write_eof=write_eof)
         writer.close()
         return self._emit_stats(n)
 

@@ -438,13 +438,17 @@ class BcfReader:
 
 class BcfWriter:
     def __init__(self, path_or_file, header: BcfHeader, level: int = 6,
-                 threads: int = 0):
+                 threads: int = 0, write_header: bool = True):
+        """write_header=False emits a records-only BODY segment (for
+        parallel writers whose segments are concatenated after a single
+        header segment; see BgzfWriter.finish)."""
         self._f = BgzfWriter(path_or_file, level=level, threads=threads)
         self.header = header
-        text = header.to_text().encode() + b"\0"
-        self._f.write(BCF_MAGIC)
-        self._f.write(struct.pack("<I", len(text)))
-        self._f.write(text)
+        if write_header:
+            text = header.to_text().encode() + b"\0"
+            self._f.write(BCF_MAGIC)
+            self._f.write(struct.pack("<I", len(text)))
+            self._f.write(text)
 
     def write_raw(self, shared: bytes, indiv: bytes,
                   want_offsets: bool = True) -> tuple[int, int] | None:

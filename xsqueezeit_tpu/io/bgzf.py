@@ -130,15 +130,25 @@ class BgzfWriter(io.RawIOBase):
             self._flush_block(self._buf)
             self._buf.clear()
 
-    def close(self) -> None:
-        if self.closed:
-            return
+    def finish(self, write_eof: bool = True) -> None:
+        """Flush all pending data.  write_eof=False emits a BODY segment
+        (BGZF members concatenate cleanly, so segments produced by
+        parallel writers join into one valid file; only the final segment
+        carries the 28-byte EOF marker)."""
         self.flush_pending()
         self._drain()
         if self._pool is not None:
             self._pool.shutdown()
             self._pool = None
-        self._f.write(BGZF_EOF)
+        if write_eof:
+            self._f.write(BGZF_EOF)
+        self._finished = True
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if not getattr(self, "_finished", False):
+            self.finish()
         if self._own:
             self._f.close()
         super().close()

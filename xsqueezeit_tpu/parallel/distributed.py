@@ -388,3 +388,51 @@ def compress_file_multihost(input_path: str, output_path: str,
         "variant_bytes": os.path.getsize(
             output_path + XSI_BCF_VAR_EXTENSION),
     }
+
+
+def decompress_file_multihost(xsi_path: str, output_path: str,
+                              opts=None,
+                              coordinator: str | None = None,
+                              num_processes: int | None = None,
+                              process_id: int | None = None) -> dict | None:
+    """Multi-process decompression to BCF (beyond-reference scale-out).
+
+    Blocks are independently decodable, so each process decodes its
+    contiguous block range and emits a records-only BGZF body segment;
+    BGZF members concatenate cleanly, so process 0 writes
+    [header segment][body 0]...[body N-1][EOF] — a valid BCF with the
+    records in original order.  Output equals the single-process
+    extraction record for record (BGZF block boundaries differ at
+    segment joins, so bytes are not identical — contents are).
+
+    Only -O b output is supported multi-host.  Returns the summary dict on
+    process 0, None elsewhere.
+    """
+    import io as _io
+
+    from ..codec.decompressor import Decompressor, DecompressorOptions
+    from ..io.bgzf import BGZF_EOF
+
+    pidx, pcount = init_distributed(coordinator, num_processes, process_id)
+    opts = opts or DecompressorOptions()
+    if opts.output_type not in ("b",):
+        raise ValueError("multi-host decompression supports -O b output")
+
+    d = Decompressor(xsi_path, opts)
+    n_blocks = d.xsi.n_blocks()
+    start_blk, end_blk = process_layout(max(n_blocks, 1), pidx, pcount)
+    d.opts.block_range = (start_blk, end_blk)
+
+    body = _io.BytesIO()
+    stats = d._decompress_to_bcf(body, write_header=(pidx == 0),
+                                 write_eof=False)
+    segments = gather_blocks_to_host0([body.getvalue()])
+    if pidx != 0:
+        return None
+    with open(output_path, "wb") as f:
+        for seg in segments:
+            f.write(seg)
+        f.write(BGZF_EOF)
+    stats["n_blocks"] = n_blocks
+    stats["n_processes"] = pcount
+    return stats
