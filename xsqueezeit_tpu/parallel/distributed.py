@@ -426,7 +426,13 @@ def decompress_file_multihost(xsi_path: str, output_path: str,
     body = _io.BytesIO()
     stats = d._decompress_to_bcf(body, write_header=(pidx == 0),
                                  write_eof=False)
-    segments = gather_blocks_to_host0([body.getvalue()])
+    # Chunk the segment: the gather's length metadata is int32, and a
+    # chromosome-scale body can exceed 2 GB; pieces stay in order.
+    data = body.getvalue()
+    chunk = 1 << 28
+    pieces = ([data[i:i + chunk] for i in range(0, len(data), chunk)]
+              or [b""])
+    segments = gather_blocks_to_host0(pieces)
     if pidx != 0:
         return None
     with open(output_path, "wb") as f:
