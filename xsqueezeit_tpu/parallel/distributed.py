@@ -349,11 +349,9 @@ def compress_file_multihost(input_path: str, output_path: str,
         entry_counter, variant_counter, max_ploidy = _variant_pass(
             inp, opts, output_path, sniffed_ploidy)
     else:
-        entry_counter = 0
-        max_ploidy = sniffed_ploidy
-        for rec in inp:
-            entry_counter += 1
-            max_ploidy = max(max_ploidy, rec.ploidy)
+        # raw record skip -- no genotype decode needed just to count
+        from ..io.unified import count_entries
+        entry_counter = count_entries(input_path)
     inp.close()
 
     if pcount > 1:
