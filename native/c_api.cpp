@@ -21,6 +21,7 @@
 #include <zlib.h>
 
 #include <cstring>
+#include <map>
 #include <memory>
 #include <string>
 #include <vector>
@@ -63,14 +64,16 @@ class ShimBgzf {
     for (size_t off = 0; off + 4 <= extra.size();) {
       uint16_t slen = uint16_t(extra[off + 2]) | (uint16_t(extra[off + 3]) << 8);
       if (extra[off] == 'B' && extra[off + 1] == 'C' && slen == 2) {
+        if (off + 6 > extra.size()) return false;  // malformed BC subfield
         bsize = (int(extra[off + 4]) | (int(extra[off + 5]) << 8)) + 1;
         break;
       }
       off += 4 + slen;
     }
     if (bsize < 0) return false;
-    int comp_len = bsize - 12 - xlen - 8;
-    std::vector<uint8_t> comp(comp_len);
+    int comp_len = bsize - 12 - int(xlen) - 8;
+    if (comp_len < 0) return false;  // malformed BSIZE: clean parse error
+    std::vector<uint8_t> comp(static_cast<size_t>(comp_len), 0);
     if (fread(comp.data(), 1, comp_len, fp_) != size_t(comp_len)) return false;
     uint8_t tail[8];
     if (fread(tail, 1, 8, fp_) != 8) return false;
@@ -112,6 +115,7 @@ int64_t read_typed_int(const uint8_t **pp) {
 struct HeaderImpl {
   std::string text;
   std::vector<std::string> samples;
+  std::vector<std::string> contigs;  // rid -> contig name
   std::string xsi_basename;          // value of ##XSI=, empty if none
   int gt_key = -1;
   int bm_key = -1;
@@ -122,6 +126,7 @@ struct HeaderImpl {
     // implicit in order of appearance; PASS implicitly 0).
     bool explicit_idx = t.find("IDX=") != std::string::npos;
     std::vector<std::pair<std::string, int>> entries;
+    std::vector<std::pair<std::string, int>> contig_entries;
     bool has_pass = false;
     size_t start = 0;
     while (start < t.size()) {
@@ -150,7 +155,9 @@ struct HeaderImpl {
       }
       if (line.rfind("##", 0) != 0) continue;
       std::string key = line.substr(2, line.find('=') - 2);
-      if (key != "FILTER" && key != "INFO" && key != "FORMAT") continue;
+      bool is_contig = key == "contig";
+      if (!is_contig && key != "FILTER" && key != "INFO" && key != "FORMAT")
+        continue;
       size_t idp = line.find("ID=");
       if (idp == std::string::npos) continue;
       size_t ide = line.find_first_of(",>", idp + 3);
@@ -160,39 +167,51 @@ struct HeaderImpl {
         size_t xp = line.find("IDX=");
         if (xp != std::string::npos) idx = atoi(line.c_str() + xp + 4);
       }
-      if (ident == "PASS") has_pass = true;
+      auto &vec = is_contig ? contig_entries : entries;
+      if (!is_contig && ident == "PASS") has_pass = true;
       bool seen = false;
-      for (auto &e : entries)
+      for (auto &e : vec)
         if (e.first == ident) { seen = true; break; }
-      if (!seen) entries.emplace_back(ident, idx);
+      if (!seen) vec.emplace_back(ident, idx);
     }
     if (!has_pass) {
       bool any_explicit = false;
       for (auto &e : entries) any_explicit |= e.second >= 0;
       entries.insert(entries.begin(), {"PASS", any_explicit ? 0 : -1});
     }
-    int max_idx = -1;
-    for (auto &e : entries) max_idx = std::max(max_idx, e.second);
-    std::vector<std::string> table(max_idx + 1);
-    std::vector<bool> used(max_idx + 1, false);
-    for (auto &e : entries)
-      if (e.second >= 0) { table[e.second] = e.first; used[e.second] = true; }
-    size_t free_slot = 0;
-    for (auto &e : entries) {
-      if (e.second >= 0) continue;
-      while (free_slot < used.size() && used[free_slot]) free_slot++;
-      if (free_slot < table.size()) {
-        table[free_slot] = e.first;
-        used[free_slot] = true;
-      } else {
-        table.push_back(e.first);
-        used.push_back(true);
+    auto assign = [](const std::vector<std::pair<std::string, int>> &ents) {
+      int max_idx = -1;
+      for (auto &e : ents) max_idx = std::max(max_idx, e.second);
+      std::vector<std::string> table(max_idx + 1);
+      std::vector<bool> used(max_idx + 1, false);
+      for (auto &e : ents)
+        if (e.second >= 0) { table[e.second] = e.first; used[e.second] = true; }
+      size_t free_slot = 0;
+      for (auto &e : ents) {
+        if (e.second >= 0) continue;
+        while (free_slot < used.size() && used[free_slot]) free_slot++;
+        if (free_slot < table.size()) {
+          table[free_slot] = e.first;
+          used[free_slot] = true;
+        } else {
+          table.push_back(e.first);
+          used.push_back(true);
+        }
       }
-    }
+      return table;
+    };
+    std::vector<std::string> table = assign(entries);
+    contigs = assign(contig_entries);
     for (size_t i = 0; i < table.size(); ++i) {
       if (table[i] == "GT") gt_key = int(i);
       if (table[i] == "BM") bm_key = int(i);
     }
+  }
+
+  const std::string &contig_name(int32_t rid) const {
+    static const std::string unknown = "?";
+    if (rid < 0 || size_t(rid) >= contigs.size()) return unknown;
+    return contigs[size_t(rid)];
   }
 };
 
@@ -341,6 +360,18 @@ int decode_gt(const LineImpl &li, int gt_key, void **dst, int *ndst) {
 struct SyncImpl {
   std::vector<std::unique_ptr<ReaderImpl>> readers;
   std::vector<bcf_sr_t> creaders;
+  // Global contig order: first appearance over readers in order (htslib
+  // syncs by contig NAME, not numeric rid -- readers may declare
+  // different contig subsets, e.g. a single-chromosome file).
+  std::map<std::string, int> contig_rank;
+
+  int rank_of(const std::string &name) {
+    auto it = contig_rank.find(name);
+    if (it != contig_rank.end()) return it->second;
+    int r = int(contig_rank.size());
+    contig_rank.emplace(name, r);
+    return r;
+  }
 };
 
 /* ------------------------------------------------------------ Xcf class */
@@ -399,6 +430,8 @@ int bcf_sr_add_reader(bcf_srs_t *sr, const char *fname) {
   auto *impl = static_cast<SyncImpl *>(sr->impl);
   auto r = std::make_unique<ReaderImpl>();
   if (!r->open(fname)) return 0;
+  for (const auto &c : r->hdr.contigs)
+    impl->rank_of(c);  // global contig order follows declaration order
   impl->readers.push_back(std::move(r));
   impl->creaders.resize(impl->readers.size());
   for (size_t i = 0; i < impl->readers.size(); ++i) {
@@ -412,24 +445,30 @@ int bcf_sr_add_reader(bcf_srs_t *sr, const char *fname) {
 
 int bcf_sr_next_line(bcf_srs_t *sr) {
   auto *impl = static_cast<SyncImpl *>(sr->impl);
-  int32_t best_rid = 0;
+  // Sync by (contig NAME rank, pos): numeric rids are per-reader
+  // dictionary slots and differ across files with different contig sets.
+  int best_rank = 0;
   int64_t best_pos = 0;
   bool any = false;
-  for (auto &r : impl->readers) {
+  std::vector<int> ranks(impl->readers.size(), -1);
+  for (size_t i = 0; i < impl->readers.size(); ++i) {
+    auto &r = impl->readers[i];
     r->has_line = false;
     r->prime();
     if (!r->has_pending) continue;
-    if (!any || r->pending.rid < best_rid ||
-        (r->pending.rid == best_rid && r->pending.pos < best_pos)) {
-      best_rid = r->pending.rid;
+    ranks[i] = impl->rank_of(r->hdr.contig_name(r->pending.rid));
+    if (!any || ranks[i] < best_rank ||
+        (ranks[i] == best_rank && r->pending.pos < best_pos)) {
+      best_rank = ranks[i];
       best_pos = r->pending.pos;
       any = true;
     }
   }
   if (!any) return 0;
   int n = 0;
-  for (auto &r : impl->readers) {
-    if (r->has_pending && r->pending.rid == best_rid &&
+  for (size_t i = 0; i < impl->readers.size(); ++i) {
+    auto &r = impl->readers[i];
+    if (r->has_pending && ranks[i] == best_rank &&
         r->pending.pos == best_pos) {
       std::swap(r->cur_impl.shared, r->pending_impl.shared);
       std::swap(r->cur_impl.indiv, r->pending_impl.indiv);

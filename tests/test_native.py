@@ -174,3 +174,43 @@ def test_c_xcf_zstd_container(c_xcf_built, tmp_path):
     got_chk = [int(line.split()[-1]) for line in out.splitlines()
                if line.startswith("record ")]
     assert got_chk == want_chk
+
+
+def test_c_xcf_lockstep_differing_contig_dicts(c_xcf_built, tmp_path):
+    """Readers whose headers declare different contig sets must sync by
+    contig NAME, not numeric rid (htslib semantics): a chr20-only file's
+    rid 0 is not chr1."""
+    rowsA = []  # two contigs declared, records on the second
+    with open(tmp_path / "a.vcf", "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "##contig=<ID=chr1>\n##contig=<ID=chr20>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                "S0\tS1\n")
+        for i in range(8):
+            f.write(f"chr20\t{100+i}\t.\tG\tA\t.\tPASS\t.\tGT\t0|1\t1|1\n")
+    with open(tmp_path / "b.vcf", "w") as f:  # chr20 only: its rid is 0
+        f.write("##fileformat=VCFv4.2\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "##contig=<ID=chr20>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                "S0\tS1\n")
+        for i in range(8):
+            f.write(f"chr20\t{100+i}\t.\tG\tA\t.\tPASS\t.\tGT\t0|1\t1|1\n")
+    a_bcf = str(tmp_path / "a.bcf")
+    b_bcf = str(tmp_path / "b.bcf")
+    from xsqueezeit_tpu.io.unified import GtInput as _GI
+    from xsqueezeit_tpu.io.bcf import BcfWriter
+    for src, dst in ((tmp_path / "a.vcf", a_bcf), (tmp_path / "b.vcf", b_bcf)):
+        inp = _GI(str(src))
+        w = BcfWriter(dst, inp.header)
+        from xsqueezeit_tpu.io.sites import encode_gt_indiv
+        from xsqueezeit_tpu.io.bcf import patch_shared_sample_counts
+        for rec in inp:
+            shared = patch_shared_sample_counts(rec.shared, 1, 2)
+            w.write_raw(shared, encode_gt_indiv(inp.header, rec.gt, 2, 2))
+        w.close()
+        inp.close()
+    out = subprocess.run([c_xcf_built, a_bcf, b_bcf], check=True,
+                         capture_output=True, text=True).stdout
+    assert "records 8" in out and "lockstep-identical" in out

@@ -80,45 +80,54 @@ def run(n_records: int = 20000, n_samples: int = 2504,
     xsi = os.path.join(workdir, "out.xsi")
     back = os.path.join(workdir, "roundtrip.bcf")
 
-    t0 = time.perf_counter()
-    synth_bcf(inp, n_records, n_samples)
-    t_synth = time.perf_counter() - t0
+    saved_device = os.environ.get("XSI_DEVICE")
+    try:
+        t0 = time.perf_counter()
+        synth_bcf(inp, n_records, n_samples)
+        t_synth = time.perf_counter() - t0
 
-    env_args = []
-    if device != "auto":
-        os.environ["XSI_DEVICE"] = device
+        if device != "auto":
+            os.environ["XSI_DEVICE"] = device
 
-    t0 = time.perf_counter()
-    rc = cli_main(["-c", "-f", inp, "-o", xsi]
-                  + (["--zstd"] if zstd else []) + env_args)
-    t_compress = time.perf_counter() - t0
-    assert rc == 0
+        t0 = time.perf_counter()
+        rc = cli_main(["-c", "-f", inp, "-o", xsi]
+                      + (["--zstd"] if zstd else []))
+        t_compress = time.perf_counter() - t0
+        assert rc == 0
 
-    t0 = time.perf_counter()
-    rc = cli_main(["-x", "-f", xsi, "-o", back, "-O", "b"])
-    t_extract = time.perf_counter() - t0
-    assert rc == 0
+        t0 = time.perf_counter()
+        rc = cli_main(["-x", "-f", xsi, "-o", back, "-O", "b"])
+        t_extract = time.perf_counter() - t0
+        assert rc == 0
 
-    # verify: sampled lockstep (full lockstep is the bench/lockstep tool)
-    a, b = GtInput(inp), GtInput(back)
-    step = max(n_records // 64, 1)
-    for i, (ra, rb) in enumerate(zip(a, b)):
-        if i % step == 0 and not np.array_equal(ra.gt, rb.gt):
-            raise AssertionError(f"round-trip mismatch at record {i}")
-    a.close()
-    b.close()
+        # verify: sampled lockstep (full lockstep is the bench/lockstep tool)
+        a, b = GtInput(inp), GtInput(back)
+        step = max(n_records // 64, 1)
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            if i % step == 0 and not np.array_equal(ra.gt, rb.gt):
+                raise AssertionError(f"round-trip mismatch at record {i}")
+        a.close()
+        b.close()
 
-    logical = n_records * n_samples * 2 * 4
-    return {
-        "records": n_records,
-        "samples": n_samples,
-        "logical_mb": round(logical / 1e6, 1),
-        "input_bcf_mb": round(os.path.getsize(inp) / 1e6, 2),
-        "xsi_mb": round(os.path.getsize(xsi) / 1e6, 3),
-        "synth_s": round(t_synth, 2),
-        "compress_s": round(t_compress, 2),
-        "extract_s": round(t_extract, 2),
-        "compress_mb_s": round(logical / t_compress / 1e6, 1),
-        "extract_mb_s": round(logical / t_extract / 1e6, 1),
-        "workdir": workdir if not own else "(temp)",
-    }
+        logical = n_records * n_samples * 2 * 4
+        return {
+            "records": n_records,
+            "samples": n_samples,
+            "logical_mb": round(logical / 1e6, 1),
+            "input_bcf_mb": round(os.path.getsize(inp) / 1e6, 2),
+            "xsi_mb": round(os.path.getsize(xsi) / 1e6, 3),
+            "synth_s": round(t_synth, 2),
+            "compress_s": round(t_compress, 2),
+            "extract_s": round(t_extract, 2),
+            "compress_mb_s": round(logical / t_compress / 1e6, 1),
+            "extract_mb_s": round(logical / t_extract / 1e6, 1),
+            "workdir": workdir if not own else "(temp)",
+        }
+    finally:
+        if saved_device is None:
+            os.environ.pop("XSI_DEVICE", None)
+        else:
+            os.environ["XSI_DEVICE"] = saved_device
+        if own:
+            import shutil
+            shutil.rmtree(workdir, ignore_errors=True)

@@ -338,44 +338,64 @@ def compress_file_multihost(input_path: str, output_path: str,
     (inp, samples, n_samples, default_phased, sniffed_ploidy,
      aet_dtype, mac_threshold, ws) = _setup(input_path, opts)
 
-    if pidx == 0:
-        header = XsiHeader(
-            version=5, ind_bytes=4, aet_bytes=np.dtype(aet_dtype).itemsize,
-            wah_bytes=2, iota_ppa=True, no_sort=False,
-            default_phased=bool(default_phased), ss_rate=opts.block_length,
-            rare_threshold=mac_threshold)
-        xsi = XsiWriter(output_path, header, samples,
-                        zstd_on=opts.zstd, zstd_level=opts.zstd_level)
-        entry_counter, variant_counter, max_ploidy = _variant_pass(
-            inp, opts, output_path, sniffed_ploidy)
-    else:
-        # raw record skip -- no genotype decode needed just to count
-        from ..io.unified import count_entries
-        entry_counter = count_entries(input_path)
-    inp.close()
+    xsi = None
+    try:
+        if pidx == 0:
+            header = XsiHeader(
+                version=5, ind_bytes=4,
+                aet_bytes=np.dtype(aet_dtype).itemsize,
+                wah_bytes=2, iota_ppa=True, no_sort=False,
+                default_phased=bool(default_phased),
+                ss_rate=opts.block_length, rare_threshold=mac_threshold)
+            xsi = XsiWriter(output_path, header, samples,
+                            zstd_on=opts.zstd, zstd_level=opts.zstd_level)
+            entry_counter, variant_counter, max_ploidy = _variant_pass(
+                inp, opts, output_path, sniffed_ploidy)
+        else:
+            # raw record skip -- no genotype decode needed just to count
+            from ..io.unified import count_entries
+            entry_counter = count_entries(input_path)
+        inp.close()
 
-    if pcount > 1:
-        counts = np.asarray(multihost_utils.process_allgather(
-            jnp.asarray([entry_counter], jnp.int32))).reshape(-1)
-        if not (counts == counts[0]).all():
-            raise RuntimeError(
-                f"processes disagree on input entry count: {counts.tolist()}"
-                " — every process must read the same input file")
+        if pcount > 1:
+            counts = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([entry_counter], jnp.int32))).reshape(-1)
+            if not (counts == counts[0]).all():
+                raise RuntimeError(
+                    "processes disagree on input entry count: "
+                    f"{counts.tolist()} — every process must read the same "
+                    "input file")
 
-    n_blocks = -(-entry_counter // opts.block_length)
-    start_blk, end_blk = process_layout(n_blocks, pidx, pcount)
-    payloads = _encode_block_range(
-        input_path, (start_blk, end_blk), n_samples, opts,
-        mac_threshold, default_phased, aet_dtype, ws)
+        n_blocks = -(-entry_counter // opts.block_length)
+        start_blk, end_blk = process_layout(n_blocks, pidx, pcount)
+        payloads = _encode_block_range(
+            input_path, (start_blk, end_blk), n_samples, opts,
+            mac_threshold, default_phased, aet_dtype, ws)
 
-    gathered = gather_blocks_to_host0(payloads)
-    if pidx != 0:
-        return None
+        gathered = gather_blocks_to_host0(payloads)
+        if pidx != 0:
+            return None
 
-    for payload in gathered:                 # original block order
-        xsi.write_block(payload)
-    xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
-                 max_ploidy=max_ploidy)
+        for payload in gathered:                 # original block order
+            xsi.write_block(payload)
+        xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
+                     max_ploidy=max_ploidy)
+    except BaseException:
+        # don't leave a truncated container/variant file behind on
+        # process 0 (mirrors compress_file's failure cleanup)
+        if pidx == 0:
+            try:
+                if xsi is not None and not xsi.f.closed:
+                    xsi.f.close()
+            except Exception:
+                pass
+            var_path = output_path + XSI_BCF_VAR_EXTENSION
+            for path in (output_path, var_path, var_path + ".csi"):
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        raise
     return {
         "entries": entry_counter,
         "variants": variant_counter,
@@ -416,6 +436,9 @@ def decompress_file_multihost(xsi_path: str, output_path: str,
     if opts.output_type not in ("b",):
         raise ValueError("multi-host decompression supports -O b output")
 
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
     d = Decompressor(xsi_path, opts)
     n_blocks = d.xsi.n_blocks()
     start_blk, end_blk = process_layout(max(n_blocks, 1), pidx, pcount)
@@ -424,19 +447,52 @@ def decompress_file_multihost(xsi_path: str, output_path: str,
     body = _io.BytesIO()
     stats = d._decompress_to_bcf(body, write_header=(pidx == 0),
                                  write_eof=False)
-    # Chunk the segment: the gather's length metadata is int32, and a
-    # chromosome-scale body can exceed 2 GB; pieces stay in order.
+    # Gather in bounded ROUNDS: one 256 MB piece per process per round
+    # (piece k of every process), streamed straight to per-process spill
+    # files on process 0 and concatenated in process order -- peak memory
+    # stays at P x 256 MB however large the bodies are, and the int32
+    # length metadata of the gather never overflows.
     data = body.getvalue()
+    del body
     chunk = 1 << 28
-    pieces = ([data[i:i + chunk] for i in range(0, len(data), chunk)]
-              or [b""])
-    segments = gather_blocks_to_host0(pieces)
-    if pidx != 0:
-        return None
-    with open(output_path, "wb") as f:
-        for seg in segments:
-            f.write(seg)
-        f.write(BGZF_EOF)
+    n_pieces = max(-(-len(data) // chunk), 1)
+    rounds = int(np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([n_pieces], jnp.int32))).max()) if pcount > 1 else n_pieces
+
+    try:
+        spool = None
+        if pidx == 0:
+            import tempfile
+            spool = [tempfile.TemporaryFile() for _ in range(pcount)]
+        for k in range(rounds):
+            piece = data[k * chunk:(k + 1) * chunk]
+            segs = gather_blocks_to_host0([piece])
+            if pidx == 0:
+                for p, seg in enumerate(segs):
+                    spool[p].write(seg)
+        # total record count across processes (stats above covers only this
+        # process's block range)
+        if pcount > 1:
+            totals = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray([stats["records"]], jnp.int32))).reshape(-1)
+        else:
+            totals = np.asarray([stats["records"]])
+        if pidx != 0:
+            return None
+        with open(output_path, "wb") as f:
+            for p in range(pcount):
+                spool[p].seek(0)
+                while True:
+                    buf = spool[p].read(1 << 24)
+                    if not buf:
+                        break
+                    f.write(buf)
+            f.write(BGZF_EOF)
+    finally:
+        if spool is not None:
+            for s in spool:
+                s.close()
+    stats["records"] = int(totals.sum())
     stats["n_blocks"] = n_blocks
     stats["n_processes"] = pcount
     return stats

@@ -120,8 +120,8 @@ def phase_file(input_path: str, output_path: str) -> dict:
                          encode_gt_indiv(inp.header, phased, PLOIDY,
                                          n_samples))
         # PBWT update on the phased output, MAF-gated like the compressor
+        alleles = (phased >> 1) - 1
         for alt in range(1, rec.n_alleles):
-            alleles = (phased >> 1) - 1
             ac = int((alleles == alt).sum())
             if min(ac, n_haps - ac) > mac_threshold:
                 a = pbwt_np.pbwt_sort(a, phased, alt)
