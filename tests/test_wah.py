@@ -85,3 +85,26 @@ def test_mixed_runs_and_literals():
     dec, used = wah_np.wah_decode(words, n)
     np.testing.assert_array_equal(dec, bits)
     assert words.tolist() == wah_encode_scalar(list(bits))
+
+
+def test_wah_expand_block_matches_per_line_decode():
+    """Whole-block expansion == per-line wah_decode over a concatenated
+    uniform-width stream (the host block decoder's bit-cache path)."""
+    import numpy as np
+    from xsqueezeit_tpu.ops import wah_np
+
+    rng = np.random.default_rng(31)
+    n, n_lines = 173, 37          # 173 bits -> 12 words/line
+    w = (n + 14) // 15
+    streams, want = [], []
+    for _ in range(n_lines):
+        p = rng.choice([0.01, 0.3, 0.9, 0.999])
+        bits = (rng.random(n) < p).astype(np.uint8)
+        streams.append(wah_np.wah_encode(bits))
+        want.append(bits)
+    stream = np.concatenate(streams)
+    # trailing junk beyond the grid must be ignored
+    stream = np.concatenate([stream, rng.integers(0, 2**15, 7).astype(np.uint16)])
+    groups = wah_np.wah_expand_block(stream, n_lines, w)
+    got = wah_np.unpack_words(groups, w * 15)[:, :n]
+    np.testing.assert_array_equal(got, np.stack(want))
