@@ -186,6 +186,24 @@ def _pick_nb(n_ch: int, NB: int) -> int:
     return n_ch
 
 
+def _vmem_params(nb: int, C: int, hp: int):
+    """Raised scoped-VMEM limit for wide haplotype axes.
+
+    The chunk-chain blocks hold [nb, C, hp] i32 plus ~8 [nb, hp] work
+    arrays; at HRC scale (hp ~ 65024) that is ~60 MB — far over the 16 MB
+    v5e default, which hard-fails compilation (found by an on-chip
+    HRC-scale round trip; the CPU test suite runs the XLA formulation and
+    never hits this).  ~110 MB is the practical ceiling on v5e.
+    """
+    # block in+out (~C+1 rows) + VMEM work rows, with slack (measured on
+    # chip: scoped need 67.3 MiB at nb=8, C=16, hp=65024); keep the grant
+    # under ~96 MiB — the chip has 128 MiB total and the fused program's
+    # other buffers (e.g. the WAH expansion kernel) share it.
+    need = int(nb * (C + 10) * hp * 4 * 1.7)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(min(max(need, 16 << 20), 96 << 20)))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("C", "H", "NB", "epochs", "interpret"))
 def chain_decode(yc: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
@@ -213,6 +231,7 @@ def chain_decode(yc: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
         out_specs=pl.BlockSpec((nb, epochs, hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, epochs, hp), jnp.uint32),
+        compiler_params=_vmem_params(nb, C, hp),
         interpret=interpret,
     )(yc, _pack_flags(ss, C))
 
@@ -240,5 +259,6 @@ def chain_encode(q0: jnp.ndarray, ss: jnp.ndarray, C: int, H: int,
         out_specs=pl.BlockSpec((nb, C, hp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, C, hp), jnp.int32),
+        compiler_params=_vmem_params(nb, C, hp),
         interpret=interpret,
     )(q0, _pack_flags(ss, C))

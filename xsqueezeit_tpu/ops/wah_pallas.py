@@ -196,6 +196,14 @@ def wah_expand_pallas(stream: jnp.ndarray, n_lines: int, w: int,
     """
     wp = _ceil_to(w, LANE)
     total = n_lines * wp
+    # The kernel holds the whole [n_lines, wp] grid in VMEM (no blocking);
+    # at wide lines (HRC scale: w ~ 4332 for 64976 haps) the staged-shift
+    # live ranges spill ~100 MB of registers and the program exceeds the
+    # chip's 128 MB VMEM (measured on v5e).  Beyond its regime, use the
+    # XLA scatter + associative-scan formulation, which tiles fine.
+    if total * 4 * 6 > (64 << 20):
+        from . import wah_jax
+        return wah_jax.wah_expand_stream(stream, n_lines, w)
     s = stream.astype(jnp.int32)
     if s.shape[0] > total:
         # over-padded stream: real words never exceed n_lines * w, so the
