@@ -215,3 +215,60 @@ def test_multihost_decompress_two_processes(tmp_path):
     a = [(r.n_alleles, r.gt.tolist()) for r in GtInput(single)]
     b = [(r.n_alleles, r.gt.tolist()) for r in GtInput(multi)]
     assert len(a) == 90 and a == b
+
+
+def test_multihost_decompress_with_sample_subset(tmp_path):
+    """Multi-process extraction composes with -s subsetting (each process
+    subsets + recomputes AC/AN for its own block range)."""
+    import socket
+    import subprocess
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=12,
+                              n_records=60, seed=36)
+    xsi = str(tmp_path / "o.xsi")
+    compress_file(vcf, xsi, CompressorOptions(block_length=16))
+    keep = "S004,S001,S009"
+    single = str(tmp_path / "single.bcf")
+    from xsqueezeit_tpu.codec.decompressor import DecompressorOptions
+    Decompressor(xsi, DecompressorOptions(output_type="b",
+                                          samples=keep)).decompress(single)
+
+    worker = tmp_path / "sworker.py"
+    worker.write_text(r"""
+import sys
+sys.path.insert(0, "/root/repo")
+xsi_path, output_path, port, procid, nproc, keep = sys.argv[1:7]
+import jax
+jax.config.update("jax_platforms", "cpu")
+from xsqueezeit_tpu.codec.decompressor import DecompressorOptions
+from xsqueezeit_tpu.parallel.distributed import decompress_file_multihost
+stats = decompress_file_multihost(
+    xsi_path, output_path, DecompressorOptions(output_type="b", samples=keep),
+    coordinator=f"localhost:{port}",
+    num_processes=int(nproc), process_id=int(procid))
+if stats is not None:
+    assert stats["records"] == 60, stats
+""")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    multi = str(tmp_path / "multi.bcf")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), xsi, multi, str(port), str(i),
+             "2", keep],
+            cwd="/root/repo", stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o}"
+
+    from xsqueezeit_tpu.io.unified import GtInput
+    ga = GtInput(single)
+    gb = GtInput(multi)
+    assert ga.samples == gb.samples == keep.split(",")
+    a = [r.gt.tolist() for r in ga]
+    b = [r.gt.tolist() for r in gb]
+    assert len(a) == 60 and a == b
