@@ -196,12 +196,14 @@ def wah_expand_pallas(stream: jnp.ndarray, n_lines: int, w: int,
     """
     wp = _ceil_to(w, LANE)
     total = n_lines * wp
-    # The kernel holds the whole [n_lines, wp] grid in VMEM (no blocking);
-    # at wide lines (HRC scale: w ~ 4332 for 64976 haps) the staged-shift
+    # The kernel holds the whole [n_lines, wp] grid in VMEM (no blocking).
+    # At WIDE lines (HRC scale: w ~ 4332 for 64976 haps) the staged-shift
     # live ranges spill ~100 MB of registers and the program exceeds the
-    # chip's 128 MB VMEM (measured on v5e).  Beyond its regime, use the
-    # XLA scatter + associative-scan formulation, which tiles fine.
-    if total * 4 * 6 > (64 << 20):
+    # chip's 128 MB VMEM (measured on v5e); tall-and-narrow grids (e.g.
+    # all-WAH chr20 blocks, [8192, 448]) compile fine with a raised VMEM
+    # grant.  Beyond the width/footprint regime, use the XLA scatter +
+    # associative-scan formulation, which tiles fine at any shape.
+    if wp > 1024 or total * 4 * 6 > (100 << 20):
         from . import wah_jax
         return wah_jax.wah_expand_stream(stream, n_lines, w)
     s = stream.astype(jnp.int32)
