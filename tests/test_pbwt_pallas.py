@@ -193,3 +193,26 @@ def test_decode_wah_and_scan_interpret_mode(monkeypatch):
     finally:
         pj._use_pallas.cache_clear()
         pj._pallas_interpret.cache_clear()
+
+
+def test_wah_expand_pallas_wide_lines_delegate():
+    """wp > 1024 (HRC-class widths) routes to the XLA expansion; results
+    must be identical to the per-line oracle either way."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xsqueezeit_tpu.ops import wah_np
+    from xsqueezeit_tpu.ops.wah_pallas import wah_expand_pallas
+
+    rng = np.random.default_rng(41)
+    n_bits, n_lines = 20000, 6          # w = 1334 > 1024 -> delegate
+    w = (n_bits + 14) // 15
+    streams, want = [], []
+    for _ in range(n_lines):
+        bits = (rng.random(n_bits) < rng.choice([0.01, 0.5, 0.99])).astype(np.uint8)
+        streams.append(wah_np.wah_encode(bits))
+        want.append(bits)
+    stream = np.concatenate(streams)
+    out = np.asarray(wah_expand_pallas(jnp.asarray(stream), n_lines, w,
+                                       interpret=True))
+    got = wah_np.unpack_words(out.astype(np.uint16), w * 15)[:, :n_bits]
+    np.testing.assert_array_equal(got, np.stack(want))
