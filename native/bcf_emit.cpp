@@ -1,0 +1,149 @@
+/*
+ * Native BCF record emitter (see bcf_emit.h).
+ *
+ * The BGZF member framing matches xsqueezeit_tpu/io/bgzf.py byte for byte:
+ * members carry at most 0xFF00 uncompressed bytes, raw-deflate payload at
+ * the configured level, BC extra subfield with BSIZE-1, header fields
+ * (mtime 0, xfl 0, os 0xFF), trailer CRC32 + ISIZE, and the canonical
+ * 28-byte EOF marker.
+ */
+#include "bcf_emit.h"
+
+#include <zlib.h>
+
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr size_t MAX_BLOCK = 0xFF00;
+
+const uint8_t BGZF_EOF_MARKER[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0x06, 0x00,
+    0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00};
+
+}  // namespace
+
+struct bcf_emit {
+  FILE *fp = nullptr;
+  int level = 6;
+  std::vector<uint8_t> buf;        // pending uncompressed bytes (< MAX_BLOCK
+                                   // after every write call)
+  std::vector<uint8_t> comp;       // scratch for one compressed member
+  bool failed = false;
+
+  bool flush_member(const uint8_t *data, size_t n) {
+    // raw deflate at `level` (zlib window -15), same as Python's
+    // compressobj(level, DEFLATED, -15)
+    uLong bound = compressBound(uLong(n)) + 64;
+    comp.resize(bound);
+    z_stream zs{};
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+      return false;
+    zs.next_in = const_cast<Bytef *>(data);
+    zs.avail_in = uInt(n);
+    zs.next_out = comp.data();
+    zs.avail_out = uInt(comp.size());
+    int rc = deflate(&zs, Z_FINISH);
+    size_t clen = comp.size() - zs.avail_out;
+    deflateEnd(&zs);
+    if (rc != Z_STREAM_END) return false;
+
+    size_t bsize = clen + 25 + 1;  // header(18) + payload + crc(4) + isize(4)
+    if (bsize - 1 > 0xFFFF) return false;
+    uint8_t hdr[18] = {
+        0x1f, 0x8b, 0x08, 0x04,          // magic, deflate, FEXTRA
+        0,    0,    0,    0,             // mtime
+        0,    0xff,                      // xfl, os
+        0x06, 0x00,                      // xlen = 6
+        0x42, 0x43, 0x02, 0x00,          // 'B','C', slen = 2
+        uint8_t((bsize - 1) & 0xff), uint8_t(((bsize - 1) >> 8) & 0xff)};
+    uint32_t crc = uint32_t(crc32(0L, data, uInt(n)));
+    uint32_t isize = uint32_t(n);
+    uint8_t tail[8] = {
+        uint8_t(crc & 0xff),          uint8_t((crc >> 8) & 0xff),
+        uint8_t((crc >> 16) & 0xff),  uint8_t((crc >> 24) & 0xff),
+        uint8_t(isize & 0xff),        uint8_t((isize >> 8) & 0xff),
+        uint8_t((isize >> 16) & 0xff), uint8_t((isize >> 24) & 0xff)};
+    return fwrite(hdr, 1, 18, fp) == 18 &&
+           fwrite(comp.data(), 1, clen, fp) == clen &&
+           fwrite(tail, 1, 8, fp) == 8;
+  }
+
+  void write(const uint8_t *data, size_t n) {
+    if (failed) return;
+    buf.insert(buf.end(), data, data + n);
+    while (buf.size() >= MAX_BLOCK) {
+      if (!flush_member(buf.data(), MAX_BLOCK)) { failed = true; return; }
+      buf.erase(buf.begin(), buf.begin() + MAX_BLOCK);
+    }
+  }
+};
+
+extern "C" {
+
+bcf_emit_t *bcf_emit_open(const char *path, const uint8_t *header_text,
+                          uint32_t l_text, int level) {
+  FILE *fp = fopen(path, "wb");
+  if (!fp) return nullptr;
+  auto *e = new bcf_emit();
+  e->fp = fp;
+  e->level = level;
+  const uint8_t magic[5] = {'B', 'C', 'F', 2, 2};
+  e->write(magic, 5);
+  uint8_t l[4] = {uint8_t(l_text & 0xff), uint8_t((l_text >> 8) & 0xff),
+                  uint8_t((l_text >> 16) & 0xff),
+                  uint8_t((l_text >> 24) & 0xff)};
+  e->write(l, 4);
+  e->write(header_text, l_text);
+  if (e->failed) {
+    fclose(fp);
+    delete e;
+    return nullptr;
+  }
+  return e;
+}
+
+int bcf_emit_records(bcf_emit_t *e, const uint8_t *shared,
+                     const uint64_t *sh_off, const uint8_t *prefix,
+                     uint32_t prefix_len, const uint8_t *gt_bytes,
+                     int32_t n_rec, int32_t row_bytes) {
+  if (!e || e->failed) return -1;
+  for (int32_t i = 0; i < n_rec; ++i) {
+    uint64_t sbeg = sh_off[i], send = sh_off[i + 1];
+    uint32_t l_shared = uint32_t(send - sbeg);
+    uint32_t l_indiv = prefix_len + uint32_t(row_bytes);
+    uint8_t frame[8] = {
+        uint8_t(l_shared & 0xff),        uint8_t((l_shared >> 8) & 0xff),
+        uint8_t((l_shared >> 16) & 0xff), uint8_t((l_shared >> 24) & 0xff),
+        uint8_t(l_indiv & 0xff),         uint8_t((l_indiv >> 8) & 0xff),
+        uint8_t((l_indiv >> 16) & 0xff),  uint8_t((l_indiv >> 24) & 0xff)};
+    e->write(frame, 8);
+    e->write(shared + sbeg, l_shared);
+    e->write(prefix, prefix_len);
+    e->write(gt_bytes + size_t(i) * size_t(row_bytes), size_t(row_bytes));
+    if (e->failed) return -2;
+  }
+  return 0;
+}
+
+int bcf_emit_close(bcf_emit_t *e) {
+  if (!e) return -1;
+  int rc = 0;
+  if (!e->failed && !e->buf.empty()) {
+    if (!e->flush_member(e->buf.data(), e->buf.size())) e->failed = true;
+    e->buf.clear();
+  }
+  if (!e->failed) {
+    if (fwrite(BGZF_EOF_MARKER, 1, 28, e->fp) != 28) e->failed = true;
+  }
+  rc = e->failed ? -2 : 0;
+  fclose(e->fp);
+  delete e;
+  return rc;
+}
+
+}  /* extern "C" */
