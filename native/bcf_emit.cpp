@@ -11,7 +11,12 @@
 
 #include <zlib.h>
 
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -33,8 +38,30 @@ struct bcf_emit {
                                    // after every write call)
   std::vector<uint8_t> comp;       // scratch for one compressed member
   bool failed = false;
+#ifdef USE_LIBDEFLATE
+  // libdeflate is ~2-3x faster than zlib at equal ratio and is what htslib
+  // itself links for BGZF when available; XSI_EMIT_ZLIB=1 forces the zlib
+  // path (whose bytes are identical to Python's zlib writer, for the
+  // byte-identity tests — content is identical either way).
+  libdeflate_compressor *ld = nullptr;
+  ~bcf_emit() {
+    if (ld) libdeflate_free_compressor(ld);
+  }
+#endif
 
-  bool flush_member(const uint8_t *data, size_t n) {
+  bool raw_deflate(const uint8_t *data, size_t n, size_t *clen_out) {
+#ifdef USE_LIBDEFLATE
+    if (!getenv("XSI_EMIT_ZLIB") || getenv("XSI_EMIT_ZLIB")[0] != '1') {
+      if (!ld) ld = libdeflate_alloc_compressor(level);
+      if (!ld) return false;
+      comp.resize(libdeflate_deflate_compress_bound(ld, n));
+      size_t clen = libdeflate_deflate_compress(ld, data, n, comp.data(),
+                                                comp.size());
+      if (clen == 0) return false;
+      *clen_out = clen;
+      return true;
+    }
+#endif
     // raw deflate at `level` (zlib window -15), same as Python's
     // compressobj(level, DEFLATED, -15)
     uLong bound = compressBound(uLong(n)) + 64;
@@ -48,9 +75,14 @@ struct bcf_emit {
     zs.next_out = comp.data();
     zs.avail_out = uInt(comp.size());
     int rc = deflate(&zs, Z_FINISH);
-    size_t clen = comp.size() - zs.avail_out;
+    *clen_out = comp.size() - zs.avail_out;
     deflateEnd(&zs);
-    if (rc != Z_STREAM_END) return false;
+    return rc == Z_STREAM_END;
+  }
+
+  bool flush_member(const uint8_t *data, size_t n) {
+    size_t clen = 0;
+    if (!raw_deflate(data, n, &clen)) return false;
 
     size_t bsize = clen + 25 + 1;  // header(18) + payload + crc(4) + isize(4)
     if (bsize - 1 > 0xFFFF) return false;

@@ -1,0 +1,119 @@
+/*
+ * Shared streaming BGZF reader for the native libraries.
+ *
+ * One implementation used by both the XSI accessor (xsi_accessor.cpp) and
+ * the c_xcf_* shim (c_api.cpp) — previously two near-identical copies that
+ * had already diverged in error reporting and bounds checks.  The reference
+ * gets this from htslib's bgzf.c; this is a from-scratch reader over the
+ * BGZF spec (gzip members with a BC extra subfield carrying BSIZE-1).
+ *
+ * All length fields are validated before use: the reader parses untrusted
+ * file bytes and must fail cleanly (return false / short read) on corrupt
+ * or truncated input, never overread.
+ */
+#ifndef XSI_BGZF_READER_H
+#define XSI_BGZF_READER_H
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace xsi_native {
+
+class BgzfReader {
+ public:
+  explicit BgzfReader(const std::string &path)
+      : fp_(fopen(path.c_str(), "rb")) {}
+  ~BgzfReader() {
+    if (fp_) fclose(fp_);
+  }
+  BgzfReader(const BgzfReader &) = delete;
+  BgzfReader &operator=(const BgzfReader &) = delete;
+
+  bool ok() const { return fp_ != nullptr; }
+  const std::string &error() const { return error_; }
+
+  // Read n bytes of decompressed data; returns bytes read (< n at EOF or
+  // on a malformed stream — check error() to distinguish).
+  size_t read(void *dst, size_t n) {
+    auto *out = static_cast<uint8_t *>(dst);
+    size_t got = 0;
+    while (got < n) {
+      if (pos_ >= block_.size() && !load_block()) break;
+      size_t take = n - got < block_.size() - pos_ ? n - got
+                                                   : block_.size() - pos_;
+      memcpy(out + got, block_.data() + pos_, take);
+      pos_ += take;
+      got += take;
+    }
+    return got;
+  }
+
+ private:
+  bool fail(const char *msg) {
+    error_ = msg;
+    return false;
+  }
+
+  bool load_block() {
+    uint8_t hdr[18];
+    if (fread(hdr, 1, 18, fp_) != 18) return false;  // EOF (not an error)
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return fail("BGZF: bad gzip magic");
+    uint16_t xlen = uint16_t(hdr[10]) | (uint16_t(hdr[11]) << 8);
+    std::vector<uint8_t> extra(xlen);
+    memcpy(extra.data(), hdr + 12, xlen < 6 ? xlen : 6);
+    if (xlen > 6 &&
+        fread(extra.data() + 6, 1, xlen - 6, fp_) != size_t(xlen - 6))
+      return fail("BGZF: truncated extra field");
+    int bsize = -1;
+    for (size_t off = 0; off + 4 <= extra.size();) {
+      uint16_t slen =
+          uint16_t(extra[off + 2]) | (uint16_t(extra[off + 3]) << 8);
+      if (extra[off] == 'B' && extra[off + 1] == 'C' && slen == 2) {
+        if (off + 6 > extra.size()) return fail("BGZF: malformed BC subfield");
+        bsize = (int(extra[off + 4]) | (int(extra[off + 5]) << 8)) + 1;
+        break;
+      }
+      off += 4 + slen;
+    }
+    if (bsize < 0) return fail("BGZF: missing BC subfield");
+    int comp_len = bsize - 12 - int(xlen) - 8;
+    if (comp_len < 0) return fail("BGZF: malformed BSIZE");
+    std::vector<uint8_t> comp(size_t(comp_len), 0);
+    if (fread(comp.data(), 1, comp_len, fp_) != size_t(comp_len))
+      return fail("BGZF: truncated block");
+    uint8_t tail[8];
+    if (fread(tail, 1, 8, fp_) != 8) return fail("BGZF: truncated trailer");
+    uint32_t isize;
+    memcpy(&isize, tail + 4, 4);
+    // BGZF caps uncompressed payload at 64 KiB per member; a corrupt ISIZE
+    // must not drive a huge allocation.
+    if (isize > (1u << 16)) return fail("BGZF: ISIZE exceeds 64 KiB");
+    block_.resize(isize);
+    pos_ = 0;
+    if (isize == 0) return load_block();  // EOF marker member: try next
+    z_stream zs{};
+    if (inflateInit2(&zs, -15) != Z_OK) return fail("zlib init failed");
+    zs.next_in = comp.data();
+    zs.avail_in = uInt(comp_len);
+    zs.next_out = block_.data();
+    zs.avail_out = isize;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END) return fail("BGZF: inflate failed");
+    return true;
+  }
+
+  FILE *fp_;
+  std::vector<uint8_t> block_;
+  size_t pos_ = 0;
+  std::string error_;
+};
+
+}  // namespace xsi_native
+
+#endif  /* XSI_BGZF_READER_H */

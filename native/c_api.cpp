@@ -17,6 +17,7 @@
 #include "hts_shim/synced_bcf_reader.h"
 #include "hts_shim/xsqueezeit_export/include/c_api.h"
 #include "xsi_accessor.h"
+#include "bgzf_reader.h"
 
 #include <zlib.h>
 
@@ -28,87 +29,32 @@
 
 namespace {
 
-/* ------------------------------------------------------------------ BGZF */
-class ShimBgzf {
- public:
-  explicit ShimBgzf(const std::string &path)
-      : fp_(fopen(path.c_str(), "rb")) {}
-  ~ShimBgzf() { if (fp_) fclose(fp_); }
-  bool ok() const { return fp_ != nullptr; }
-
-  size_t read(void *dst, size_t n) {
-    auto *out = static_cast<uint8_t *>(dst);
-    size_t got = 0;
-    while (got < n) {
-      if (pos_ >= block_.size() && !load_block()) break;
-      size_t take = std::min(n - got, block_.size() - pos_);
-      memcpy(out + got, block_.data() + pos_, take);
-      pos_ += take;
-      got += take;
-    }
-    return got;
-  }
-
- private:
-  bool load_block() {
-    uint8_t hdr[18];
-    if (fread(hdr, 1, 18, fp_) != 18) return false;
-    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
-    uint16_t xlen = uint16_t(hdr[10]) | (uint16_t(hdr[11]) << 8);
-    std::vector<uint8_t> extra(xlen);
-    memcpy(extra.data(), hdr + 12, xlen < 6 ? xlen : 6);
-    if (xlen > 6 &&
-        fread(extra.data() + 6, 1, xlen - 6, fp_) != size_t(xlen - 6))
-      return false;
-    int bsize = -1;
-    for (size_t off = 0; off + 4 <= extra.size();) {
-      uint16_t slen = uint16_t(extra[off + 2]) | (uint16_t(extra[off + 3]) << 8);
-      if (extra[off] == 'B' && extra[off + 1] == 'C' && slen == 2) {
-        if (off + 6 > extra.size()) return false;  // malformed BC subfield
-        bsize = (int(extra[off + 4]) | (int(extra[off + 5]) << 8)) + 1;
-        break;
-      }
-      off += 4 + slen;
-    }
-    if (bsize < 0) return false;
-    int comp_len = bsize - 12 - int(xlen) - 8;
-    if (comp_len < 0) return false;  // malformed BSIZE: clean parse error
-    std::vector<uint8_t> comp(static_cast<size_t>(comp_len), 0);
-    if (fread(comp.data(), 1, comp_len, fp_) != size_t(comp_len)) return false;
-    uint8_t tail[8];
-    if (fread(tail, 1, 8, fp_) != 8) return false;
-    uint32_t isize;
-    memcpy(&isize, tail + 4, 4);
-    block_.resize(isize);
-    pos_ = 0;
-    if (isize == 0) return load_block();  // EOF marker: try next member
-    z_stream zs{};
-    if (inflateInit2(&zs, -15) != Z_OK) return false;
-    zs.next_in = comp.data();
-    zs.avail_in = comp_len;
-    zs.next_out = block_.data();
-    zs.avail_out = isize;
-    int rc = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    return rc == Z_STREAM_END;
-  }
-
-  FILE *fp_;
-  std::vector<uint8_t> block_;
-  size_t pos_ = 0;
-};
+/* BGZF reading is shared with the accessor: bgzf_reader.h. */
+using ShimBgzf = xsi_native::BgzfReader;
 
 /* -------------------------------------------------------- typed scalars */
-int64_t read_typed_int(const uint8_t **pp) {
+/* All typed-field reads are bounds-checked against endp: the shim parses
+ * untrusted file bytes without htslib's validation layer, so a truncated
+ * or malformed BCF must surface as a clean error, never an overread. */
+bool read_typed_int(const uint8_t **pp, const uint8_t *endp, int64_t *out) {
   const uint8_t *p = *pp;
+  if (p >= endp) return false;
   uint8_t d = *p++;
   int type = d & 0x0f;
   int64_t v = 0;
-  if (type == 1) { v = *reinterpret_cast<const int8_t *>(p); p += 1; }
-  else if (type == 2) { int16_t t; memcpy(&t, p, 2); v = t; p += 2; }
-  else { int32_t t; memcpy(&t, p, 4); v = t; p += 4; }
+  if (type == 1) {
+    if (p + 1 > endp) return false;
+    v = *reinterpret_cast<const int8_t *>(p); p += 1;
+  } else if (type == 2) {
+    if (p + 2 > endp) return false;
+    int16_t t; memcpy(&t, p, 2); v = t; p += 2;
+  } else {
+    if (p + 4 > endp) return false;
+    int32_t t; memcpy(&t, p, 4); v = t; p += 4;
+  }
   *pp = p;
-  return v;
+  *out = v;
+  return true;
 }
 
 /* ------------------------------------------------------- header parsing */
@@ -262,6 +208,11 @@ struct ReaderImpl {
     uint32_t l_shared, l_indiv;
     if (bgzf->read(&l_shared, 4) != 4) return false;
     if (bgzf->read(&l_indiv, 4) != 4) return false;
+    // The fixed site fields read below span bytes [0,24); anything shorter
+    // is malformed.  Cap both lengths to reject absurd allocations from a
+    // corrupt frame word (BCF records are far below 1 GiB).
+    if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30))
+      return false;
     impl->shared.resize(l_shared);
     impl->indiv.resize(l_indiv);
     if (bgzf->read(impl->shared.data(), l_shared) != l_shared) return false;
@@ -294,13 +245,18 @@ int64_t find_format_scalar(const LineImpl &li, int key, bool *found) {
   const uint8_t *endp = p + li.indiv.size();
   *found = false;
   while (p < endp) {
-    int64_t k = read_typed_int(&p);
+    int64_t k, len;
+    if (!read_typed_int(&p, endp, &k) || p >= endp) return -1;
     uint8_t d = *p++;
     int type = d & 0x0f;
-    int64_t len = d >> 4;
-    if (len == 15) len = read_typed_int(&p);
+    len = d >> 4;
+    if (len == 15 && !read_typed_int(&p, endp, &len)) return -1;
+    if (len < 0) return -1;
     int width = (type == 1 || type == 7) ? 1 : type == 2 ? 2 : 4;
+    size_t span = size_t(width) * size_t(len) * size_t(li.n_sample);
+    if (span > size_t(endp - p)) return -1;
     if (k == key && (type == 1 || type == 2 || type == 3)) {
+      if (size_t(width) > size_t(endp - p)) return -1;
       int64_t v = 0;
       if (type == 1) v = *reinterpret_cast<const int8_t *>(p);
       else if (type == 2) { int16_t t; memcpy(&t, p, 2); v = t; }
@@ -308,7 +264,7 @@ int64_t find_format_scalar(const LineImpl &li, int key, bool *found) {
       *found = true;
       return v;
     }
-    p += size_t(width) * size_t(len) * size_t(li.n_sample);
+    p += span;
   }
   return -1;
 }
@@ -318,13 +274,16 @@ int decode_gt(const LineImpl &li, int gt_key, void **dst, int *ndst) {
   const uint8_t *p = li.indiv.data();
   const uint8_t *endp = p + li.indiv.size();
   while (p < endp) {
-    int64_t k = read_typed_int(&p);
+    int64_t k, len;
+    if (!read_typed_int(&p, endp, &k) || p >= endp) return -2;
     uint8_t d = *p++;
     int type = d & 0x0f;
-    int64_t len = d >> 4;
-    if (len == 15) len = read_typed_int(&p);
+    len = d >> 4;
+    if (len == 15 && !read_typed_int(&p, endp, &len)) return -2;
+    if (len < 0) return -2;
     int width = (type == 1 || type == 7) ? 1 : type == 2 ? 2 : 4;
     size_t span = size_t(width) * size_t(len) * size_t(li.n_sample);
+    if (span > size_t(endp - p)) return -2;
     if (k != gt_key) { p += span; continue; }
     int total = int(len) * li.n_sample;
     if (*ndst < total || *dst == nullptr) {

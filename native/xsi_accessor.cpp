@@ -12,6 +12,8 @@
  */
 #include "xsi_accessor.h"
 
+#include "bgzf_reader.h"
+
 #include <zlib.h>
 #include <zstd.h>
 
@@ -33,75 +35,8 @@ constexpr int32_t INT32_MISSING_V = INT32_MIN;
 constexpr int32_t INT32_EOV_V = INT32_MIN + 1;
 constexpr int BM_BLOCK_BITS = 15;
 
-/* ------------------------------------------------------------------ BGZF */
-class BgzfReader {
- public:
-  explicit BgzfReader(const std::string &path) : fp_(fopen(path.c_str(), "rb")) {}
-  ~BgzfReader() { if (fp_) fclose(fp_); }
-  bool ok() const { return fp_ != nullptr; }
-
-  // Read n bytes of decompressed data; returns bytes read.
-  size_t read(void *dst, size_t n) {
-    auto *out = static_cast<uint8_t *>(dst);
-    size_t got = 0;
-    while (got < n) {
-      if (pos_ >= block_.size()) {
-        if (!load_block()) break;
-      }
-      size_t take = std::min(n - got, block_.size() - pos_);
-      memcpy(out + got, block_.data() + pos_, take);
-      pos_ += take;
-      got += take;
-    }
-    return got;
-  }
-
- private:
-  bool load_block() {
-    uint8_t hdr[18];
-    if (fread(hdr, 1, 18, fp_) != 18) return false;
-    if (hdr[0] != 0x1f || hdr[1] != 0x8b) { set_error("BGZF: bad magic"); return false; }
-    uint16_t xlen = uint16_t(hdr[10]) | (uint16_t(hdr[11]) << 8);
-    std::vector<uint8_t> extra(xlen);
-    memcpy(extra.data(), hdr + 12, 6);
-    if (xlen > 6 && fread(extra.data() + 6, 1, xlen - 6, fp_) != size_t(xlen - 6))
-      return false;
-    int bsize = -1;
-    for (size_t off = 0; off + 4 <= extra.size();) {
-      uint16_t slen = uint16_t(extra[off + 2]) | (uint16_t(extra[off + 3]) << 8);
-      if (extra[off] == 'B' && extra[off + 1] == 'C' && slen == 2) {
-        bsize = (int(extra[off + 4]) | (int(extra[off + 5]) << 8)) + 1;
-        break;
-      }
-      off += 4 + slen;
-    }
-    if (bsize < 0) { set_error("BGZF: missing BC subfield"); return false; }
-    int comp_len = bsize - 12 - xlen - 8;
-    std::vector<uint8_t> comp(comp_len);
-    if (fread(comp.data(), 1, comp_len, fp_) != size_t(comp_len)) return false;
-    uint8_t tail[8];
-    if (fread(tail, 1, 8, fp_) != 8) return false;
-    uint32_t isize;
-    memcpy(&isize, tail + 4, 4);
-    block_.resize(isize);
-    pos_ = 0;
-    if (isize == 0) return load_block();  // EOF marker block: try next
-    z_stream zs{};
-    if (inflateInit2(&zs, -15) != Z_OK) { set_error("zlib init failed"); return false; }
-    zs.next_in = comp.data();
-    zs.avail_in = comp_len;
-    zs.next_out = block_.data();
-    zs.avail_out = isize;
-    int rc = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (rc != Z_STREAM_END) { set_error("BGZF: inflate failed"); return false; }
-    return true;
-  }
-
-  FILE *fp_;
-  std::vector<uint8_t> block_;
-  size_t pos_ = 0;
-};
+/* BGZF reading is shared with the c_xcf shim: bgzf_reader.h. */
+using xsi_native::BgzfReader;
 
 /* ------------------------------------------------------- BCF record walk */
 struct BcfRecordLite {
@@ -130,12 +65,19 @@ class VariantBcf {
 
   bool ok() const { return ok_; }
   int bm_key() const { return bm_key_; }
+  const std::vector<uint8_t> &shared() const { return shared_; }
 
   // 1 = record, 0 = EOF, -1 = error
   int next(BcfRecordLite *rec) {
     uint32_t l_shared, l_indiv;
     if (r_.read(&l_shared, 4) != 4) return 0;
     if (r_.read(&l_indiv, 4) != 4) return -1;
+    // Fixed site fields span bytes [0,24); cap both lengths so a corrupt
+    // frame word cannot drive an absurd allocation.
+    if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30)) {
+      set_error("BCF: malformed record frame");
+      return -1;
+    }
     shared_.resize(l_shared);
     indiv_.resize(l_indiv);
     if (r_.read(shared_.data(), l_shared) != l_shared) return -1;
@@ -208,40 +150,56 @@ class VariantBcf {
   }
 
   // Parse the indiv block for the BM FORMAT value of the pseudo-sample.
+  // All typed reads are bounds-checked: the indiv bytes are untrusted.
   int32_t find_bm() {
     const uint8_t *p = indiv_.data();
     const uint8_t *endp = p + indiv_.size();
     while (p < endp) {
-      int64_t key = read_typed_int(&p);
+      int64_t key, len;
+      if (!read_typed_int(&p, endp, &key) || p >= endp) return -1;
       uint8_t d = *p++;
       int type = d & 0x0f;
-      int64_t len = d >> 4;
-      if (len == 15) len = read_typed_int(&p);
+      len = d >> 4;
+      if (len == 15 && !read_typed_int(&p, endp, &len)) return -1;
+      if (len < 0) return -1;
       int width = (type == 1 || type == 7) ? 1   // int8, char
                   : type == 2 ? 2                  // int16
                   : 4;                             // int32, float
+      size_t span = size_t(width) * size_t(len);  // n_sample == 1
+      if (span > size_t(endp - p)) return -1;
       if (key == bm_key_ && (type == 1 || type == 2 || type == 3)) {
+        if (size_t(width) > size_t(endp - p)) return -1;
         int64_t v = 0;
         if (type == 1) v = *reinterpret_cast<const int8_t *>(p);
         else if (type == 2) { int16_t t; memcpy(&t, p, 2); v = t; }
         else { int32_t t; memcpy(&t, p, 4); v = t; }
         return int32_t(v);
       }
-      p += width * len;  // n_sample == 1 in variant files
+      p += span;
     }
     return -1;
   }
 
-  static int64_t read_typed_int(const uint8_t **pp) {
+  static bool read_typed_int(const uint8_t **pp, const uint8_t *endp,
+                             int64_t *out) {
     const uint8_t *p = *pp;
+    if (p >= endp) return false;
     uint8_t d = *p++;
     int type = d & 0x0f;
     int64_t v = 0;
-    if (type == 1) { v = *reinterpret_cast<const int8_t *>(p); p += 1; }
-    else if (type == 2) { int16_t t; memcpy(&t, p, 2); v = t; p += 2; }
-    else { int32_t t; memcpy(&t, p, 4); v = t; p += 4; }
+    if (type == 1) {
+      if (p + 1 > endp) return false;
+      v = *reinterpret_cast<const int8_t *>(p); p += 1;
+    } else if (type == 2) {
+      if (p + 2 > endp) return false;
+      int16_t t; memcpy(&t, p, 2); v = t; p += 2;
+    } else {
+      if (p + 4 > endp) return false;
+      int32_t t; memcpy(&t, p, 4); v = t; p += 4;
+    }
     *pp = p;
-    return v;
+    *out = v;
+    return true;
   }
 
   BgzfReader r_;
@@ -804,6 +762,13 @@ int32_t xsi_record_n_allele(const xsi_file_t *f) { return f->cur.n_allele; }
 int32_t xsi_record_bm(const xsi_file_t *f) { return f->cur.bm; }
 int32_t xsi_record_rid(const xsi_file_t *f) { return f->cur.rid; }
 int64_t xsi_record_pos(const xsi_file_t *f) { return f->cur.pos; }
+
+const uint8_t *xsi_record_shared(const xsi_file_t *f, uint32_t *len) {
+  if (!f->var) { set_error("no variant file"); return nullptr; }
+  const std::vector<uint8_t> &s = f->var->shared();
+  if (len) *len = uint32_t(s.size());
+  return s.data();
+}
 
 int64_t xsi_fill_genotypes_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
                               int32_t *gt_arr, size_t capacity) {

@@ -45,6 +45,11 @@ int32_t xsi_record_bm(const xsi_file_t *f);
 int32_t xsi_record_rid(const xsi_file_t *f);
 int64_t xsi_record_pos(const xsi_file_t *f);  /* 0-based */
 
+/* Raw BCF "shared" bytes of the current variant record (site columns as
+ * stored in the `_var.bcf`; the extract path re-emits them with the
+ * n_fmt/n_sample word patched).  Valid until the next xsi_next_record. */
+const uint8_t *xsi_record_shared(const xsi_file_t *f, uint32_t *len);
+
 /* Fill the current record's genotypes.  `gt_arr` must hold at least
  * xsi_num_samples()*2 int32 entries; returns the number of entries
  * written (n_samples * line_ploidy) or negative on error. */

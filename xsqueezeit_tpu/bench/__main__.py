@@ -63,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--dir", default=None,
                    help="working directory (kept); default: temp")
     s.add_argument("--device", default="auto",
-                   choices=["auto", "jax", "numpy"])
+                   choices=["auto", "jax", "numpy", "native"])
     s.add_argument("--zstd", action="store_true")
 
     args = p.parse_args(argv)

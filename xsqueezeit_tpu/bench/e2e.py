@@ -86,8 +86,9 @@ def run(n_records: int = 20000, n_samples: int = 2504,
         synth_bcf(inp, n_records, n_samples)
         t_synth = time.perf_counter() - t0
 
-        if device != "auto":
-            os.environ["XSI_DEVICE"] = device
+        # device="native": host (numpy) compress + the native C++ extract
+        # loop (the default route for an unfiltered `-x -O b` under auto).
+        os.environ["XSI_DEVICE"] = "numpy" if device == "native" else device
 
         t0 = time.perf_counter()
         rc = cli_main(["-c", "-f", inp, "-o", xsi]
@@ -95,6 +96,8 @@ def run(n_records: int = 20000, n_samples: int = 2504,
         t_compress = time.perf_counter() - t0
         assert rc == 0
 
+        if device == "native":
+            os.environ["XSI_DEVICE"] = "auto"
         t0 = time.perf_counter()
         rc = cli_main(["-x", "-f", xsi, "-o", back, "-O", "b"])
         t_extract = time.perf_counter() - t0

@@ -244,6 +244,7 @@ def compress_file(input_path: str, output_path: str,
                 pass
         raise
     finally:
+        block.shutdown()  # successful runs must also release the worker
         inp.close()
 
 

@@ -394,12 +394,50 @@ class Decompressor:
             out.append(f"AN={an}")
         return ";".join(out) if out else "."
 
+    def _can_extract_native(self, output_path, write_header: bool,
+                            write_eof: bool) -> bool:
+        """The native whole-file extract loop covers the unfiltered case:
+        a plain path target, full sample set, no region/target/block-range
+        filtering, full file (header + EOF)."""
+        o = self.opts
+        if not (isinstance(output_path, str) and output_path != "-"
+                and self._select is None and not o.regions and not o.targets
+                and o.block_range is None and write_header and write_eof):
+            return False
+        if o.device != "auto" or os.environ.get("XSI_DEVICE") in (
+                "numpy", "jax"):
+            # an explicit codec selection (numpy debug path or forced
+            # device decode) must route through that path, not the native
+            # loop — tests and benches rely on exercising each
+            return False
+        if os.environ.get("XSI_NATIVE", "1") == "0":
+            return False
+        try:
+            from ..interop.native import build_native
+            build_native()
+            return True
+        except Exception:
+            return False
+
+    def _decompress_to_bcf_native(self, output_path: str, level: int) -> dict:
+        from ..interop.native import native_extract
+
+        header = self.output_header()
+        gt_key = header.ensure_string(
+            "GT",
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+        text = header.to_text().encode() + b"\0"
+        n = native_extract(self.xsi_path, output_path, text, gt_key, level)
+        return self._emit_stats(n)
+
     def _decompress_to_bcf(self, output_path, level: int = 6,
                            write_header: bool = True,
                            write_eof: bool = True) -> dict:
         """output_path: path or file object.  write_header/write_eof=False
         emit a records-only BGZF body segment (multi-host partition;
         segments concatenate into one valid BCF)."""
+        if self._can_extract_native(output_path, write_header, write_eof):
+            return self._decompress_to_bcf_native(output_path, level)
         header = self.output_header()
         n_out = len(self.output_samples)
         # Parallel BGZF deflate: block compression is the reference's own

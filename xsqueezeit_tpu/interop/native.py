@@ -20,9 +20,11 @@ _LIB_PATH = os.path.join(_LIB_DIR, "libxsqueezeit_tpu.so")
 
 def build_native(force: bool = False) -> str:
     """Build the native library if needed; returns its path."""
-    src = os.path.join(_LIB_DIR, "xsi_accessor.cpp")
-    if force or not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)):
+    srcs = [os.path.join(_LIB_DIR, s) for s in
+            ("xsi_accessor.cpp", "bcf_emit.cpp", "xsi_extract.cpp")]
+    if force or not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in srcs if os.path.exists(s)):
         subprocess.run(["make", "-C", _LIB_DIR, "libxsqueezeit_tpu.so"],
                        check=True, capture_output=True)
     return _LIB_PATH
@@ -91,3 +93,78 @@ class NativeAccessor:
         if n < 0:
             raise OSError(self._lib.xsi_last_error().decode())
         return self._buf[:n].copy()
+
+
+def native_extract(xsi_path: str, out_path: str, header_text: bytes,
+                   gt_key: int, level: int = 6) -> int:
+    """Whole-file native extract (.xsi -> .bcf), entirely in C++.
+
+    The C loop (native/xsi_extract.cpp) mirrors the reference's
+    decompress_inner_loop (gt_decompressor_new.hpp:158-206): decode each
+    record's genotypes from the compressed block, re-emit the stored site
+    bytes with the sample-count word patched, and BGZF-deflate via the
+    native emitter.  Byte-identical to the Python writer at the same level.
+    Returns the number of records written; raises OSError on failure.
+    """
+    lib = ctypes.CDLL(build_native())
+    lib.xsi_extract_file.restype = ctypes.c_int64
+    lib.xsi_extract_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_int32, ctypes.c_int]
+    lib.xsi_last_error.restype = ctypes.c_char_p
+    n = lib.xsi_extract_file(xsi_path.encode(), out_path.encode(),
+                             header_text, len(header_text), gt_key, level)
+    if n < 0:
+        raise OSError(f"native extract failed ({n}): "
+                      f"{lib.xsi_last_error().decode()}")
+    return int(n)
+
+
+class NativeBcfEmitter:
+    """ctypes binding for the native BCF record emitter (native/bcf_emit.h).
+
+    Streams [l_shared][l_indiv][shared][prefix+row] record batches through
+    BGZF deflate in C; output is byte-identical to io/bcf.py BcfWriter at
+    the same zlib level.  Used by tests and by drivers that decode in
+    Python but want native serialization.
+    """
+
+    def __init__(self, path: str, header_text: bytes, level: int = 6):
+        lib = ctypes.CDLL(build_native())
+        lib.bcf_emit_open.restype = ctypes.c_void_p
+        lib.bcf_emit_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_uint32, ctypes.c_int]
+        lib.bcf_emit_records.restype = ctypes.c_int
+        lib.bcf_emit_records.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_char_p,
+            ctypes.c_uint32, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32]
+        lib.bcf_emit_close.restype = ctypes.c_int
+        lib.bcf_emit_close.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._e = lib.bcf_emit_open(path.encode(), header_text,
+                                    len(header_text), level)
+        if not self._e:
+            raise OSError(f"bcf_emit_open failed for {path}")
+
+    def write_batch(self, shared: bytes, sh_off: np.ndarray, prefix: bytes,
+                    gt_bytes: np.ndarray) -> None:
+        """gt_bytes: uint8 [n_rec, row_bytes]; sh_off: uint64 [n_rec+1]."""
+        gt_bytes = np.ascontiguousarray(gt_bytes, np.uint8)
+        sh_off = np.ascontiguousarray(sh_off, np.uint64)
+        n_rec, row_bytes = gt_bytes.shape
+        rc = self._lib.bcf_emit_records(
+            self._e, shared,
+            sh_off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            prefix, len(prefix),
+            gt_bytes.ctypes.data_as(ctypes.c_char_p), n_rec, row_bytes)
+        if rc != 0:
+            raise OSError(f"bcf_emit_records failed ({rc})")
+
+    def close(self) -> None:
+        if self._e:
+            rc = self._lib.bcf_emit_close(self._e)
+            self._e = None
+            if rc != 0:
+                raise OSError(f"bcf_emit_close failed ({rc})")

@@ -90,4 +90,13 @@ def sparse_line_offsets(stream: np.ndarray, n_lines: int) -> np.ndarray:
         sel = ((i >> b) & 1) == 1
         if sel.any():
             off[sel] = tables[b][off[sel]]
+    # The jump tables saturate at the sentinel N, so a truncated/corrupt
+    # stream would silently clamp instead of erroring like the scalar path.
+    # Re-verify the walk: every head must lie inside the stream and each
+    # line's true length must reproduce the next offset exactly.
+    heads = off[:n_lines]
+    if heads.size and (int(heads.max()) >= N
+                       or not np.array_equal(
+                           heads + 1 + counts[heads], off[1:])):
+        raise ValueError("sparse stream truncated: line walk exceeds stream")
     return off

@@ -109,13 +109,15 @@ def gather_blocks_to_host0(payloads: list[bytes]) -> list[bytes] | None:
     lens = np.asarray([len(p) for p in payloads], np.int32)
     counts = np.asarray(multihost_utils.process_allgather(
         jnp.asarray([len(payloads)], jnp.int32))).reshape(-1)
-    cmax = int(counts.max())
+    # Pad to >= 1 so allgather never sees a zero-sized tensor (a round where
+    # every process contributes nothing would otherwise gather shape (0,)).
+    cmax = max(int(counts.max()), 1)
     lens_pad = np.zeros(cmax, np.int32)
     lens_pad[:lens.shape[0]] = lens
     lens_all = np.asarray(multihost_utils.process_allgather(
         jnp.asarray(lens_pad))).reshape(len(counts), cmax)
     totals = lens_all.sum(axis=1)
-    tmax = int(totals.max())
+    tmax = max(int(totals.max()), 1)
 
     buf = np.zeros(tmax, np.uint8)
     if lens.size:
