@@ -76,7 +76,14 @@ def _device_encoder_cls(device: str):
 
 class BlockEncodeDispatcher:
     """Buffers one block of records and picks the device or NumPy encoder
-    at flush time (device requires a uniformly diploid block)."""
+    at flush time (device requires a uniformly diploid block).
+
+    With more than one local device, eligible blocks batch through a
+    shard_map'd encode over a block-axis Mesh (parallel/shard.py
+    MeshBlockEncoder) — single-process multi-chip data parallelism, the
+    generalized form of the reference's 2-thread split
+    (xsqueezeit.cpp:120-148).  Payload bytes are identical to the
+    single-device path; only wall-clock changes."""
 
     def __init__(self, n_samples, block_length, mac_threshold,
                  default_phasing, aet_dtype, weirdness_strategy, device_cls,
@@ -91,6 +98,11 @@ class BlockEncodeDispatcher:
         self.force_device = force_device
         self.pending: list[tuple[np.ndarray, int]] = []
         self._executor = None
+        self._mesh = None           # lazy: probed on first eligible block
+        self._mesh_probed = False
+        self._mesh_encoder = None
+        self._batch: list = []      # [(DeviceBlockEncoder, Future)]
+        self.batch_target = 1
 
     @property
     def full(self) -> bool:
@@ -127,19 +139,85 @@ class BlockEncodeDispatcher:
         records, self.pending = self.pending, []
         return self._encode(records)
 
+    # ------------------------------------------------------- mesh batching
+    def _device_eligible(self, records) -> bool:
+        lengths = {g.shape[0] for g, _ in records}
+        n_samples = self.n_haps // 2
+        uniform = lengths in ({self.n_haps}, {n_samples})
+        big_enough = (self.force_device
+                      or len(records) * self.n_haps >= _device_min_cells())
+        return self.device_cls is not None and uniform and big_enough
+
+    def _probe_mesh(self):
+        """Build the local-device Mesh once, on the first eligible block
+        (lazy: small/NumPy-only runs never initialize the jax backend)."""
+        if self._mesh_probed:
+            return self._mesh
+        self._mesh_probed = True
+        try:
+            from ..parallel.shard import local_mesh
+            self._mesh = local_mesh()
+        except Exception:
+            self._mesh = None
+        if self._mesh is not None:
+            self.batch_target = int(self._mesh.devices.size)
+        return self._mesh
+
+    def _dispatch_batch(self) -> None:
+        batch, self._batch = self._batch, []
+        if not batch:
+            return
+
+        def run():
+            try:
+                if self._mesh_encoder is None:
+                    from ..parallel.shard import MeshBlockEncoder
+                    self._mesh_encoder = MeshBlockEncoder(
+                        self._mesh, self._kw["mac_threshold"])
+                payloads = self._mesh_encoder.encode_batch(
+                    [e for e, _ in batch])
+                for (_, fut), p in zip(batch, payloads):
+                    fut.set_result(p)
+            except BaseException as exc:
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+        self._executor.submit(run)
+
+    def flush(self) -> None:
+        """Dispatch any partially-filled mesh batch (call before draining
+        the pending futures, or the tail blocks never resolve)."""
+        self._dispatch_batch()
+
     def submit(self):
         """Encode the buffered block on a worker thread, so the caller can
         keep parsing input while the device works (the 2-stage pipeline the
         reference approximates with its two threads, xsqueezeit.cpp:120-148;
         SURVEY §2 'pipeline parallelism' row).  Returns a Future[bytes];
-        single worker preserves block order."""
+        single worker preserves block order.  On a multi-device host,
+        eligible blocks accumulate into mesh batches of `batch_target`."""
         if self._executor is None:
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(max_workers=1)
         records, self.pending = self.pending, []
+        if self._device_eligible(records) and self._probe_mesh() is not None:
+            from concurrent.futures import Future
+            enc = self.device_cls(**self._kw)
+            for gt, na in records:
+                enc.encode_record(gt, na)
+            fut = Future()
+            self._batch.append((enc, fut))
+            if len(self._batch) >= self.batch_target:
+                self._dispatch_batch()
+            return fut
         return self._executor.submit(self._encode, records)
 
     def shutdown(self) -> None:
+        for _, fut in self._batch:
+            if not fut.done():
+                fut.cancel()
+        self._batch = []
         if self._executor is not None:
             self._executor.shutdown(wait=False, cancel_futures=True)
             self._executor = None
@@ -250,12 +328,14 @@ def compress_file(input_path: str, output_path: str,
 
 def _compress_loop(inp, opts, xsi, var_writer, var_header, csi, block,
                    var_path, output_path, max_ploidy) -> dict:
+    from collections import deque
+
     entry_counter = 0
     variant_counter = 0
     bm_block = 0
     bm_offset = 0
     seen_max_ploidy = max_ploidy
-    pending_block = None
+    pending_blocks: deque = deque()
 
     for rec in inp:
         if rec.gt is None:
@@ -277,12 +357,21 @@ def _compress_loop(inp, opts, xsi, var_writer, var_header, csi, block,
         rid, pos0, rlen = struct.unpack_from("<iii", shared, 0)
         csi.add(rid, pos0, pos0 + max(rlen, 1), vbeg, vend)
 
-        # genotype block entry (pipelined: the previous block encodes on a
-        # worker thread while this loop parses the next block's records)
+        # genotype block entry (pipelined: earlier blocks encode on a
+        # worker thread while this loop parses the next block's records;
+        # multi-device hosts keep up to one mesh batch in flight on top)
         if block.full:
-            if pending_block is not None:
-                xsi.write_block(pending_block.result())
-            pending_block = block.submit()
+            pending_blocks.append(block.submit())
+            while pending_blocks and pending_blocks[0].done():
+                xsi.write_block(pending_blocks.popleft().result())
+            # Bound in-flight memory.  Before a blocking wait, dispatch any
+            # partially-filled mesh batch: the head future could otherwise
+            # sit in a batch that never fills (e.g. a run of mixed-ploidy
+            # blocks that are mesh-ineligible).
+            while len(pending_blocks) > 2 * block.batch_target:
+                if not pending_blocks[0].done():
+                    block.flush()
+                xsi.write_block(pending_blocks.popleft().result())
         block.encode_record(rec.gt, rec.n_alleles)
 
         n_alts = rec.n_alleles - 1
@@ -292,8 +381,9 @@ def _compress_loop(inp, opts, xsi, var_writer, var_header, csi, block,
         if opts.verbose and entry_counter % 1000 == 0:
             print(f"Handled {entry_counter} VCF entries (lines)")
 
-    if pending_block is not None:
-        xsi.write_block(pending_block.result())
+    block.flush()
+    while pending_blocks:
+        xsi.write_block(pending_blocks.popleft().result())
     if block.bcf_lines:
         xsi.write_block(block.serialize())
     xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,

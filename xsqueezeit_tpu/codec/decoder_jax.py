@@ -105,6 +105,8 @@ class DeviceBlockDecoder:
         # Reuse the NumPy decoder's header/metadata parsing.
         self.meta = GtBlockDecoder(payload, n_samples, n_haps, aet_dtype)
         self._decoded: np.ndarray | None = None
+        self._vals: np.ndarray | None = None   # cached natural-order bits
+        self._neg: np.ndarray | None = None    # (decode_all / mesh batch)
         # Uniformly-haploid blocks collapse to an N-element PBWT over
         # samples (see encoder_jax.DeviceBlockEncoder.serialize); the same
         # kernels decode them with H = n_samples.
@@ -228,9 +230,64 @@ class DeviceBlockDecoder:
         return out
 
 
+_MESH_DECODER_CACHE: dict = {}
+
+
+def mesh_decode_all(devs: list["DeviceBlockDecoder"], mesh) -> None:
+    """Batch `decode_all` for several eligible blocks over a device mesh
+    (data parallelism on the block axis — the decode-side counterpart of
+    parallel/shard.MeshBlockEncoder).  Fills each decoder's cached bits
+    exactly as decode_all() would, using the SAME host_inputs() prep, so
+    downstream record folding/overlays are unchanged."""
+    from ..parallel.shard import make_sharded_block_decoder
+
+    inputs = [d.host_inputs() for d in devs]
+    H, W = inputs[0][7], inputs[0][8]
+    assert all(i[7] == H and i[8] == W for i in inputs)
+    B = len(devs)
+    n_dev = int(mesh.devices.size)
+    B_pad = -(-B // n_dev) * n_dev
+    N = max(i[0].shape[0] for i in inputs)
+    Lw = max(i[1].shape[0] for i in inputs)
+    Lp = max(i[2].shape[0] for i in inputs)
+    Nc = max(i[5].shape[0] for i in inputs)
+
+    stream = np.zeros((B_pad, N), np.uint16)
+    sorts = np.ones((B_pad, Lw), bool)        # padding rows: inert identity
+    rank = np.zeros((B_pad, Lp), np.int32)
+    is_wah = np.zeros((B_pad, Lp), bool)
+    neg = np.zeros((B_pad, Lp), np.uint8)
+    car_line = np.full((B_pad, Nc), Lp, np.int32)  # sentinel rows: dropped
+    car_idx = np.zeros((B_pad, Nc), np.int32)
+    for i, inp in enumerate(inputs):
+        p, s, r, iw, ng, cl, ci = inp[:7]
+        stream[i, :p.shape[0]] = p
+        sorts[i, :s.shape[0]] = s
+        rank[i, :r.shape[0]] = r
+        is_wah[i, :iw.shape[0]] = iw
+        neg[i, :ng.shape[0]] = ng
+        car_line[i, :cl.shape[0]] = cl
+        car_idx[i, :ci.shape[0]] = ci
+
+    key = (tuple(d.id for d in mesh.devices.flat), H, W)
+    fn = _MESH_DECODER_CACHE.get(key)
+    if fn is None:
+        fn = make_sharded_block_decoder(mesh)(H, W)
+        _MESH_DECODER_CACHE[key] = fn
+    vals = np.asarray(fn(jnp.asarray(stream), jnp.asarray(sorts),
+                         jnp.asarray(rank), jnp.asarray(is_wah),
+                         jnp.asarray(neg), jnp.asarray(car_line),
+                         jnp.asarray(car_idx)))
+    for i, d in enumerate(devs):
+        L = inputs[i][9]
+        d._vals = vals[i, :L]
+        d._neg = inputs[i][4][:L].astype(bool)
+
+
 def decode_block_records(payload, n_samples, n_haps, aet_dtype,
                          n_alleles_per_record: list[int],
-                         offsets: list[int] | None = None
+                         offsets: list[int] | None = None,
+                         predecoded: "DeviceBlockDecoder | None" = None
                          ) -> list[np.ndarray]:
     """Decode records of a block to htslib gt arrays (device fast path with
     host overlays).  Falls back to the NumPy decoder when ineligible.
@@ -238,7 +295,8 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
     `offsets` gives each record's first binary line (BM & 0x7FFF) for
     region/target-filtered runs where the records are a non-contiguous
     subset of the block; omitted, records are taken as consecutive from
-    line 0."""
+    line 0.  `predecoded` supplies a DeviceBlockDecoder whose bits were
+    already produced (mesh batch path, mesh_decode_all)."""
     contiguous = True
     if offsets is not None:
         pos = 0
@@ -248,7 +306,8 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
                 break
             pos += max(na - 1, 0)
 
-    dev = DeviceBlockDecoder(payload, n_samples, n_haps, aet_dtype)
+    dev = predecoded or DeviceBlockDecoder(payload, n_samples, n_haps,
+                                           aet_dtype)
     m = dev.meta
 
     def numpy_random_access():
@@ -283,7 +342,8 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
         # of weird blocks use the random-access NumPy decoder
         return numpy_random_access()
 
-    dev.decode_all()
+    if getattr(dev, "_vals", None) is None:
+        dev.decode_all()
 
     # Vectorized fast path: all-biallelic, no exception tracks -- one
     # elementwise pass builds every record's gt array at once (the

@@ -182,9 +182,20 @@ class Decompressor:
                 raise
             return False
 
+    def _local_mesh(self):
+        """Decode-side mesh over local devices (None = single device)."""
+        try:
+            from ..parallel.shard import local_mesh
+            return local_mesh()
+        except Exception:
+            return None
+
     def iter_decoded_records(self):
         """Yields (variant_rec, gt) in file order, batching whole blocks on
-        device when possible."""
+        device when possible.  Multi-device hosts decode batches of
+        consecutive blocks through one shard_map'd program
+        (decoder_jax.mesh_decode_all) — block-axis data parallelism on the
+        read side, matching the compressor's mesh batching."""
         if not self._use_device():
             for rec, bm in self.iter_variant_records():
                 yield rec, self.decode_bm(bm, rec.n_allele)
@@ -192,47 +203,89 @@ class Decompressor:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        from .decoder_jax import decode_block_records
+        from .decoder_jax import (
+            DeviceBlockDecoder,
+            decode_block_records,
+            mesh_decode_all,
+        )
 
-        pending: list = []
+        mesh = self._local_mesh()
+        batch_target = int(mesh.devices.size) if mesh is not None else 1
+
+        def decode_batch(groups):
+            """groups: [(block_id, [(rec, offset), ...]), ...] consecutive.
+            Returns [gts_list_per_group]."""
+            devs = []
+            for block_id, recs in groups:
+                payload = self.xsi.gt_block_payload(block_id)
+                devs.append((payload, DeviceBlockDecoder(
+                    payload, self.n_samples, self.n_haps,
+                    self.xsi.aet_dtype)))
+            if mesh is not None:
+                # mesh-decode the eligible same-width blocks in one program
+                h0 = None
+                eligible = []
+                for _, d in devs:
+                    if d.eligible:
+                        if h0 is None:
+                            h0 = d.n_eff
+                        if d.n_eff == h0:
+                            eligible.append(d)
+                if len(eligible) > 1:
+                    mesh_decode_all(eligible, mesh)
+            out = []
+            for (payload, d), (block_id, recs) in zip(devs, groups):
+                out.append(decode_block_records(
+                    payload, self.n_samples, self.n_haps, self.xsi.aet_dtype,
+                    [r.n_allele for r, _ in recs],
+                    [off for _, off in recs], predecoded=d))
+            return out
+
+        pending: list = []        # record groups of the current block
         pending_block = -1
-        in_flight = None  # (records, Future[gts]) of the previous block
+        batch: list = []          # [(block_id, recs)] awaiting decode
+        in_flight = None          # (groups, Future[list[gts]])
 
-        def submit(executor):
-            recs = pending
-            payload = self.xsi.gt_block_payload(pending_block)
-            fut = executor.submit(
-                decode_block_records, payload, self.n_samples, self.n_haps,
-                self.xsi.aet_dtype, [r.n_allele for r, _ in recs],
-                [off for _, off in recs])
-            return recs, fut
+        def seal_block():
+            nonlocal pending
+            if pending:
+                batch.append((pending_block, pending))
+                pending = []
 
-        # 2-stage pipeline: block k decodes on a worker thread while block
-        # k-1's records are being emitted/written (mirrors the compressor's
-        # submit(); single worker preserves order).
+        # 2-stage pipeline: batch k decodes on a worker thread while batch
+        # k-1's records are being emitted/written (single worker preserves
+        # order).
         with ThreadPoolExecutor(max_workers=1) as executor:
+            def flush_batch():
+                nonlocal in_flight, batch
+                groups, batch = batch, []
+                prev = in_flight
+                in_flight = (groups, executor.submit(decode_batch, groups))
+                return prev
+
             for rec, bm in self.iter_variant_records():
                 block_id = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS
                 if block_id != pending_block:
-                    if pending:
-                        prev = in_flight
-                        in_flight = submit(executor)
-                        if prev is not None:
-                            yield from zip((r for r, _ in prev[0]),
-                                           prev[1].result())
-                    pending = []
+                    seal_block()
                     pending_block = block_id
+                    if len(batch) >= batch_target:
+                        prev = flush_batch()
+                        if prev is not None:
+                            for (_, recs), gts in zip(prev[0],
+                                                      prev[1].result()):
+                                yield from zip((r for r, _ in recs), gts)
                 pending.append((rec, bm & ((1 << BM_BLOCK_BITS) - 1)))
+
+            seal_block()
+            if batch:
+                prev = flush_batch()
+                if prev is not None:
+                    for (_, recs), gts in zip(prev[0], prev[1].result()):
+                        yield from zip((r for r, _ in recs), gts)
             if in_flight is not None:
-                yield from zip((r for r, _ in in_flight[0]),
-                               in_flight[1].result())
-            if pending:
-                payload = self.xsi.gt_block_payload(pending_block)
-                gts = decode_block_records(
-                    payload, self.n_samples, self.n_haps, self.xsi.aet_dtype,
-                    [r.n_allele for r, _ in pending],
-                    [off for _, off in pending])
-                yield from zip((r for r, _ in pending), gts)
+                for (_, recs), gts in zip(in_flight[0],
+                                          in_flight[1].result()):
+                    yield from zip((r for r, _ in recs), gts)
 
     # ------------------------------------------------------------ records
     def _region_chunks(self, reader: BcfReader,

@@ -153,7 +153,11 @@ class DeviceBlockEncoder:
         self._n_alleles.append(n_alleles)
 
     # ------------------------------------------------------------------
-    def serialize(self) -> bytes:
+    def prepare(self) -> dict:
+        """Host prep before the device call: record-to-line expansion +
+        bucket padding.  Returns the padded device inputs plus everything
+        `assemble` needs; shared by the single-chip serialize() and the
+        multi-chip mesh driver (parallel/shard.MeshBlockEncoder)."""
         gt_block = np.stack(self._gt_rows)          # [n_rec, H]
         n_alleles = np.asarray(self._n_alleles)
         n_alts = np.maximum(n_alleles - 1, 0)
@@ -187,12 +191,30 @@ class DeviceBlockEncoder:
                 [alleles, np.full((L_pad - L, H), -3, alleles.dtype)])
             alts_p = np.concatenate(
                 [alts_p, np.full(L_pad - L, -100, np.int32)])
+        return dict(gt_block=gt_block, n_alts=n_alts, haploid=haploid,
+                    H=H, L=L, alleles_rec=alleles_rec,
+                    alleles_p=alleles_p, alts_p=alts_p)
 
+    def serialize(self) -> bytes:
+        prep = self.prepare()
         sparse_cap = max(int(self.mac_threshold), 1)
         out = _encode_block_device(
-            jnp.asarray(alleles_p), jnp.asarray(alts_p),
+            jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
             jnp.int32(self.mac_threshold), sparse_cap)
-        out = {k: np.asarray(v)[:L] for k, v in out.items()}
+        out = {k: np.asarray(v)[:prep["L"]] for k, v in out.items()}
+        return self.assemble(out, prep)
+
+    def assemble(self, out: dict, prep: dict) -> bytes:
+        """Payload assembly from the device outputs (sliced to [:L]).
+
+        Byte-identical regardless of which device(s) produced `out` --
+        the mesh driver calls this per block with its shard's slice."""
+        gt_block = prep["gt_block"]
+        n_alts = prep["n_alts"]
+        haploid = prep["haploid"]
+        H = prep["H"]
+        L = prep["L"]
+        alleles_rec = prep["alleles_rec"]
 
         is_wah = out["is_wah"]
         negated = out["negated"] & ~is_wah
