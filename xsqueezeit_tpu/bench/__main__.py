@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["auto", "jax", "numpy", "native"])
     s.add_argument("--zstd", action="store_true")
 
+    s = sub.add_parser("scaling", help="multi-process compress scaling "
+                                       "curve (jax.distributed, CPU)")
+    s.add_argument("--records", type=int, default=20000)
+    s.add_argument("--samples", type=int, default=500)
+    s.add_argument("--block-length", type=int, default=1024)
+    s.add_argument("--procs", default="1,2,4")
+    s.add_argument("--dir", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "loading_time":
@@ -117,6 +125,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(run(n_records=args.records, n_samples=args.samples,
                              workdir=args.dir, device=args.device,
                              zstd=args.zstd)))
+    elif args.cmd == "scaling":
+        from .tools import scaling_curve
+        procs = tuple(int(x) for x in args.procs.split(",") if x)
+        print(json.dumps(scaling_curve(
+            n_records=args.records, n_samples=args.samples,
+            procs=procs, block_length=args.block_length,
+            workdir=args.dir)))
     return 0
 
 

@@ -283,3 +283,153 @@ def lockstep_load(path_a: str, path_b: str) -> dict:
         n_entries += 0 if ga is None else ga.shape[0]
     return {"records": n_records, "gt_entries": n_entries,
             "identical": True, "seconds": time.perf_counter() - t0}
+
+
+# ---------------------------------------------------------------------------
+# Multi-process scaling curve (BASELINE.md: >=80% efficiency at 4 hosts)
+# ---------------------------------------------------------------------------
+def _scaling_worker(cfg_json: str) -> None:
+    """Entry point of one scaling-bench OS process (see scaling_curve)."""
+    import json
+
+    cfg = json.loads(cfg_json)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..codec.compressor import CompressorOptions
+    from ..parallel.distributed import compress_file_multihost
+
+    perf: dict = {}
+    stats = compress_file_multihost(
+        cfg["input"], cfg["output"],
+        CompressorOptions(block_length=cfg["block_length"], device="numpy"),
+        coordinator=cfg["coordinator"],
+        num_processes=cfg["nproc"], process_id=cfg["procid"],
+        perf=perf)
+    perf["procid"] = cfg["procid"]
+    if stats is not None:
+        perf["xsi_bytes"] = stats["xsi_bytes"]
+    with open(cfg["perf_out"], "w") as f:
+        json.dump(perf, f)
+
+
+def scaling_curve(n_records: int = 20000, n_samples: int = 500,
+                  procs: tuple = (1, 2, 4), block_length: int = 1024,
+                  workdir: str | None = None) -> dict:
+    """Wall-clock scaling of `compress_file_multihost` at 1/2/4 OS
+    processes on a synthetic input (CPU backend, real jax.distributed with
+    a localhost coordinator), with the gather overhead broken out.
+
+    Real multi-host hardware is not available in this sandbox (nor more
+    than one CPU core), so two curves are reported:
+      * measured wall clock — all processes share the sandbox's core, so
+        it cannot show speedup; it validates overhead, not parallelism;
+      * modeled wall clock — scan + max(per-process encode) + gather +
+        assembly, i.e. the wall clock on a host pool where processes run
+        concurrently.  Efficiency_N = T1 / (N * T_N) over the model.
+    Outputs are verified byte-identical to single-process compress_file
+    at every process count.
+    """
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    own = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="xsi_scaling_")
+    os.makedirs(workdir, exist_ok=True)
+    inp = os.path.join(workdir, "in.bcf")
+    from .e2e import synth_bcf
+    synth_bcf(inp, n_records, n_samples)
+
+    # single-process reference bytes
+    from ..codec.compressor import CompressorOptions, compress_file
+    ref = os.path.join(workdir, "ref.xsi")
+    t0 = time.perf_counter()
+    compress_file(inp, ref, CompressorOptions(block_length=block_length,
+                                              device="numpy"))
+    t_single = time.perf_counter() - t0
+    ref_bytes = open(ref, "rb").read()
+
+    def free_port() -> int:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    results = []
+    for n in procs:
+        out = os.path.join(workdir, f"out_{n}.xsi")
+        coord = f"127.0.0.1:{free_port()}"
+        cfgs = []
+        for i in range(n):
+            cfgs.append(dict(
+                input=inp, output=out, block_length=block_length,
+                coordinator=coord, nproc=n, procid=i,
+                perf_out=os.path.join(workdir, f"perf_{n}_{i}.json")))
+        env = dict(os.environ, XSI_DEVICE="numpy", JAX_PLATFORMS="cpu")
+        t0 = time.perf_counter()
+        logf = open(os.path.join(workdir, f"workers_{n}.log"), "wb")
+        children = [subprocess.Popen(
+            [sys.executable, "-c",
+             "import sys; from xsqueezeit_tpu.bench.tools import "
+             "_scaling_worker; _scaling_worker(sys.argv[1])",
+             json.dumps(cfg)], env=env, cwd=os.getcwd(),
+            stdout=logf, stderr=logf)
+            for cfg in cfgs]
+        rcs = [c.wait() for c in children]
+        wall = time.perf_counter() - t0
+        if any(rcs):
+            raise RuntimeError(f"scaling worker failed: rcs={rcs}")
+        assert open(out, "rb").read() == ref_bytes, \
+            f"{n}-process output differs from single-process bytes"
+
+        perfs = [json.load(open(c["perf_out"])) for c in cfgs]
+        p0 = next(p for p in perfs if p["procid"] == 0)
+        # CPU times are contention-immune: on dedicated hosts (one busy
+        # process each) they equal wall time, so the model below is the
+        # wall clock of a real N-host run.  Process 0 runs the variant
+        # pass on a thread overlapped with its encode (both release the
+        # GIL), so its span is max(varpass, encode0).  Gather is
+        # communication — keep its measured wall (localhost gloo under
+        # N-on-1-core contention, so a pessimistic bound; real DCN cost
+        # for these byte counts is milliseconds) and report efficiency
+        # both with and without it.
+        scan_max = max(p["scan_cpu_s"] for p in perfs)
+        var0 = p0.get("varpass_cpu_s", 0.0)
+        enc0 = p0["encode_cpu_s"]
+        enc_others = max([p["encode_cpu_s"] for p in perfs
+                          if p["procid"] != 0], default=0.0)
+        span = max(var0, enc0, enc_others)
+        gather_max = max(p.get("gather_s", 0.0) for p in perfs)
+        assemble = p0.get("assemble_cpu_s", 0.0)
+        gather_bytes = sum(p.get("payload_bytes", 0)
+                           for p in perfs if p["procid"] != 0)
+        modeled = scan_max + span + gather_max + assemble
+        results.append(dict(
+            procs=n, wall_s=round(wall, 2), scan_cpu_s=round(scan_max, 2),
+            varpass_cpu_s=round(var0, 2),
+            encode_max_cpu_s=round(max(enc0, enc_others), 2),
+            gather_s=round(gather_max, 3),
+            assemble_cpu_s=round(assemble, 3), gather_mb=round(
+                gather_bytes / 1e6, 3),
+            modeled_wall_s=round(modeled, 2),
+            compute_wall_s=round(modeled - gather_max, 2)))
+
+    base = results[0]["modeled_wall_s"]
+    base_c = results[0]["compute_wall_s"]
+    for r in results:
+        r["modeled_efficiency"] = round(base / (r["procs"]
+                                                * r["modeled_wall_s"]), 3)
+        r["compute_efficiency"] = round(base_c / (r["procs"]
+                                                  * r["compute_wall_s"]), 3)
+    if own:
+        import shutil
+        shutil.rmtree(workdir, ignore_errors=True)
+    return {"records": n_records, "samples": n_samples,
+            "block_length": block_length,
+            "single_process_compress_s": round(t_single, 2),
+            "byte_identical": True, "curve": results}

@@ -53,6 +53,9 @@ _INT_SPECS = {
     T_INT32: ("<i", 4, INT32_MISSING, INT32_EOV),
 }
 
+_TYPE_SIZE = {T_MISSING: 0, T_INT8: 1, T_INT16: 2, T_INT32: 4,
+              T_FLOAT: 4, T_CHAR: 1}
+
 
 # ---------------------------------------------------------------------------
 # typed values
@@ -368,6 +371,23 @@ class BcfRecord:
             out.append((key, t, per, vals))
         return out
 
+    def gt_ploidy(self) -> int:
+        """FORMAT/GT vector length read from the typed descriptors alone
+        (no value decode) — the cheap ploidy probe for sites-only scans.
+        Returns 0 when the record carries no GT field."""
+        assert self._header is not None
+        gt_idx = self._header.str2idx.get("GT")
+        if gt_idx is None:
+            return 0
+        c = _Cursor(self.indiv, 0)
+        for _ in range(self.n_fmt):
+            key = c.read_typed_scalar_int()
+            t, per = c.read_type()
+            if key == gt_idx:
+                return per
+            c.pos += _TYPE_SIZE[t] * per * self.n_sample
+        return 0
+
     def genotypes(self) -> tuple[np.ndarray, int] | None:
         """FORMAT/GT as an htslib-style int32 array, or None.
 
@@ -424,6 +444,20 @@ class BcfReader:
         rec = BcfRecord.parse(shared, indiv)
         rec._header = self.header
         return rec
+
+    def skip_records(self, n: int) -> int:
+        """Skip n records reading only the frame words (no site/genotype
+        parse — the cheap fast-forward for block-partitioned workers).
+        Returns the number actually skipped (short at EOF)."""
+        done = 0
+        while done < n:
+            head = self._f.read(8)
+            if len(head) < 8:
+                break
+            l_shared, l_indiv = struct.unpack("<II", head)
+            self._f.read(l_shared + l_indiv)
+            done += 1
+        return done
 
     def tell_virtual(self) -> int:
         return self._f.tell_virtual()

@@ -68,6 +68,38 @@ class GtInput:
                     self.header, rec.fixed, 0, 0)
                 yield GtInputRecord(shared, rec.gt, rec.n_alleles, rec.ploidy)
 
+    def iter_sites(self):
+        """Sites-only iteration: GtInputRecord with gt=None but real
+        n_alleles/ploidy, skipping genotype value decode (BCF reads only
+        the GT type descriptor; VCF counts separators).  Used by the
+        distributed variant pass, where genotypes are encoded by other
+        workers and decoding them here would serialize the pipeline."""
+        if self.format == "bcf":
+            for rec in self._bcf:
+                yield GtInputRecord(rec.shared, None, rec.n_allele,
+                                    rec.gt_ploidy())
+        else:
+            for rec in self._vcf.iter_sites():
+                shared = encode_shared_from_vcf_cols(
+                    self.header, rec.fixed, 0, 0)
+                yield GtInputRecord(shared, None, rec.n_alleles, rec.ploidy)
+
+    def skip_records(self, n: int) -> int:
+        """Fast-forward past n records without parsing site/genotype data
+        (BCF: frame words only; VCF: raw line reads).  Returns the number
+        actually skipped (short at EOF)."""
+        if n <= 0:
+            return 0
+        if self.format == "bcf":
+            return self._bcf.skip_records(n)
+        done = 0
+        for line in self._vcf._f:
+            if line.strip():
+                done += 1
+                if done >= n:
+                    break
+        return done
+
     def close(self):
         if self.format == "bcf":
             self._bcf.close()

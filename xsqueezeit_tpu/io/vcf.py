@@ -183,6 +183,32 @@ class VcfReader:
                 gt[i * max_ploidy:i * max_ploidy + len(vals)] = vals
             yield VcfRecord(fixed, gt, n_alleles, max_ploidy)
 
+    def iter_sites(self):
+        """Sites-only iteration: yields records with gt=None but real
+        n_alleles and line max ploidy (separator counts on the GT
+        subfields — no allele parsing).  The variant-pass fast path."""
+        for line in self._f:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            cols = line.split("\t", 9)
+            fixed = cols[:8]
+            alt = fixed[4]
+            n_alleles = 1 + (0 if alt in (".", "") else alt.count(",") + 1)
+            if len(cols) <= 9 or not self.samples:
+                yield VcfRecord(fixed, None, n_alleles, 0)
+                continue
+            parts = cols[8].split(":")
+            if "GT" not in parts:
+                yield VcfRecord(fixed, None, n_alleles, 0)
+                continue
+            gi = parts.index("GT")
+            mp = 1
+            for cell in cols[9].split("\t"):
+                g = cell.split(":", gi + 1)[gi] if ":" in cell else cell
+                mp = max(mp, g.count("/") + g.count("|") + 1)
+            yield VcfRecord(fixed, None, n_alleles, mp)
+
     def close(self):
         self._f.close()
 

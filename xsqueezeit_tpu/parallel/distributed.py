@@ -175,9 +175,11 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
                       or os.environ.get("XSI_DEVICE") == "jax"))
     payloads: list[bytes] = []
     inp = GtInput(input_path)
-    for i, rec in enumerate(inp):
-        if i < lo:
-            continue
+    skipped = inp.skip_records(lo)
+    if skipped < lo:
+        inp.close()
+        return []                        # window starts beyond EOF
+    for i, rec in enumerate(inp, start=lo):
         if i >= hi:
             break
         if rec.gt is None:
@@ -226,7 +228,7 @@ def _variant_pass(inp, opts, output_path, sniffed_ploidy):
     variant_counter = 0
     max_ploidy = sniffed_ploidy
     bm_alt_offset = 0
-    for rec in inp:
+    for rec in inp.iter_sites():
         if rec.ploidy > 2:
             raise ValueError("Ploidy higher than 2 is not yet supported")
         bm_block, in_block = divmod(entry_counter, opts.block_length)
@@ -306,7 +308,8 @@ def compress_file_multihost(input_path: str, output_path: str,
                             opts: CompressorOptions | None = None,
                             coordinator: str | None = None,
                             num_processes: int | None = None,
-                            process_id: int | None = None) -> dict | None:
+                            process_id: int | None = None,
+                            perf: dict | None = None) -> dict | None:
     """Real multi-process data-parallel compression (jax.distributed).
 
     Every process must see `input_path`; only process 0 writes output.
@@ -331,17 +334,42 @@ def compress_file_multihost(input_path: str, output_path: str,
 
     Returns the summary dict on process 0, None on other processes.
     """
+    import time
+
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
 
+    t0 = time.perf_counter()
+    c0 = time.process_time()
     pidx, pcount = init_distributed(coordinator, num_processes, process_id)
     opts = opts or CompressorOptions()
     (inp, samples, n_samples, default_phased, sniffed_ploidy,
      aet_dtype, mac_threshold, ws) = _setup(input_path, opts)
+    if perf is not None:
+        perf["setup_s"] = time.perf_counter() - t0
+        perf["setup_cpu_s"] = time.process_time() - c0
 
     xsi = None
+    var_state: dict = {}
+    var_thread = None
     try:
+        # Every process (including 0) takes the cheap frame-skip entry
+        # count; process 0's full variant pass (sites parse + _var.bcf +
+        # CSI) runs on a background thread OVERLAPPED with its encode
+        # share below — zlib and numpy both release the GIL, so on a
+        # multi-core host the two genuinely run in parallel and the
+        # serial fraction shrinks to this count scan (the Amdahl term of
+        # the whole pipeline).  Its results are only needed at assembly.
+        t0 = time.perf_counter()
+        c0 = time.process_time()
+        from ..io.unified import count_entries
+        entry_counter = count_entries(input_path)
+        inp.close()
+        if perf is not None:
+            perf["scan_s"] = time.perf_counter() - t0
+            perf["scan_cpu_s"] = time.process_time() - c0
+
         if pidx == 0:
             header = XsiHeader(
                 version=5, ind_bytes=4,
@@ -351,13 +379,23 @@ def compress_file_multihost(input_path: str, output_path: str,
                 ss_rate=opts.block_length, rare_threshold=mac_threshold)
             xsi = XsiWriter(output_path, header, samples,
                             zstd_on=opts.zstd, zstd_level=opts.zstd_level)
-            entry_counter, variant_counter, max_ploidy = _variant_pass(
-                inp, opts, output_path, sniffed_ploidy)
-        else:
-            # raw record skip -- no genotype decode needed just to count
-            from ..io.unified import count_entries
-            entry_counter = count_entries(input_path)
-        inp.close()
+
+            def _run_variant_pass():
+                tt0 = time.thread_time()
+                vin = GtInput(input_path)
+                try:
+                    var_state["result"] = _variant_pass(
+                        vin, opts, output_path, sniffed_ploidy)
+                except BaseException as exc:   # surfaced at join below
+                    var_state["error"] = exc
+                finally:
+                    vin.close()
+                    var_state["cpu_s"] = time.thread_time() - tt0
+
+            import threading
+            var_thread = threading.Thread(target=_run_variant_pass,
+                                          name="xsi-variant-pass")
+            var_thread.start()
 
         if pcount > 1:
             counts = np.asarray(multihost_utils.process_allgather(
@@ -368,24 +406,52 @@ def compress_file_multihost(input_path: str, output_path: str,
                     f"{counts.tolist()} — every process must read the same "
                     "input file")
 
-        n_blocks = -(-entry_counter // opts.block_length)
+        t0 = time.perf_counter()
+        c0 = time.thread_time()      # main thread only: variant-pass CPU
+        n_blocks = -(-entry_counter // opts.block_length)   # is overlapped
         start_blk, end_blk = process_layout(n_blocks, pidx, pcount)
         payloads = _encode_block_range(
             input_path, (start_blk, end_blk), n_samples, opts,
             mac_threshold, default_phased, aet_dtype, ws)
+        if perf is not None:
+            perf["encode_s"] = time.perf_counter() - t0
+            perf["encode_cpu_s"] = time.thread_time() - c0
+            perf["payload_bytes"] = sum(len(p) for p in payloads)
+            perf["n_local_blocks"] = len(payloads)
 
+        t0 = time.perf_counter()
         gathered = gather_blocks_to_host0(payloads)
+        if perf is not None:
+            perf["gather_s"] = time.perf_counter() - t0
         if pidx != 0:
             return None
 
+        var_thread.join()
+        if "error" in var_state:
+            raise RuntimeError("variant pass failed") from var_state["error"]
+        ventries, variant_counter, max_ploidy = var_state["result"]
+        if ventries != entry_counter:
+            raise RuntimeError(
+                f"variant pass saw {ventries} entries, count saw "
+                f"{entry_counter} — input changed mid-run?")
+        if perf is not None:
+            perf["varpass_cpu_s"] = var_state["cpu_s"]
+
+        t0 = time.perf_counter()
+        c0 = time.process_time()
         for payload in gathered:                 # original block order
             xsi.write_block(payload)
         xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
                      max_ploidy=max_ploidy)
+        if perf is not None:
+            perf["assemble_s"] = time.perf_counter() - t0
+            perf["assemble_cpu_s"] = time.process_time() - c0
     except BaseException:
         # don't leave a truncated container/variant file behind on
         # process 0 (mirrors compress_file's failure cleanup)
         if pidx == 0:
+            if var_thread is not None:
+                var_thread.join()      # let it finish before unlinking
             try:
                 if xsi is not None and not xsi.f.closed:
                     xsi.f.close()
