@@ -56,9 +56,15 @@ class VariantBcf {
       return;
     }
     uint32_t l_text;
-    r_.read(&l_text, 4);
+    if (r_.read(&l_text, 4) != 4 || l_text > (1u << 30)) {
+      set_error("BCF: malformed header length");
+      return;
+    }
     std::string text(l_text, '\0');
-    r_.read(text.data(), l_text);
+    if (r_.read(text.data(), l_text) != l_text) {
+      set_error("BCF: truncated header");
+      return;
+    }
     parse_header(text);
     ok_ = true;
   }
@@ -235,17 +241,20 @@ static_assert(sizeof(XsiHeader) == 256, "header must be 256 bytes");
 constexpr uint16_t WAH_HIGH = 0x8000, WAH_ONE = 0x4000, WAH_MAXC = 0x3fff;
 constexpr int WAH_BITS = 15;
 
-// Decode `size` bits; advances *wp.  Returns popcount over the full span.
-size_t wah2_extract(const uint16_t **wp, std::vector<uint8_t> &bits, size_t size) {
+// Decode `size` bits; advances *wp, never past `wend` (corrupt streams
+// without enough words stop short — untrusted input must not overread).
+// Returns popcount over the full span.
+size_t wah2_extract(const uint16_t **wp, std::vector<uint8_t> &bits,
+                    size_t size, const uint16_t *wend) {
   const uint16_t *p = *wp;
   size_t bpos = 0, ones = 0;
-  while (bpos < size) {
+  while (bpos < size && p < wend) {
     uint16_t w = *p++;
     if (w & WAH_HIGH) {
       size_t n = size_t(w & WAH_MAXC) * WAH_BITS;
       uint8_t fill = (w & WAH_ONE) ? 1 : 0;
       size_t stop = std::min(bpos + n, bits.size());
-      memset(bits.data() + bpos, fill, stop - bpos);
+      if (bpos < stop) memset(bits.data() + bpos, fill, stop - bpos);
       if (fill) ones += n;
       bpos += n;
     } else {
@@ -262,10 +271,10 @@ size_t wah2_extract(const uint16_t **wp, std::vector<uint8_t> &bits, size_t size
   return ones;
 }
 
-void wah2_advance(const uint16_t **wp, size_t size) {
+void wah2_advance(const uint16_t **wp, size_t size, const uint16_t *wend) {
   const uint16_t *p = *wp;
   size_t bpos = 0;
-  while (bpos < size) {
+  while (bpos < size && p < wend) {
     uint16_t w = *p++;
     bpos += (w & WAH_HIGH) ? size_t(w & WAH_MAXC) * WAH_BITS : WAH_BITS;
   }
@@ -289,20 +298,40 @@ constexpr uint32_t VAL_UNDEF = 0xffffffffu;
 template <typename A_T>
 class GtBlockDecoder {
  public:
-  GtBlockDecoder(const uint8_t *payload, size_t n_samples, size_t n_haps)
-      : p_(payload), n_samples_(n_samples), n_haps_(n_haps) {
+  // `len` bounds every offset/stream read: the payload is untrusted file
+  // bytes, so a corrupt dictionary or counter must surface as !ok(),
+  // never as an overread (the Python decoder raises; this mirrors it).
+  GtBlockDecoder(const uint8_t *payload, size_t len, size_t n_samples,
+                 size_t n_haps)
+      : p_(payload), len_(len), n_samples_(n_samples), n_haps_(n_haps) {
+    if (len < 8) { fail("block payload too small"); return; }
     const uint32_t *u = reinterpret_cast<const uint32_t *>(payload);
     uint32_t n = u[1];
+    if (n > (1u << 20) || 8 + size_t(n) * 8 > len) {
+      fail("block dictionary exceeds payload");
+      return;
+    }
     for (uint32_t i = 0; i < n; ++i) dict_[u[2 + 2 * i]] = u[3 + 2 * i];
-    bcf_lines_ = dict_.at(KEY_BCF_LINES);
-    binary_lines_ = dict_.at(KEY_BINARY_LINES);
+    if (!dict_.count(KEY_BCF_LINES) || !dict_.count(KEY_BINARY_LINES)) {
+      fail("block dictionary missing line counts");
+      return;
+    }
+    bcf_lines_ = dict_[KEY_BCF_LINES];
+    binary_lines_ = dict_[KEY_BINARY_LINES];
+    if (bcf_lines_ > (1u << 28) || binary_lines_ > (1u << 28)) {
+      fail("absurd block line counts");
+      return;
+    }
     default_phasing_ = dict_.count(KEY_DEFAULT_PHASING) ?
-        int(dict_.at(KEY_DEFAULT_PHASING)) : 0;
+        int(dict_[KEY_DEFAULT_PHASING]) : 0;
     if (default_phasing_ != 1) default_phasing_ = 0;
     ws_ = dict_.count(KEY_WEIRDNESS_STRATEGY) ?
-        int(dict_.at(KEY_WEIRDNESS_STRATEGY)) : WS_PBWT_WAH;
+        int(dict_[KEY_WEIRDNESS_STRATEGY]) : WS_PBWT_WAH;
 
-    load_bool(KEY_LINE_SELECT, is_wah_);
+    if (!load_bool(KEY_LINE_SELECT, is_wah_)) {
+      fail("block missing line-select track");
+      return;
+    }
     if (!load_bool(KEY_LINE_SORT, is_sorting_)) is_sorting_ = is_wah_;
     has_missing_ = load_bool(KEY_LINE_MISSING, line_missing_);
     has_eov_ = load_bool(KEY_LINE_END_OF_VECTORS, line_eov_);
@@ -317,8 +346,13 @@ class GtBlockDecoder {
     eov_wah0_ = ptr<uint16_t>(KEY_MATRIX_END_OF_VECTORS);
     eov_sp0_ = ptr<A_T>(KEY_MATRIX_END_OF_VECTORS_SPARSE);
     nup_wah0_ = ptr<uint16_t>(KEY_MATRIX_NON_UNIFORM_PHASING);
+    wend_ = reinterpret_cast<const uint16_t *>(p_ + (len_ & ~size_t(1)));
+    send_ = reinterpret_cast<const A_T *>(
+        p_ + (len_ & ~size_t(sizeof(A_T) - 1)));
     reset();
   }
+
+  bool ok() const { return ok_; }
 
   void reset() {
     pos_ = 0;
@@ -335,18 +369,34 @@ class GtBlockDecoder {
   }
 
   size_t cur_n_haps(size_t pos) const {
-    return haploid_[pos] ? n_samples_ : n_haps_;
+    return (pos < haploid_.size() && haploid_[pos]) ? n_samples_ : n_haps_;
   }
 
-  void seek(size_t position) {
-    if (position == pos_) return;
+  bool seek(size_t position) {
+    if (!ok_) return false;
+    if (position > binary_lines_) {
+      set_error("seek position beyond block lines (corrupt BM?)");
+      return false;
+    }
+    if (position == pos_) return true;
     if (position < pos_) reset();
-    while (pos_ < position) { advance_main(false); advance_tracks(1); pos_++; }
+    while (pos_ < position && ok_) {
+      advance_main(false);
+      advance_tracks(1);
+      pos_++;
+    }
+    return ok_;
   }
 
   // Fill htslib gt array for the record at the cursor; returns entries.
   int64_t fill(int32_t *gt, size_t capacity, int n_allele,
                int64_t *counts /*nullable, size n_allele*/) {
+    if (!ok_) { set_error("corrupt block payload"); return -1; }
+    if (n_allele > 1 &&
+        pos_ + size_t(n_allele - 1) > size_t(binary_lines_)) {
+      set_error("record needs more binary lines than the block has");
+      return -1;
+    }
     if (n_allele <= 1) {
       // zero-ALT (monomorphic) records own no binary line: all-REF with
       // default phasing, nothing consumed (mirrors the Python decoder)
@@ -367,15 +417,24 @@ class GtBlockDecoder {
     for (int alt = 1; alt < n_allele; ++alt) {
       bool first = alt == 1;
       if (!is_wah_[pos_]) {  // sparse
+        if (!sparse_ || sparse_ >= send_) {
+          set_error("sparse stream truncated");
+          return -1;
+        }
         A_T head = *sparse_++;
         bool neg = head & msb();
         size_t cnt = head & ~msb();
+        if (cnt > size_t(send_ - sparse_) || cnt > n) {
+          set_error("sparse count exceeds stream/haplotypes");
+          return -1;
+        }
         if (first) {
           int32_t defv = neg ? 4 : 2;   // (1+1)<<1 : (0+1)<<1
           int32_t spv = neg ? 2 : 4;
           for (size_t i = 0; i < n; ++i) gt[i] = defv | (int32_t(i & 1) & dp);
           for (size_t k = 0; k < cnt; ++k) {
             size_t i = sparse_[k];
+            if (i >= n) { set_error("sparse index out of range"); return -1; }
             gt[i] = spv | (int32_t(i & 1) & dp);
           }
         } else if (neg) {
@@ -383,18 +442,21 @@ class GtBlockDecoder {
             if ((gt[i] >> 1) == 1) gt[i] = ((alt + 1) << 1) | (int32_t(i & 1) & dp);
           for (size_t k = 0; k < cnt; ++k) {
             size_t i = sparse_[k];
+            if (i >= n) { set_error("sparse index out of range"); return -1; }
             if ((gt[i] >> 1) - 1 == alt) gt[i] = 2 | (int32_t(i & 1) & dp);
           }
         } else {
           for (size_t k = 0; k < cnt; ++k) {
             size_t i = sparse_[k];
+            if (i >= n) { set_error("sparse index out of range"); return -1; }
             gt[i] = ((alt + 1) << 1) | (int32_t(i & 1) & dp);
           }
         }
         sparse_ += cnt;
         ones_ = neg ? n - cnt : cnt;
       } else {  // WAH
-        ones_ = wah2_extract(&wah_, y_, n);
+        if (!wah_) { set_error("WAH stream absent"); return -1; }
+        ones_ = wah2_extract(&wah_, y_, n, wend_);
         if (hap) {
           size_t k = 0;
           for (size_t i = 0; i < n_haps_ && k < n; ++i) {
@@ -431,16 +493,23 @@ class GtBlockDecoder {
     if (has_missing_ && line_missing_[start]) {
       if (ws_ == WS_SPARSE) {
         const A_T *sp = miss_sp_;
+        if (!sp || sp >= send_) { set_error("missing track truncated"); return -1; }
         size_t cnt = *sp++ & ~msb();
+        if (cnt > size_t(send_ - sp) || cnt > n) {
+          set_error("missing track count exceeds stream");
+          return -1;
+        }
         n_missing = cnt;
         for (size_t k = 0; k < cnt; ++k) {
           size_t i = sp[k];
+          if (i >= n) { set_error("missing index out of range"); return -1; }
           gt[i] = int32_t(i & 1) & dp;
         }
       } else {
         const uint16_t *mp = miss_wah_;
+        if (!mp) { set_error("missing track absent"); return -1; }
         n_missing = 0;
-        (void)wah2_extract(&mp, yw_, n);
+        (void)wah2_extract(&mp, yw_, n, wend_);
         for (size_t i = 0; i < n; ++i) {
           if (yw_[i]) {
             size_t t = weird_target(i, hap);
@@ -453,20 +522,31 @@ class GtBlockDecoder {
     if (has_eov_ && line_eov_[start]) {
       if (ws_ == WS_SPARSE) {
         const A_T *sp = eov_sp_;
+        if (!sp || sp >= send_) { set_error("EOV track truncated"); return -1; }
         size_t cnt = *sp++ & ~msb();
+        if (cnt > size_t(send_ - sp) || cnt > n) {
+          set_error("EOV track count exceeds stream");
+          return -1;
+        }
         n_eovs = cnt;
-        for (size_t k = 0; k < cnt; ++k) gt[size_t(sp[k])] = INT32_EOV_V;
+        for (size_t k = 0; k < cnt; ++k) {
+          size_t i = size_t(sp[k]);
+          if (i >= n) { set_error("EOV index out of range"); return -1; }
+          gt[i] = INT32_EOV_V;
+        }
       } else {
         const uint16_t *ep = eov_wah_;
+        if (!ep) { set_error("EOV track absent"); return -1; }
         n_eovs = 0;
-        (void)wah2_extract(&ep, yw_, n);
+        (void)wah2_extract(&ep, yw_, n, wend_);
         for (size_t i = 0; i < n; ++i)
           if (yw_[i]) { gt[weird_target(i, hap)] = INT32_EOV_V; n_eovs++; }
       }
     }
     if (has_nup_ && line_nup_[start]) {
       const uint16_t *pp = nup_wah_;
-      (void)wah2_extract(&pp, yw_, n);
+      if (!pp) { set_error("phase track absent"); return -1; }
+      (void)wah2_extract(&pp, yw_, n, wend_);
       for (size_t i = 0; i < n; ++i)
         if (yw_[i] && gt[i] != INT32_EOV_V) gt[i] ^= int32_t(i & 1);
     }
@@ -493,12 +573,20 @@ class GtBlockDecoder {
     return 0;
   }
 
+  void fail(const char *msg) { ok_ = false; set_error(msg); }
+
   bool load_bool(uint32_t key, std::vector<uint8_t> &v) {
     auto it = dict_.find(key);
     if (it == dict_.end() || it->second == VAL_UNDEF) return false;
+    if (it->second % 2 || it->second >= len_) {
+      fail("line-track offset out of payload range");
+      return false;
+    }
     const uint16_t *wp = reinterpret_cast<const uint16_t *>(p_ + it->second);
+    const uint16_t *we =
+        reinterpret_cast<const uint16_t *>(p_ + (len_ & ~size_t(1)));
     v.assign(binary_lines_ + 16, 0);
-    wah2_extract(&wp, v, binary_lines_);
+    wah2_extract(&wp, v, binary_lines_, we);
     v.resize(binary_lines_);
     return true;
   }
@@ -507,18 +595,30 @@ class GtBlockDecoder {
   const T *ptr(uint32_t key) const {
     auto it = dict_.find(key);
     if (it == dict_.end() || it->second == VAL_UNDEF) return nullptr;
+    if (it->second % alignof(T) || it->second >= len_) return nullptr;
     return reinterpret_cast<const T *>(p_ + it->second);
   }
 
   void advance_main(bool extract) {
     size_t n = cur_n_haps(pos_);
     if (is_wah_[pos_]) {
-      if (extract || is_sorting_[pos_]) ones_ = wah2_extract(&wah_, y_, n);
-      else wah2_advance(&wah_, n);
+      if (!wah_) { fail("WAH stream absent"); return; }
+      if (extract || is_sorting_[pos_])
+        ones_ = wah2_extract(&wah_, y_, n, wend_);
+      else
+        wah2_advance(&wah_, n, wend_);
       if (is_sorting_[pos_]) update_a();
     } else {
+      if (!sparse_ || sparse_ >= send_) {
+        fail("sparse stream truncated");
+        return;
+      }
       A_T head = *sparse_++;
       size_t cnt = head & ~msb();
+      if (cnt > size_t(send_ - sparse_)) {
+        fail("sparse count exceeds stream");
+        return;
+      }
       ones_ = (head & msb()) ? n - cnt : cnt;
       sparse_ += cnt;
     }
@@ -539,36 +639,57 @@ class GtBlockDecoder {
         if (!x[a_[i] / 2]) a_[u++] = a_[i];
         else b_[v++] = a_[i];
       }
-      memcpy(a_.data() + u, b_.data(), v * sizeof(A_T));
+      if (v) memcpy(a_.data() + u, b_.data(), v * sizeof(A_T));
     } else {
       size_t u = 0, v = 0;
       for (size_t i = 0; i < n_haps_; ++i) {
         if (!y_[i]) a_[u++] = a_[i];
         else b_[v++] = a_[i];
       }
-      memcpy(a_.data() + u, b_.data(), v * sizeof(A_T));
+      if (v) memcpy(a_.data() + u, b_.data(), v * sizeof(A_T));
     }
   }
 
   void advance_tracks(size_t steps) {
-    for (size_t s = 0; s < steps; ++s) {
+    for (size_t s = 0; s < steps && ok_; ++s) {
       size_t p = weird_pos_;
-      size_t n = cur_n_haps(std::min(p, size_t(binary_lines_ - 1)));
+      if (p >= size_t(binary_lines_)) return;   // corrupt overshoot
+      size_t n = cur_n_haps(p);
       if (has_missing_ || has_eov_) {
         bool hm = has_missing_ && line_missing_[p];
         bool he = has_eov_ && line_eov_[p];
         if (ws_ == WS_SPARSE) {
-          if (hm) { A_T h = *miss_sp_; miss_sp_ += 1 + (h & ~msb()); }
-          if (he) { A_T h = *eov_sp_; eov_sp_ += 1 + (h & ~msb()); }
+          if (hm) {
+            if (!miss_sp_ || miss_sp_ >= send_) {
+              fail("missing track truncated");
+              return;
+            }
+            A_T h = *miss_sp_;
+            size_t adv = 1 + (h & ~msb());
+            if (adv > size_t(send_ - miss_sp_)) { fail("missing track truncated"); return; }
+            miss_sp_ += adv;
+          }
+          if (he) {
+            if (!eov_sp_ || eov_sp_ >= send_) {
+              fail("EOV track truncated");
+              return;
+            }
+            A_T h = *eov_sp_;
+            size_t adv = 1 + (h & ~msb());
+            if (adv > size_t(send_ - eov_sp_)) { fail("EOV track truncated"); return; }
+            eov_sp_ += adv;
+          }
         } else {
           std::vector<uint8_t> ym, ye;
           if (hm) {
+            if (!miss_wah_) { fail("missing track absent"); return; }
             ym.assign(n + 16, 0);
-            wah2_extract(&miss_wah_, ym, n);
+            wah2_extract(&miss_wah_, ym, n, wend_);
           }
           if (he) {
+            if (!eov_wah_) { fail("EOV track absent"); return; }
             ye.assign(n + 16, 0);
-            wah2_extract(&eov_wah_, ye, n);
+            wah2_extract(&eov_wah_, ye, n, wend_);
           }
           if (ws_ == WS_PBWT_WAH && !haploid_[p] && (hm || he)) {
             size_t u = 0, v = 0;
@@ -577,19 +698,26 @@ class GtBlockDecoder {
               if (!bit) aw_[u++] = aw_[i];
               else bw_[v++] = aw_[i];
             }
-            memcpy(aw_.data() + u, bw_.data(), v * sizeof(A_T));
+            if (v) memcpy(aw_.data() + u, bw_.data(), v * sizeof(A_T));
           }
         }
       }
       weird_pos_++;
       if (has_nup_) {
-        if (line_nup_[phase_pos_]) wah2_advance(&nup_wah_, n);
+        if (phase_pos_ < line_nup_.size() && line_nup_[phase_pos_]) {
+          if (!nup_wah_) { fail("phase track absent"); return; }
+          wah2_advance(&nup_wah_, n, wend_);
+        }
         phase_pos_++;
       }
     }
   }
 
   const uint8_t *p_;
+  size_t len_ = 0;
+  bool ok_ = true;
+  const uint16_t *wend_ = nullptr;   // payload end for 16-bit streams
+  const A_T *send_ = nullptr;        // payload end for sparse streams
   size_t n_samples_, n_haps_;
   std::map<uint32_t, uint32_t> dict_;
   uint32_t bcf_lines_ = 0, binary_lines_ = 0;
@@ -615,15 +743,17 @@ class GtBlockDecoder {
 /* -------------------------------------------------------------- xsi_file */
 struct BlockCursorBase {
   virtual ~BlockCursorBase() = default;
-  virtual void seek(size_t pos) = 0;
+  virtual bool ok() const = 0;
+  virtual bool seek(size_t pos) = 0;
   virtual int64_t fill(int32_t *gt, size_t cap, int n_allele, int64_t *c) = 0;
 };
 
 template <typename A_T>
 struct BlockCursor : BlockCursorBase {
-  explicit BlockCursor(const uint8_t *payload, size_t ns, size_t nh)
-      : dec(payload, ns, nh) {}
-  void seek(size_t pos) override { dec.seek(pos); }
+  BlockCursor(const uint8_t *payload, size_t len, size_t ns, size_t nh)
+      : dec(payload, len, ns, nh) {}
+  bool ok() const override { return dec.ok(); }
+  bool seek(size_t pos) override { return dec.seek(pos); }
   int64_t fill(int32_t *gt, size_t cap, int n_allele, int64_t *c) override {
     return dec.fill(gt, cap, n_allele, c);
   }
@@ -644,45 +774,89 @@ struct xsi_file {
   std::vector<uint8_t> zstd_buf;   // decompressed block when zstd
   size_t n_haps = 0;
 
-  const uint8_t *block_payload(size_t block_id) {
+  // Returns the GT-entry payload and its length (bytes to the end of the
+  // decompressed block).  Every offset/size here is file-controlled and
+  // bounds-checked; NULL + error on any violation.
+  const uint8_t *block_payload(size_t block_id, size_t *plen) {
     if (block_id >= indices.size()) {
       set_error("block id out of range (bad BM / mismatched variant file)");
       return nullptr;
     }
     size_t off = indices[block_id];
     const uint8_t *bp;
+    size_t blen;
     if (header.specific_bitset & 4) {  // zstd flag
+      if (off > data.size() || data.size() - off < 16) {
+        set_error("block offset beyond file");
+        return nullptr;
+      }
       uint64_t csize, osize;
       memcpy(&csize, data.data() + off, 8);
       memcpy(&osize, data.data() + off + 8, 8);
+      if (csize > data.size() - off - 16) {
+        set_error("zstd frame exceeds file");
+        return nullptr;
+      }
+      if (osize > (uint64_t(1) << 31)) {
+        set_error("absurd decompressed block size");
+        return nullptr;
+      }
       zstd_buf.resize(osize);
       size_t rc = ZSTD_decompress(zstd_buf.data(), osize,
                                   data.data() + off + 16, csize);
-      if (ZSTD_isError(rc)) { set_error("zstd decompress failed"); return nullptr; }
+      if (ZSTD_isError(rc) || rc != osize) {
+        set_error("zstd decompress failed");
+        return nullptr;
+      }
       bp = zstd_buf.data();
+      blen = osize;
     } else {
+      if (off >= data.size()) {
+        set_error("block offset beyond file");
+        return nullptr;
+      }
       bp = data.data() + off;
+      blen = data.size() - off;   // conservative extent for bounds checks
     }
     // top-level dictionary -> GT entry (key 256)
+    if (blen < 8) { set_error("block too small"); return nullptr; }
     const uint32_t *u = reinterpret_cast<const uint32_t *>(bp);
     uint32_t n = u[1];
+    if (n > (1u << 20) || 8 + size_t(n) * 8 > blen) {
+      set_error("block top-level dictionary exceeds block");
+      return nullptr;
+    }
     for (uint32_t i = 0; i < n; ++i)
-      if (u[2 + 2 * i] == 256) return bp + u[3 + 2 * i];
+      if (u[2 + 2 * i] == 256) {
+        uint32_t eoff = u[3 + 2 * i];
+        if (eoff % 4 || eoff >= blen) {
+          set_error("GT entry offset out of block range");
+          return nullptr;
+        }
+        *plen = blen - eoff;
+        return bp + eoff;
+      }
     set_error("block has no GT entry");
     return nullptr;
   }
 
   BlockCursorBase *cursor_for(size_t block_id) {
     if (cursor && cursor_block == int64_t(block_id)) return cursor.get();
-    const uint8_t *payload = block_payload(block_id);
+    size_t plen = 0;
+    const uint8_t *payload = block_payload(block_id, &plen);
     if (!payload) return nullptr;
     if (header.aet_bytes == 2)
-      cursor = std::make_unique<BlockCursor<uint16_t>>(payload,
-                                                       header.num_samples, n_haps);
+      cursor = std::make_unique<BlockCursor<uint16_t>>(
+          payload, plen, header.num_samples, n_haps);
     else
-      cursor = std::make_unique<BlockCursor<uint32_t>>(payload,
-                                                       header.num_samples, n_haps);
+      cursor = std::make_unique<BlockCursor<uint32_t>>(
+          payload, plen, header.num_samples, n_haps);
     cursor_block = int64_t(block_id);
+    if (!cursor->ok()) {
+      cursor.reset();
+      cursor_block = -1;
+      return nullptr;
+    }
     return cursor.get();
   }
 };
@@ -703,6 +877,12 @@ xsi_file_t *xsi_open(const char *xsi_path) {
     return nullptr;
   }
   fclose(fp);
+  // Every header offset/count is untrusted: a truncated or corrupt file
+  // must fail cleanly here, never drive a read past `data`.
+  if (f->data.size() < sizeof(XsiHeader)) {
+    set_error("file smaller than the 256-byte header");
+    return nullptr;
+  }
   memcpy(&f->header, f->data.data(), sizeof(XsiHeader));
   if (f->header.first_magic != XSI_MAGIC || f->header.last_magic != XSI_MAGIC) {
     set_error("bad magic");
@@ -713,8 +893,17 @@ xsi_file_t *xsi_open(const char *xsi_path) {
     return nullptr;
   }
   size_t nb = f->header.number_of_ssas;
+  size_t idx_width = f->header.version >= 5 ? 8 : 4;
+  if (f->header.indices_offset > f->data.size() ||
+      nb > (f->data.size() - f->header.indices_offset) / idx_width) {
+    set_error("block index exceeds file");
+    return nullptr;
+  }
   f->indices.resize(nb);
-  if (f->header.version >= 5) {
+  if (nb == 0) {
+    // no blocks: header-only container (or corrupt count); keep going,
+    // every genotype query will fail with "block id out of range"
+  } else if (f->header.version >= 5) {
     memcpy(f->indices.data(), f->data.data() + f->header.indices_offset, nb * 8);
   } else {
     for (size_t i = 0; i < nb; ++i) {
@@ -723,17 +912,31 @@ xsi_file_t *xsi_open(const char *xsi_path) {
       f->indices[i] = v;
     }
   }
-  // samples
+  // samples (NUL-terminated names; never run past the file end)
+  if (f->header.samples_offset > f->data.size()) {
+    set_error("samples offset beyond file");
+    return nullptr;
+  }
   const char *s = reinterpret_cast<const char *>(f->data.data())
       + f->header.samples_offset;
   const char *end = reinterpret_cast<const char *>(f->data.data()) + size;
   size_t want = f->header.ploidy ? f->header.hap_samples / f->header.ploidy : 0;
-  while (f->samples.size() < want && s < end) {
-    std::string name(s);
-    s += name.size() + 1;
-    f->samples.push_back(std::move(name));
+  if (want > size_t(size)) {
+    set_error("absurd sample count");
+    return nullptr;
   }
-  f->n_haps = f->header.num_samples * 2;
+  while (f->samples.size() < want && s < end) {
+    size_t maxn = size_t(end - s);
+    size_t len = strnlen(s, maxn);
+    if (len == maxn) { set_error("unterminated sample name"); return nullptr; }
+    f->samples.emplace_back(s, len);
+    s += len + 1;
+  }
+  if (f->header.num_samples > (uint64_t(1) << 31)) {
+    set_error("absurd num_samples");
+    return nullptr;
+  }
+  f->n_haps = size_t(f->header.num_samples) * 2;
   // variant file
   std::string var_path = std::string(xsi_path) + "_var.bcf";
   f->var = std::make_unique<VariantBcf>(var_path);
@@ -777,7 +980,7 @@ int64_t xsi_fill_genotypes_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
   size_t offset = uint32_t(bm) & ((1u << BM_BLOCK_BITS) - 1);
   auto *c = f->cursor_for(block_id);
   if (!c) return -1;
-  c->seek(offset);
+  if (!c->seek(offset)) return -1;
   return c->fill(gt_arr, capacity, n_allele, nullptr);
 }
 
@@ -793,7 +996,7 @@ int xsi_fill_allele_counts_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
   size_t offset = uint32_t(bm) & ((1u << BM_BLOCK_BITS) - 1);
   auto *c = f->cursor_for(block_id);
   if (!c) return -1;
-  c->seek(offset);
+  if (!c->seek(offset)) return -1;
   std::vector<int32_t> tmp(f->n_haps);
   return c->fill(tmp.data(), tmp.size(), n_allele, counts) < 0 ? -1 : 0;
 }

@@ -1,0 +1,172 @@
+"""Fuzz the native C++ accessor under ASan/UBSan with corrupt containers.
+
+The reference leans on htslib's validation for file parsing; this package's
+native accessor (native/xsi_accessor.cpp) parses BGZF/BCF/XSI bytes itself,
+so every file-controlled offset must fail cleanly on malformed input.
+Mirrors the Python-side tests/test_robustness.py matrix: truncations,
+header/dictionary corruption, zero/huge counters, random byte flips and
+bad zstd frames — through `xsi_open` / `xsi_next_record` /
+`xsi_get_genotypes` in a sanitized process.
+
+Pass criterion: any CLEAN exit code is acceptable (open error, fill error,
+short iteration, even a wrong checksum); a sanitizer report (exit 99) or a
+raw signal (negative returncode) is a failure.
+"""
+import os
+import shutil
+import struct
+import subprocess
+
+import numpy as np
+import pytest
+
+if shutil.which("g++") is None:
+    pytest.skip("no C++ toolchain", allow_module_level=True)
+
+from tests import fixtures
+from xsqueezeit_tpu.cli import main as cli_main
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+
+_ASAN_ENV = {
+    **os.environ,
+    # exitcode marks sanitizer findings unambiguously; leaks in the
+    # error paths count too (detect_leaks on by default).
+    "ASAN_OPTIONS": "exitcode=99:abort_on_error=0",
+    "UBSAN_OPTIONS": "exitcode=99:print_stacktrace=1",
+}
+
+
+@pytest.fixture(scope="module")
+def fuzz_bin():
+    subprocess.run(["make", "-C", _NATIVE_DIR, "fuzz_accessor_asan"],
+                   check=True, capture_output=True)
+    return os.path.join(_NATIVE_DIR, "fuzz_accessor_asan")
+
+
+@pytest.fixture(scope="module", params=["plain", "zstd"])
+def container(request, tmp_path_factory):
+    td = tmp_path_factory.mktemp(f"fuzz_{request.param}")
+    vcf = fixtures.random_vcf(str(td / "in.vcf"), n_samples=21, n_records=80,
+                              seed=29, p_multi=0.2)
+    xsi = str(td / "f.xsi")
+    args = ["-c", "-f", vcf, "-o", xsi, "--variant-block-length", "32"]
+    if request.param == "zstd":
+        args.append("--zstd")
+    assert cli_main(args) == 0
+    return xsi
+
+
+def _run(fuzz_bin, path: str) -> subprocess.CompletedProcess:
+    return subprocess.run([fuzz_bin, path], env=_ASAN_ENV,
+                          capture_output=True, text=True, timeout=120)
+
+
+def _check_clean(r: subprocess.CompletedProcess, what: str) -> None:
+    blob = r.stdout + r.stderr
+    assert r.returncode >= 0, f"{what}: died on signal {-r.returncode}\n{blob}"
+    assert r.returncode != 99, f"{what}: sanitizer report\n{blob}"
+    assert "AddressSanitizer" not in blob and "runtime error" not in blob, \
+        f"{what}: sanitizer output without exitcode\n{blob}"
+
+
+def _write_pair(tmp_path, name: str, xsi_bytes: bytes,
+                var_bytes: bytes) -> str:
+    p = str(tmp_path / f"{name}.xsi")
+    with open(p, "wb") as f:
+        f.write(xsi_bytes)
+    with open(p + "_var.bcf", "wb") as f:
+        f.write(var_bytes)
+    return p
+
+
+def test_happy_path_sanitized(fuzz_bin, container):
+    """The well-formed container must iterate fully under ASan (baseline:
+    instrumentation itself is clean, leaks included)."""
+    r = _run(fuzz_bin, container)
+    _check_clean(r, "happy path")
+    assert r.returncode == 0 and "done records=80" in r.stdout, r.stdout
+
+
+def test_truncated_xsi(fuzz_bin, container, tmp_path):
+    data = open(container, "rb").read()
+    var = open(container + "_var.bcf", "rb").read()
+    for cut in (0, 7, 100, 255, 256, 300, len(data) // 2, len(data) - 3):
+        p = _write_pair(tmp_path, f"t{cut}", data[:cut], var)
+        _check_clean(_run(fuzz_bin, p), f"xsi truncated at {cut}")
+
+
+def test_truncated_var_bcf(fuzz_bin, container, tmp_path):
+    data = open(container, "rb").read()
+    var = open(container + "_var.bcf", "rb").read()
+    for cut in (0, 10, 64, len(var) // 3, len(var) - 5):
+        p = _write_pair(tmp_path, f"v{cut}", data, var[:cut])
+        _check_clean(_run(fuzz_bin, p), f"var.bcf truncated at {cut}")
+
+
+def test_corrupt_header_fields(fuzz_bin, container, tmp_path):
+    """Huge/zero values in every 32-bit word of the 256-byte header —
+    counters, offsets, sample counts — must not overread."""
+    data = bytearray(open(container, "rb").read())
+    var = open(container + "_var.bcf", "rb").read()
+    for off in range(8, 256, 4):
+        for val in (0, 0xFFFFFFFF, 0x7FFFFFFF, len(data) * 2):
+            mut = bytearray(data)
+            struct.pack_into("<I", mut, off, val & 0xFFFFFFFF)
+            p = _write_pair(tmp_path, f"h{off}_{val & 0xFFFF}", bytes(mut),
+                            var)
+            _check_clean(_run(fuzz_bin, p),
+                         f"header word {off} set to {val:#x}")
+
+
+def test_random_flips_xsi(fuzz_bin, container, tmp_path):
+    rng = np.random.default_rng(31)
+    data = bytearray(open(container, "rb").read())
+    var = open(container + "_var.bcf", "rb").read()
+    for trial in range(60):
+        mut = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, len(mut)))
+            mut[pos] ^= int(rng.integers(1, 256))
+        p = _write_pair(tmp_path, f"r{trial}", bytes(mut), var)
+        _check_clean(_run(fuzz_bin, p), f"random flip trial {trial}")
+
+
+def test_random_flips_var_bcf(fuzz_bin, container, tmp_path):
+    rng = np.random.default_rng(37)
+    data = open(container, "rb").read()
+    var = bytearray(open(container + "_var.bcf", "rb").read())
+    for trial in range(40):
+        mut = bytearray(var)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, len(mut)))
+            mut[pos] ^= int(rng.integers(1, 256))
+        p = _write_pair(tmp_path, f"b{trial}", data, bytes(mut))
+        _check_clean(_run(fuzz_bin, p), f"var.bcf flip trial {trial}")
+
+
+def test_block_payload_garbage(fuzz_bin, container, tmp_path):
+    """Replace whole stretches after the header with garbage (kills zstd
+    frames in the zstd flavor, dictionary/stream bytes in both)."""
+    rng = np.random.default_rng(41)
+    data = bytearray(open(container, "rb").read())
+    var = open(container + "_var.bcf", "rb").read()
+    for trial in range(12):
+        mut = bytearray(data)
+        if len(mut) <= 300:
+            break
+        start = int(rng.integers(256, len(mut) - 32))
+        span = int(rng.integers(8, min(256, len(mut) - start)))
+        mut[start:start + span] = bytes(rng.integers(
+            0, 256, span, dtype=np.uint8))
+        p = _write_pair(tmp_path, f"g{trial}", bytes(mut), var)
+        _check_clean(_run(fuzz_bin, p), f"garbage stretch trial {trial}")
+
+
+def test_swapped_companions(fuzz_bin, container, tmp_path):
+    """var.bcf bytes in the .xsi slot and vice versa (wrong-file errors)."""
+    data = open(container, "rb").read()
+    var = open(container + "_var.bcf", "rb").read()
+    p = _write_pair(tmp_path, "swap", var, data)
+    _check_clean(_run(fuzz_bin, p), "swapped companion files")
