@@ -37,6 +37,28 @@ class BgzfReader {
   bool ok() const { return fp_ != nullptr; }
   const std::string &error() const { return error_; }
 
+  // Seek to a BGZF virtual offset (coffset << 16 | uoffset): reposition
+  // to the member starting at file offset coffset and skip uoffset bytes
+  // of its decompressed payload (htslib bgzf_seek semantics — the form
+  // CSI/tabix chunk offsets come in).  A voffset pointing at the file end
+  // succeeds and leaves the reader at EOF.
+  bool seek_virtual(uint64_t voff) {
+    if (!fp_) return false;
+    long coff = long(voff >> 16);
+    size_t uoff = size_t(voff & 0xFFFF);
+    if (fseek(fp_, coff, SEEK_SET) != 0) return fail("BGZF: seek failed");
+    block_.clear();
+    pos_ = 0;
+    error_.clear();
+    if (!load_block()) {
+      if (!error_.empty()) return false;   // malformed member
+      return uoff == 0;                    // clean EOF voffset
+    }
+    if (uoff > block_.size()) return fail("BGZF: seek offset beyond member");
+    pos_ = uoff;
+    return true;
+  }
+
   // Read n bytes of decompressed data; returns bytes read (< n at EOF or
   // on a malformed stream — check error() to distinguish).
   size_t read(void *dst, size_t n) {

@@ -9,18 +9,23 @@
  * (xsi_accessor.h) via the record's FORMAT/BM pointer.
  *
  * Restrictions vs htslib (documented, not silently wrong): inputs must be
- * BCF2.2 (not plain-text VCF) and position-sorted; region/target filtering
- * of the synced set is not implemented here (the Python accessor and CLI
- * cover those paths).
+ * BCF2.2 (not plain-text VCF) and position-sorted.  Region iteration
+ * (bcf_sr_set_regions, CSI-seek + span overlap) and target filtering
+ * (bcf_sr_set_targets, streaming start-position filter) are supported;
+ * target allele subsetting is not.
  */
 #include "hts_shim/vcf.h"
 #include "hts_shim/synced_bcf_reader.h"
 #include "hts_shim/xsqueezeit_export/include/c_api.h"
 #include "xsi_accessor.h"
 #include "bgzf_reader.h"
+#include "csi_reader.h"
 
 #include <zlib.h>
 
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <map>
 #include <memory>
@@ -161,12 +166,115 @@ struct HeaderImpl {
   }
 };
 
+/* ---------------------------------------------------- regions / targets */
+struct RegionSpec {
+  std::string contig;
+  int64_t beg = 0;            // 0-based half-open
+  int64_t end = INT64_MAX;
+};
+
+/* "chr" | "chr:from" | "chr:from-to" (1-based inclusive, htslib region
+ * string grammar) -> 0-based half-open. */
+bool parse_region_token(const std::string &tok, RegionSpec *out) {
+  if (tok.empty()) return false;
+  size_t colon = tok.rfind(':');
+  if (colon == std::string::npos) {
+    out->contig = tok;
+    out->beg = 0;
+    out->end = INT64_MAX;
+    return true;
+  }
+  out->contig = tok.substr(0, colon);
+  if (out->contig.empty()) return false;
+  std::string rest = tok.substr(colon + 1);
+  size_t dash = rest.find('-');
+  long long from = atoll(rest.c_str());
+  if (from <= 0) return false;
+  out->beg = from - 1;
+  if (dash == std::string::npos) {
+    out->end = INT64_MAX;          // "chr:from" = from position to end
+  } else {
+    long long to = atoll(rest.c_str() + dash + 1);
+    if (to < from) return false;
+    out->end = to;
+  }
+  return true;
+}
+
+/* Comma-separated region string, or a file with one region (or
+ * tab-separated chrom/from/to, 1-based inclusive) per line. */
+bool parse_regions(const char *spec, int is_file,
+                   std::vector<RegionSpec> *out) {
+  std::vector<std::string> toks;
+  if (is_file) {
+    FILE *fp = fopen(spec, "r");
+    if (!fp) return false;
+    char line[4096];
+    while (fgets(line, sizeof line, fp)) {
+      std::string s(line);
+      while (!s.empty() && (s.back() == '\n' || s.back() == '\r'))
+        s.pop_back();
+      if (s.empty()) continue;
+      size_t t1 = s.find('\t');
+      if (t1 != std::string::npos) {      // chrom \t from [\t to]
+        size_t t2 = s.find('\t', t1 + 1);
+        std::string chrom = s.substr(0, t1);
+        long long from = atoll(s.c_str() + t1 + 1);
+        long long to = t2 == std::string::npos ? from
+                                               : atoll(s.c_str() + t2 + 1);
+        if (chrom.empty() || from <= 0 || to < from) { fclose(fp); return false; }
+        RegionSpec r;
+        r.contig = chrom;
+        r.beg = from - 1;
+        r.end = to;
+        out->push_back(r);
+        continue;
+      }
+      toks.push_back(s);
+    }
+    fclose(fp);
+  } else {
+    std::string s(spec);
+    size_t start = 0;
+    while (start <= s.size()) {
+      size_t comma = s.find(',', start);
+      if (comma == std::string::npos) comma = s.size();
+      if (comma > start) toks.push_back(s.substr(start, comma - start));
+      start = comma + 1;
+    }
+  }
+  for (const auto &t : toks) {
+    RegionSpec r;
+    if (!parse_region_token(t, &r)) return false;
+    out->push_back(r);
+  }
+  // merge overlapping/adjacent same-contig regions (htslib does this at
+  // parse time; also makes the per-reader seek loop strictly forward)
+  std::sort(out->begin(), out->end(),
+            [](const RegionSpec &a, const RegionSpec &b) {
+              if (a.contig != b.contig) return a.contig < b.contig;
+              return a.beg < b.beg;
+            });
+  std::vector<RegionSpec> merged;
+  for (const auto &r : *out) {
+    if (!merged.empty() && merged.back().contig == r.contig &&
+        r.beg <= merged.back().end) {
+      if (r.end > merged.back().end) merged.back().end = r.end;
+    } else {
+      merged.push_back(r);
+    }
+  }
+  out->swap(merged);
+  return !out->empty();
+}
+
 /* ------------------------------------------------------- record + reader */
 struct LineImpl {
   std::vector<uint8_t> shared, indiv;
   const HeaderImpl *hdr = nullptr;
   int n_sample = 0;
   int n_fmt = 0;
+  int64_t rlen = 0;           // record span for region overlap tests
 };
 
 struct ReaderImpl {
@@ -181,6 +289,51 @@ struct ReaderImpl {
   bool has_pending = false;
   bool has_line = false;
   bool eof = false;
+
+  // regions (index-seek) / targets (streaming filter), resolved to this
+  // reader's numeric rids at add time
+  struct RRegion {
+    int rid;
+    int64_t beg, end;
+  };
+  std::vector<RRegion> regions, targets;
+  bool use_regions = false, use_targets = false;
+  size_t reg_idx = 0;
+  xsi_native::CsiReader csi;
+
+  int rid_of(const std::string &name) const {
+    for (size_t i = 0; i < hdr.contigs.size(); ++i)
+      if (hdr.contigs[i] == name) return int(i);
+    return -1;
+  }
+
+  bool resolve(const std::vector<RegionSpec> &specs,
+               std::vector<RRegion> *out) {
+    for (const auto &s : specs) {
+      int rid = rid_of(s.contig);
+      if (rid < 0) continue;     // contig absent from this reader: skip
+      out->push_back({rid, s.beg, s.end});
+    }
+    std::sort(out->begin(), out->end(),
+              [](const RRegion &a, const RRegion &b) {
+                return a.rid != b.rid ? a.rid < b.rid : a.beg < b.beg;
+              });
+    return true;
+  }
+
+  // Seek the stream to the first chunk that may overlap regions[i..];
+  // advances reg_idx past regions with no indexed chunks.  False = no
+  // region has any data (reader is done).
+  bool seek_to_region() {
+    while (reg_idx < regions.size()) {
+      const RRegion &R = regions[reg_idx];
+      uint64_t voff = csi.min_voffset(R.rid, R.beg, R.end);
+      if (voff == UINT64_MAX) { reg_idx++; continue; }
+      if (!bgzf->seek_virtual(voff)) return false;
+      return true;
+    }
+    return false;
+  }
 
   bool open(const std::string &path) {
     fname = path;
@@ -221,6 +374,9 @@ struct ReaderImpl {
     int32_t pos32;
     memcpy(&pos32, impl->shared.data() + 4, 4);
     rec->pos = pos32;
+    int32_t rlen32;
+    memcpy(&rlen32, impl->shared.data() + 8, 4);
+    impl->rlen = rlen32 > 0 ? rlen32 : 1;
     uint32_t n_allele_info;
     memcpy(&n_allele_info, impl->shared.data() + 16, 4);
     rec->n_allele = int32_t(n_allele_info >> 16);
@@ -231,10 +387,32 @@ struct ReaderImpl {
     return true;
   }
 
+  bool pos_in_targets(int rid, int64_t pos) const {
+    // htslib targets semantics: filter on the record START position
+    for (const auto &t : targets)
+      if (t.rid == rid && pos >= t.beg && pos < t.end) return true;
+    return false;
+  }
+
   void prime() {
-    if (!has_pending && !eof) {
-      if (fetch(&pending, &pending_impl)) has_pending = true;
-      else eof = true;
+    while (!has_pending && !eof) {
+      if (use_regions && reg_idx >= regions.size()) { eof = true; return; }
+      if (!fetch(&pending, &pending_impl)) { eof = true; return; }
+      if (use_regions) {
+        const RRegion &R = regions[reg_idx];
+        int64_t rend = pending.pos + pending_impl.rlen;
+        if (pending.rid < R.rid ||
+            (pending.rid == R.rid && rend <= R.beg))
+          continue;                               // before region: skip
+        if (pending.rid > R.rid || pending.pos >= R.end) {
+          reg_idx++;                              // past region: next seek
+          if (!seek_to_region()) { eof = true; return; }
+          continue;
+        }
+      }
+      if (use_targets && !pos_in_targets(pending.rid, pending.pos))
+        continue;
+      has_pending = true;
     }
   }
 };
@@ -319,6 +497,8 @@ int decode_gt(const LineImpl &li, int gt_key, void **dst, int *ndst) {
 struct SyncImpl {
   std::vector<std::unique_ptr<ReaderImpl>> readers;
   std::vector<bcf_sr_t> creaders;
+  std::vector<RegionSpec> regions, targets;
+  bool regions_set = false, targets_set = false;
   // Global contig order: first appearance over readers in order (htslib
   // syncs by contig NAME, not numeric rid -- readers may declare
   // different contig subsets, e.g. a single-chromosome file).
@@ -382,13 +562,47 @@ bcf_srs_t *bcf_sr_init(void) {
   sr->impl = new SyncImpl();
   sr->nreaders = 0;
   sr->readers = nullptr;
+  sr->collapse = COLLAPSE_NONE;
+  sr->require_index = 0;
   return sr;
+}
+
+int bcf_sr_set_regions(bcf_srs_t *sr, const char *regions, int is_file) {
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  if (!regions || !impl->readers.empty())   // htslib: set before readers
+    return -1;
+  impl->regions.clear();
+  if (!parse_regions(regions, is_file, &impl->regions)) return -1;
+  impl->regions_set = true;
+  return 0;
+}
+
+int bcf_sr_set_targets(bcf_srs_t *sr, const char *targets, int is_file,
+                       int alleles) {
+  auto *impl = static_cast<SyncImpl *>(sr->impl);
+  if (!targets || alleles != 0 || !impl->readers.empty()) return -1;
+  impl->targets.clear();
+  if (!parse_regions(targets, is_file, &impl->targets)) return -1;
+  impl->targets_set = true;
+  return 0;
 }
 
 int bcf_sr_add_reader(bcf_srs_t *sr, const char *fname) {
   auto *impl = static_cast<SyncImpl *>(sr->impl);
   auto r = std::make_unique<ReaderImpl>();
   if (!r->open(fname)) return 0;
+  if (impl->regions_set) {
+    // region iteration needs the .csi companion for the seek targets
+    if (!r->csi.load(std::string(fname) + ".csi")) return 0;
+    r->resolve(impl->regions, &r->regions);
+    r->use_regions = true;
+    r->reg_idx = 0;
+    if (!r->seek_to_region()) r->eof = true;   // nothing indexed in range
+  }
+  if (impl->targets_set) {
+    r->resolve(impl->targets, &r->targets);
+    r->use_targets = true;
+  }
   for (const auto &c : r->hdr.contigs)
     impl->rank_of(c);  // global contig order follows declaration order
   impl->readers.push_back(std::move(r));

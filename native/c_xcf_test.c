@@ -11,27 +11,49 @@
  */
 #include <stdio.h>
 #include <stdlib.h>
+#include <string.h>
 
 #include "xsqueezeit_export/include/c_api.h"
 #include "vcf.h"
 #include "synced_bcf_reader.h"
 
 int main(int argc, char **argv) {
-    if (argc < 2) {
-        fprintf(stderr, "usage: %s <file.bcf> [other.bcf]\n", argv[0]);
+    const char *files[2] = {NULL, NULL};
+    const char *region = NULL, *target = NULL;
+    int nfiles = 0;
+    for (int i = 1; i < argc; ++i) {
+        if (strcmp(argv[i], "-r") == 0 && i + 1 < argc) region = argv[++i];
+        else if (strcmp(argv[i], "-t") == 0 && i + 1 < argc) target = argv[++i];
+        else if (nfiles < 2) files[nfiles++] = argv[i];
+    }
+    if (nfiles < 1) {
+        fprintf(stderr,
+                "usage: %s <file.bcf> [other.bcf] [-r region] [-t target]\n",
+                argv[0]);
         return 1;
     }
     c_xcf *x = c_xcf_new();
     bcf_srs_t *sr = bcf_sr_init();
-    for (int i = 1; i < argc; ++i) {
-        if (!bcf_sr_add_reader(sr, argv[i])) {
-            fprintf(stderr, "cannot open %s\n", argv[i]);
+    if (region) {
+        sr->require_index = 1;
+        if (bcf_sr_set_regions(sr, region, 0) < 0) {
+            fprintf(stderr, "bad region %s\n", region);
+            return 1;
+        }
+    }
+    if (target && bcf_sr_set_targets(sr, target, 0, 0) < 0) {
+        fprintf(stderr, "bad target %s\n", target);
+        return 1;
+    }
+    for (int i = 0; i < nfiles; ++i) {
+        if (!bcf_sr_add_reader(sr, files[i])) {
+            fprintf(stderr, "cannot open %s\n", files[i]);
             return 1;
         }
     }
     c_xcf_add_readers(x, sr);
 
-    int nsamples = c_xcf_nsamples(argv[1]);
+    int nsamples = c_xcf_nsamples(files[0]);
     printf("nsamples %d\n", nsamples);
     const bcf_hdr_t *hdr0 = sr->readers[0].header;
     const char *s0 = c_xcf_sample_name(x, 0, hdr0, 0);
@@ -42,7 +64,7 @@ int main(int argc, char **argv) {
     int ngt_arr[2] = {0, 0};
     int records = 0;
     long long total_entries = 0;
-    int lockstep = argc > 2;
+    int lockstep = nfiles > 1;
 
     while (bcf_sr_next_line(sr)) {
         bcf1_t *line0 = bcf_sr_get_line(sr, 0);

@@ -214,3 +214,77 @@ def test_c_xcf_lockstep_differing_contig_dicts(c_xcf_built, tmp_path):
     out = subprocess.run([c_xcf_built, a_bcf, b_bcf], check=True,
                          capture_output=True, text=True).stdout
     assert "records 8" in out and "lockstep-identical" in out
+
+
+def test_c_xcf_region_iteration(c_xcf_built, xcf_pair, tmp_path):
+    """bcf_sr_set_regions on the shim: CSI-seek + overlap filter must
+    return exactly the records the Python reader sees in the region
+    (reference consumers get this from htslib via
+    initialize_bcf_file_reader_with_region, xcf.cpp:115-127)."""
+    vcf, xsi, plain = xcf_pair
+    recs = [(int(l.split("\t")[1]), l.split("\t")[9:])
+            for l in open(vcf) if not l.startswith("#")]
+    lo, hi = recs[20][0], recs[40][0]          # span a few blocks
+    region = f"20:{lo}-{hi}"
+    out = subprocess.run([c_xcf_built, xsi + "_var.bcf", "-r", region],
+                         check=True, capture_output=True, text=True).stdout
+    got_pos = [int(line.split()[3]) + 1 for line in out.splitlines()
+               if line.startswith("record ")]
+    want_pos = [p for p, _ in recs if lo <= p <= hi]
+    assert got_pos == want_pos
+    # lockstep through the region: XSI route == plain-BCF route.  The
+    # plain BCF has no .csi, so region-restrict via targets there.
+    out2 = subprocess.run([c_xcf_built, xsi + "_var.bcf", plain,
+                           "-t", region], check=True, capture_output=True,
+                          text=True).stdout
+    assert "lockstep-identical" in out2
+    got2 = [int(line.split()[3]) + 1 for line in out2.splitlines()
+            if line.startswith("record ")]
+    assert got2 == want_pos
+
+
+def test_c_xcf_target_filter(c_xcf_built, xcf_pair):
+    """bcf_sr_set_targets: streaming start-position filter, no index."""
+    vcf, xsi, plain = xcf_pair
+    recs = [int(l.split("\t")[1]) for l in open(vcf) if not l.startswith("#")]
+    lo, hi = recs[5], recs[12]
+    out = subprocess.run([c_xcf_built, plain, "-t", f"20:{lo}-{hi}"],
+                         check=True, capture_output=True, text=True).stdout
+    got = [int(line.split()[3]) + 1 for line in out.splitlines()
+           if line.startswith("record ")]
+    assert got == [p for p in recs if lo <= p <= hi]
+
+
+def test_c_xcf_regions_file_and_multi(c_xcf_built, xcf_pair, tmp_path):
+    """Region FILE (tab-separated chrom/from/to) + comma-separated string
+    with several disjoint regions; overlapping regions merge."""
+    vcf, xsi, plain = xcf_pair
+    recs = [int(l.split("\t")[1]) for l in open(vcf) if not l.startswith("#")]
+    r1 = (recs[3], recs[8])
+    r2 = (recs[30], recs[35])
+    spec = f"20:{r1[0]}-{r1[1]},20:{r2[0]}-{r2[1]}"
+    want = [p for p in recs if r1[0] <= p <= r1[1] or r2[0] <= p <= r2[1]]
+    out = subprocess.run([c_xcf_built, xsi + "_var.bcf", "-r", spec],
+                         check=True, capture_output=True, text=True).stdout
+    got = [int(line.split()[3]) + 1 for line in out.splitlines()
+           if line.startswith("record ")]
+    assert got == want
+    # same regions from a tab-separated file
+    rf = tmp_path / "regions.txt"
+    rf.write_text(f"20\t{r1[0]}\t{r1[1]}\n20\t{r2[0]}\t{r2[1]}\n")
+    import ctypes
+    lib = ctypes.CDLL(os.path.join(_NATIVE_DIR, "libxsqueezeit.so"))
+    lib.bcf_sr_init.restype = ctypes.c_void_p
+    sr = lib.bcf_sr_init()
+    assert lib.bcf_sr_set_regions(
+        ctypes.c_void_p(sr), str(rf).encode(), 1) == 0
+
+
+def test_c_xcf_region_without_index_fails(c_xcf_built, xcf_pair):
+    """Regions require a .csi companion (htslib require_index contract);
+    the plain BCF has none, so add_reader must fail cleanly."""
+    vcf, xsi, plain = xcf_pair
+    r = subprocess.run([c_xcf_built, plain, "-r", "20:1-999999"],
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "cannot open" in r.stderr
