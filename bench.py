@@ -157,9 +157,41 @@ def main():
     dec_gbps = gt_bytes / dec_s / 1e9
     rt_gbps = 2 * gt_bytes / (enc_s + dec_s) / 1e9
 
+    # --- sprinkle-missing regime -------------------------------------------
+    # 1% of genotype entries missing (the reference's own stress fixture,
+    # sprinkle_missing_xcf, xcf.cpp:444-578): EVERY record carries a
+    # missing track, so this regime times the batched device track encode
+    # (encoder_jax._encode_tracks_device) inside the FULL serialize() --
+    # device core + track dispatch + host payload assembly, wall clock
+    # (serialize syncs by materializing the payload bytes).
+    miss_mask = rng.random((L, H)) < 0.01
+    gt_missing = np.where(miss_mask, 0, gt_codes).astype(np.int32)
+    enc_m = DeviceBlockEncoder(N_SAMPLES, L, MAF_THRESHOLD,
+                               default_phasing=0, aet_dtype=np.uint16)
+    for row in gt_missing:
+        enc_m.encode_record(row, 2)
+    payload_m = enc_m.serialize()          # warmup / compile
+    t_miss = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        payload_m = enc_m.serialize()
+        t_miss = min(t_miss, time.perf_counter() - t0)
+    missing_gbps = gt_bytes / t_miss / 1e9
+
+    # correctness: decode a sample of records through the NumPy oracle
+    from xsqueezeit_tpu.codec.gt_block_decoder import GtBlockDecoder
+    dec_m = GtBlockDecoder(payload_m, N_SAMPLES, H, aet_dtype=np.uint16)
+    for r in (0, 1, L // 2, L - 1):
+        dec_m.seek(r)
+        np.testing.assert_array_equal(
+            dec_m.fill_genotype_array_advance(2), gt_missing[r],
+            err_msg=f"missing-regime record {r}")
+
     ref_chr20_load_gbps = 2.2  # reference loading_time: 34.8GB / 15.83s
     print(f"encode: {enc_s*1e3:.2f} ms/block = {enc_gbps:.2f} GB/s | "
           f"decode(full): {dec_s*1e3:.2f} ms/block = {dec_gbps:.2f} GB/s | "
+          f"missing-regime serialize: {t_miss*1e3:.2f} ms/block = "
+          f"{missing_gbps:.2f} GB/s | "
           f"compressed {compressed_bytes/1e6:.1f} MB for "
           f"{gt_bytes/1e9:.2f} GB logical ({gt_bytes/compressed_bytes:.0f}x)",
           file=sys.stderr)
@@ -171,6 +203,7 @@ def main():
         "vs_baseline": round(rt_gbps / ref_chr20_load_gbps, 2),
         "encode_gbps": round(enc_gbps, 3),
         "decode_gbps": round(dec_gbps, 3),
+        "missing_encode_gbps": round(missing_gbps, 3),
         "compression_ratio": round(gt_bytes / compressed_bytes, 1),
     }))
 

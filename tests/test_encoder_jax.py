@@ -113,3 +113,17 @@ def test_sparse_cap_sort_fallback_matches_scan_path():
     for l in np.flatnonzero(~iw):
         n = min(int(sl[l]), 30)
         np.testing.assert_array_equal(a[l, :n], b[l, :n], err_msg=f"line {l}")
+
+
+@pytest.mark.parametrize("ws", [WeirdnessStrategy.WS_SPARSE,
+                                WeirdnessStrategy.WS_WAH])
+@pytest.mark.parametrize("min_rows", ["1", "1000000000"])
+def test_tracks_device_batch_vs_host_loop(monkeypatch, ws, min_rows):
+    """The batched device track encode and the per-record host loop must
+    produce identical payload bytes (XSI_TRACKS_DEVICE_MIN selects the
+    path; the sprinkle-missing regime flags every record)."""
+    monkeypatch.setenv("XSI_TRACKS_DEVICE_MIN", min_rows)
+    rng = np.random.default_rng(8)
+    records = [make_record(rng, 70, p_alt=0.3, p_missing=0.02, p_eov=0.01,
+                           p_phase_flip=0.03) for _ in range(30)]
+    check_identical(records, 70, mac_threshold=3, ws=ws)
