@@ -327,6 +327,14 @@ class GtBlockDecoder {
     if (default_phasing_ != 1) default_phasing_ = 0;
     ws_ = dict_.count(KEY_WEIRDNESS_STRATEGY) ?
         int(dict_[KEY_WEIRDNESS_STRATEGY]) : WS_PBWT_WAH;
+    // WS_MIXED (=3, gt_block.hpp:70): the reference throws at encode when
+    // its sparse heuristic fires (gt_block.hpp:346-348), so on-disk
+    // WS_MIXED blocks are WAH-track-only — decode as WS_WAH.
+    if (ws_ == 3) ws_ = WS_WAH;
+    if (ws_ != WS_PBWT_WAH && ws_ != WS_WAH && ws_ != WS_SPARSE) {
+      fail("unknown weirdness strategy");
+      return;
+    }
 
     if (!load_bool(KEY_LINE_SELECT, is_wah_)) {
       fail("block missing line-select track");

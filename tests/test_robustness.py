@@ -134,3 +134,77 @@ def test_v4_container_read(tmp_path, xsi):
     a = [l for l in open(outv) if not l.startswith("#")]
     b = [l for l in open(outv5) if not l.startswith("#")]
     assert a == b and len(a) == 50
+
+
+def test_ws_mixed_block_read_tolerance(tmp_path):
+    """WS_MIXED (=3) is enumerated in the format (gt_block.hpp:70) but the
+    reference throws at encode whenever its per-line sparse heuristic
+    fires (gt_block.hpp:346-348), so on-disk WS_MIXED blocks are
+    WAH-track-only; all decoders must read them with WS_WAH semantics."""
+    import struct
+
+    from tests.gt_synth import make_record
+    from xsqueezeit_tpu.codec.gt_block import GtBlockEncoder
+    from xsqueezeit_tpu.codec.gt_block_decoder import GtBlockDecoder
+    from xsqueezeit_tpu.format.constants import GTDict, WeirdnessStrategy
+
+    rng = np.random.default_rng(21)
+    records = [make_record(rng, 40, p_alt=0.3, p_missing=0.05, p_eov=0.02)
+               for _ in range(12)]
+    enc = GtBlockEncoder(40, block_bcf_lines=100, mac_threshold=2,
+                         default_phasing=1, aet_dtype=np.uint16,
+                         weirdness_strategy=WeirdnessStrategy.WS_WAH)
+    for gt, na in records:
+        enc.encode_record(gt, na)
+    payload = bytearray(enc.serialize())
+
+    pair = struct.pack("<II", GTDict.KEY_WEIRDNESS_STRATEGY,
+                       WeirdnessStrategy.WS_WAH)
+    at = payload.find(pair)
+    assert 0 <= at < 8 + 16 * 64, "strategy pair must sit in the dictionary"
+    payload[at:at + 8] = struct.pack("<II", GTDict.KEY_WEIRDNESS_STRATEGY, 3)
+
+    dec = GtBlockDecoder(bytes(payload), 40, 80, aet_dtype=np.uint16)
+    assert dec.weirdness_strat == WeirdnessStrategy.WS_WAH
+    pos = 0
+    for gt, na in records:
+        dec.seek(pos)
+        np.testing.assert_array_equal(dec.fill_genotype_array_advance(na), gt)
+        pos += na - 1
+
+    # unknown strategy values must be rejected loudly, not misdecoded
+    payload[at:at + 8] = struct.pack("<II", GTDict.KEY_WEIRDNESS_STRATEGY, 7)
+    with pytest.raises(ValueError, match="weirdness strategy"):
+        GtBlockDecoder(bytes(payload), 40, 80, aet_dtype=np.uint16)
+
+
+def test_ws_mixed_native_accessor(tmp_path):
+    """File-level WS_MIXED tolerance through the native C++ accessor."""
+    import shutil
+    import struct
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    from tests import fixtures
+    from xsqueezeit_tpu.cli import main as cli_main
+    from xsqueezeit_tpu.format.constants import GTDict, WeirdnessStrategy
+    from xsqueezeit_tpu.io.unified import GtInput
+
+    vcf = fixtures.ALL_MICRO["micro_missing"](str(tmp_path / "m.vcf"))
+    xsi = str(tmp_path / "m.xsi")
+    assert cli_main(["-c", "-f", vcf, "-o", xsi, "--wah-encode-missing"]) == 0
+    data = bytearray(open(xsi, "rb").read())
+    pair = struct.pack("<II", GTDict.KEY_WEIRDNESS_STRATEGY,
+                       WeirdnessStrategy.WS_WAH)
+    hits = [i for i in range(len(data) - 7) if data[i:i + 8] == pair]
+    assert len(hits) == 1, "ambiguous patch site"
+    data[hits[0]:hits[0] + 8] = struct.pack(
+        "<II", GTDict.KEY_WEIRDNESS_STRATEGY, 3)
+    with open(xsi, "wb") as f:
+        f.write(bytes(data))
+
+    from xsqueezeit_tpu.interop.native import NativeAccessor
+    native = [(na, gt.tolist()) for na, gt in NativeAccessor(xsi)]
+    orig = [(r.n_alleles, r.gt.tolist()) for r in GtInput(vcf)]
+    assert native == orig

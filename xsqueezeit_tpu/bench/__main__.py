@@ -66,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["auto", "jax", "numpy", "native"])
     s.add_argument("--zstd", action="store_true")
 
+    s = sub.add_parser("hrc", help="HRC-width (64976 hap) file-level "
+                                   "round trip + streamed lockstep")
+    s.add_argument("--records", type=int, default=16384)
+    s.add_argument("--samples", type=int, default=32488)
+    s.add_argument("--block-length", type=int, default=4096)
+    s.add_argument("--device", default="numpy")
+    s.add_argument("--dir", default=None)
+
     s = sub.add_parser("scaling", help="multi-process compress scaling "
                                        "curve (jax.distributed, CPU)")
     s.add_argument("--records", type=int, default=20000)
@@ -125,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(run(n_records=args.records, n_samples=args.samples,
                              workdir=args.dir, device=args.device,
                              zstd=args.zstd)))
+    elif args.cmd == "hrc":
+        from .tools import hrc_scale
+        print(json.dumps(hrc_scale(
+            n_records=args.records, n_samples=args.samples,
+            block_length=args.block_length, device=args.device,
+            workdir=args.dir)))
     elif args.cmd == "scaling":
         from .tools import scaling_curve
         procs = tuple(int(x) for x in args.procs.split(",") if x)

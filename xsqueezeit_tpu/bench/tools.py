@@ -286,6 +286,72 @@ def lockstep_load(path_a: str, path_b: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# HRC-scale file-level validation (reference README.md:404-408 claims a
+# 17.4B-entry chrX bit-exact round trip at 64976 haplotypes)
+# ---------------------------------------------------------------------------
+def hrc_scale(n_records: int = 16384, n_samples: int = 32488,
+              block_length: int = 4096, workdir: str | None = None,
+              device: str = "numpy", keep: bool = False) -> dict:
+    """Synthesize an HRC-width (2*n_samples = 64976 haplotypes) multi-block
+    BCF, CLI-compress it, extract back to BCF through the native loop, and
+    stream a chunked lockstep compare of every genotype (bounded memory:
+    one record in flight per side).  Defaults give ~1.06e9 GT entries —
+    within 20x of the reference's 17.4B chrX claim — with peak RSS
+    reported."""
+    import os
+    import resource
+    import tempfile
+
+    own = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix="xsi_hrc_")
+    os.makedirs(workdir, exist_ok=True)
+    inp = os.path.join(workdir, "hrc.bcf")
+    xsi = os.path.join(workdir, "hrc.xsi")
+    out = os.path.join(workdir, "hrc.out.bcf")
+
+    from .e2e import synth_bcf
+    t0 = time.perf_counter()
+    synth_bcf(inp, n_records, n_samples)
+    t_synth = time.perf_counter() - t0
+
+    from ..codec.compressor import CompressorOptions, compress_file
+    t0 = time.perf_counter()
+    stats = compress_file(inp, xsi, CompressorOptions(
+        block_length=block_length, device=device))
+    t_comp = time.perf_counter() - t0
+
+    from ..codec.decompressor import Decompressor, DecompressorOptions
+    t0 = time.perf_counter()
+    Decompressor(xsi, DecompressorOptions(output_type="b")).decompress(out)
+    t_ext = time.perf_counter() - t0
+
+    lock = lockstep_load(inp, out)
+    assert lock["identical"] and lock["records"] == n_records
+
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    result = {
+        "n_records": n_records,
+        "n_haplotypes": n_samples * 2,
+        "gt_entries": lock["gt_entries"],
+        "identical": True,
+        "input_bcf_mb": round(os.path.getsize(inp) / 1e6, 1),
+        "xsi_mb": round(os.path.getsize(xsi) / 1e6, 1),
+        "logical_gb": round(n_records * n_samples * 2 * 4 / 1e9, 2),
+        "synth_s": round(t_synth, 1),
+        "compress_s": round(t_comp, 1),
+        "extract_s": round(t_ext, 1),
+        "lockstep_s": round(lock["seconds"], 1),
+        "n_blocks": -(-n_records // block_length),
+        "entries": stats["entries"],
+        "peak_rss_gb": round(peak_rss_gb, 2),
+    }
+    if own and not keep:
+        import shutil
+        shutil.rmtree(workdir, ignore_errors=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
 # Multi-process scaling curve (BASELINE.md: >=80% efficiency at 4 hosts)
 # ---------------------------------------------------------------------------
 def _scaling_worker(cfg_json: str) -> None:

@@ -43,6 +43,19 @@ class GtBlockDecoder:
         self.default_phasing = dp if dp == 1 else 0
         self.weirdness_strat = d.get(GTDict.KEY_WEIRDNESS_STRATEGY,
                                      WeirdnessStrategy.WS_PBWT_WAH)
+        if self.weirdness_strat == WeirdnessStrategy.WS_MIXED:
+            # WS_MIXED is enumerated in the format (gt_block.hpp:70) but
+            # the reference THROWS at encode time whenever its per-line
+            # sparse heuristic fires (gt_block.hpp:346-348, 358-360), so
+            # any WS_MIXED block that exists on disk is WAH-track-only —
+            # read it with exact WS_WAH semantics.
+            self.weirdness_strat = WeirdnessStrategy.WS_WAH
+        elif self.weirdness_strat not in (
+                WeirdnessStrategy.WS_PBWT_WAH, WeirdnessStrategy.WS_WAH,
+                WeirdnessStrategy.WS_SPARSE):
+            raise ValueError(
+                f"unknown weirdness strategy {self.weirdness_strat} "
+                "(corrupt dictionary or future format?)")
 
         # Offsets of every offset-valued section (keys >= 0x10; lower keys
         # are scalars like KEY_BCF_LINES), used to bound section views.

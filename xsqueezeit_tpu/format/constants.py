@@ -82,7 +82,9 @@ class WeirdnessStrategy:
     WS_PBWT_WAH = 0   # WAH through a dedicated PBWT arrangement (v4 default)
     WS_WAH = 1        # WAH through identity-ish arrangement (--wah-encode-missing)
     WS_SPARSE = 2     # sparse index lists (current default)
-    WS_MIXED = 3      # per-line heuristic (not implemented in reference either)
+    WS_MIXED = 3      # per-line heuristic; on-disk blocks are WAH-only
+                      # (reference throws when the sparse branch fires,
+                      # gt_block.hpp:346-348) -> decoders read as WS_WAH
 
 
 # ---------------------------------------------------------------------------
