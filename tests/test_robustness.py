@@ -208,3 +208,58 @@ def test_ws_mixed_native_accessor(tmp_path):
     native = [(na, gt.tolist()) for na, gt in NativeAccessor(xsi)]
     orig = [(r.n_alleles, r.gt.tolist()) for r in GtInput(vcf)]
     assert native == orig
+
+
+def test_bitmap_variants(tmp_path):
+    """L9 bitmap variants (bitmap.hpp block-/tree-sorted, final-sorted,
+    color): permutation and arrangement-consistency oracles."""
+    from tests import fixtures
+    from xsqueezeit_tpu.utils import bitmap
+
+    vcf = fixtures.random_vcf(str(tmp_path / "bm.vcf"), n_samples=25,
+                              n_records=120, seed=77)
+    plain = np.stack(list(bitmap._common_rows(vcf)))
+    L, H = plain.shape
+    assert L > 20
+
+    srt = bitmap.final_sorted_bitmap(vcf)
+    assert srt.shape == plain.shape
+    # every row is the same multiset of bits
+    np.testing.assert_array_equal(srt.sum(axis=1), plain.sum(axis=1))
+    # the final arrangement stable-partitions by the LAST line, so the
+    # last line renders as [zeros..., ones...] contiguous
+    last = srt[-1]
+    k = int(last.sum())
+    assert not last[:H - k].any() and last[H - k:].all()
+
+    blk = bitmap.block_sorted_bitmap(vcf, block_size=16, pbwt=False)
+    np.testing.assert_array_equal(blk.sum(axis=1), plain.sum(axis=1))
+    blk_p = bitmap.block_sorted_bitmap(vcf, block_size=16, pbwt=True)
+    # pbwt=True uses the block-START arrangement: block-start rows must
+    # match a continuously-evolving PBWT view over the same common rows
+    a = np.arange(H)
+    ev_rows = []
+    from xsqueezeit_tpu.ops import pbwt_np
+    for bits in plain:
+        ev_rows.append(bits[a])
+        a = pbwt_np.stable_partition(a, bits[a])
+    for start in range(0, L, 16):
+        np.testing.assert_array_equal(blk_p[start], ev_rows[start])
+
+    tree = bitmap.tree_sorted_bitmap(vcf)
+    np.testing.assert_array_equal(tree.sum(axis=1), plain.sum(axis=1))
+    np.testing.assert_array_equal(tree[0], plain[0])  # starts at identity
+
+    color = bitmap.pbwt_color_bitmap(vcf)
+    assert color.shape == (L, H)
+    np.testing.assert_array_equal(color[0], np.arange(H))
+    ident = np.arange(H)
+    for row in color[1:4]:
+        np.testing.assert_array_equal(np.sort(row), ident)
+
+    # raw dump formats (0xFF/0x00 bytes; u16 ids for color)
+    for mode, width in (("plain", 1), ("sorted", 1), ("block", 1),
+                        ("tree", 1), ("color", 2)):
+        out = tmp_path / f"d_{mode}.bin"
+        info = bitmap.dump_common(vcf, str(out), mode=mode, block_size=16)
+        assert out.stat().st_size == info["rows"] * info["haps"] * width
