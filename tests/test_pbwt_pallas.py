@@ -216,3 +216,41 @@ def test_wah_expand_pallas_wide_lines_delegate():
                                        interpret=True))
     got = wah_np.unpack_words(out.astype(np.uint16), w * 15)[:, :n_bits]
     np.testing.assert_array_equal(got, np.stack(want))
+
+
+def test_wah_expand_rows_pallas_interpret_matches_oracle():
+    """Row-blocked expansion (the wide-regime / HRC kernel): any width,
+    within-row shifts only.  Checked against the XLA formulation at HRC
+    width (w=4332, the 64976-hap grid) and narrow/odd widths, including
+    over-padded streams, all-zero/all-one fills and counter saturation."""
+    from xsqueezeit_tpu.ops import wah_jax, wah_np
+    from xsqueezeit_tpu.ops.wah_pallas import wah_expand_rows_pallas
+    rng = np.random.default_rng(29)
+    for H, L in ((64976, 6), (31, 24), (1001, 16), (300, 24)):
+        W = wah_jax.n_words_for(H)
+        ps = rng.choice([0.0, 0.005, 0.3, 0.9, 1.0], size=L)
+        bits = (rng.random((L, H)) < ps[:, None]).astype(np.uint8)
+        stream = np.concatenate([wah_np.wah_encode(b) for b in bits])
+        padded = np.concatenate([stream, np.zeros(7, np.uint16)])
+        want = np.asarray(wah_jax.wah_expand_stream(
+            jnp.asarray(padded), L + 2, W))
+        got = np.asarray(wah_expand_rows_pallas(
+            jnp.asarray(padded), L + 2, W, interpret=True))
+        np.testing.assert_array_equal(got, want, err_msg=f"H={H}")
+
+
+def test_wah_expand_wide_regime_routes_to_rows_kernel():
+    """wah_expand_pallas must delegate wp>1024 grids to the row-blocked
+    kernel and still equal the oracle (the HRC decode path)."""
+    from xsqueezeit_tpu.ops import wah_jax, wah_np
+    from xsqueezeit_tpu.ops.wah_pallas import wah_expand_pallas
+    rng = np.random.default_rng(30)
+    H, L = 20000, 8
+    W = wah_jax.n_words_for(H)
+    ps = rng.choice([0.0, 0.01, 0.5, 1.0], size=L)
+    bits = (rng.random((L, H)) < ps[:, None]).astype(np.uint8)
+    stream = np.concatenate([wah_np.wah_encode(b) for b in bits])
+    want = np.asarray(wah_jax.wah_expand_stream(jnp.asarray(stream), L, W))
+    got = np.asarray(wah_expand_pallas(jnp.asarray(stream), L, W,
+                                       interpret=True))
+    np.testing.assert_array_equal(got, want)

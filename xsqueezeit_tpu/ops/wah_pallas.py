@@ -186,6 +186,107 @@ def wah_compress_pallas(words: jnp.ndarray, w: int, NB: int = 8,
     return out[:, :w].astype(jnp.uint16), n_out[:, 0]
 
 
+def _expand_rows_kernel(z_ref, sh_ref, out_ref, *, wp: int):
+    """Per-row staged expansion for a block of rows.
+
+    z_ref: i32[NB, wp] packed words at their WITHIN-ROW stream positions
+    (slot c of row r holds ((dest_col+1) << 16 | word) of row r's c-th
+    stream word; slots past the row's word count are 0).  sh_ref: i32
+    within-row shifts ((dist << 1) | 1 real, 0 junk), dist < wp always —
+    WAH counters never straddle lines (each line is encoded separately
+    and concatenated, wah.hpp:75-105), so every word's movement is
+    bounded by the row width and the staged shifts are LANE rolls only.
+    That bound is what makes the kernel blockable over rows: VMEM per
+    block is NB*wp words regardless of the total grid, so there is no
+    width cliff (the flat-layout kernel above must hold the whole grid).
+    """
+    z = z_ref[:, :]
+    sh = sh_ref[:, :]
+    nbits = max(int(wp - 1).bit_length(), 1)
+    for k in reversed(range(nbits)):
+        step = (1 << k) % wp
+        z_r = pltpu.roll(z, step, 1)
+        s_r = pltpu.roll(sh, step, 1)
+        take = (s_r >> (k + 1)) & 1
+        leave = (sh >> (k + 1)) & 1
+        z = jnp.where(take != 0, z_r, jnp.where(leave != 0, 0, z))
+        sh = jnp.where(take != 0, s_r, jnp.where(leave != 0, 0, sh))
+
+    z = _prefix_max_lanes(z, wp)
+    word = z & 0xFFFF
+    fill = jnp.where((word & ONE) != 0, ALL_SET, 0)
+    out_ref[:, :] = jnp.where((word & HIGH) != 0, fill, word)
+
+
+@functools.partial(jax.jit, static_argnames=("n_lines", "w", "interpret"))
+def wah_expand_rows_pallas(stream: jnp.ndarray, n_lines: int, w: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Row-blocked WAH expansion: any width, bounded VMEM.
+
+    Same contract as wah_expand_pallas / wah_jax.wah_expand_stream.  The
+    prep rebases every stream word to its row: the word's first-in-row
+    stream index comes from an elementwise cummax (no gather), the
+    within-row layout from one vmapped dynamic-slice per row, and the
+    kernel then runs log2(wp) lane-only roll stages per NB-row block —
+    built for the HRC regime (w ~ 4332) where the flat kernel's whole-grid
+    VMEM residency exceeds the chip.
+    """
+    wp = _ceil_to(max(w, 2), LANE)
+    s = stream.astype(jnp.int32)
+    total_cap = n_lines * w
+    n = s.shape[0]
+    is_counter = (s & HIGH) != 0
+    span = jnp.where(is_counter, s & MAXC, 1)
+    start = jnp.cumsum(span) - span            # flat slot in W-space
+    row = start // w
+    col = start - row * w
+    valid = (row < n_lines) & (start < total_cap)
+    k_idx = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), row[1:] != row[:-1]])
+    S_k = jax.lax.cummax(jnp.where(first, k_idx, -1))   # row's first word
+    col_src = k_idx - S_k
+    dist = jnp.clip(col - col_src, 0, wp - 1)
+    packed = jnp.where(valid, ((col + 1) << 16) | s, 0)
+    shv = jnp.where(valid, (dist << 1) | 1, 0)
+
+    counts = jax.ops.segment_sum(valid.astype(jnp.int32),
+                                 jnp.clip(row, 0, n_lines - 1),
+                                 num_segments=n_lines)
+    row_start = jnp.cumsum(counts) - counts
+    packed_p = jnp.pad(packed, (0, wp))
+    shv_p = jnp.pad(shv, (0, wp))
+
+    def slice_row(off):
+        return (jax.lax.dynamic_slice(packed_p, (off,), (wp,)),
+                jax.lax.dynamic_slice(shv_p, (off,), (wp,)))
+
+    z0, sh0 = jax.vmap(slice_row)(row_start)
+    lane = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    keep = lane < counts[:, None]
+    z0 = jnp.where(keep, z0, 0)
+    sh0 = jnp.where(keep, sh0, 0)
+
+    nb = max(int((2 << 20) // (wp * 4)), 1)
+    nb = 1 << (nb.bit_length() - 1)
+    while n_lines % nb:
+        nb //= 2
+    nb = max(nb, 1)
+    kern = functools.partial(_expand_rows_kernel, wp=wp)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_lines // nb,),
+        in_specs=[pl.BlockSpec((nb, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nb, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((nb, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_lines, wp), jnp.int32),
+        interpret=interpret,
+    )(z0, sh0)
+    return out[:, :w]
+
+
 @functools.partial(jax.jit, static_argnames=("n_lines", "w", "interpret"))
 def wah_expand_pallas(stream: jnp.ndarray, n_lines: int, w: int,
                       interpret: bool = False) -> jnp.ndarray:
@@ -201,11 +302,11 @@ def wah_expand_pallas(stream: jnp.ndarray, n_lines: int, w: int,
     # live ranges spill ~100 MB of registers and the program exceeds the
     # chip's 128 MB VMEM (measured on v5e); tall-and-narrow grids (e.g.
     # all-WAH chr20 blocks, [8192, 448]) compile fine with a raised VMEM
-    # grant.  Beyond the width/footprint regime, use the XLA scatter +
-    # associative-scan formulation, which tiles fine at any shape.
+    # grant.  Beyond the width/footprint regime, take the ROW-BLOCKED
+    # kernel (within-row shifts only, bounded VMEM at any width).
     if wp > 1024 or total * 4 * 6 > (100 << 20):
-        from . import wah_jax
-        return wah_jax.wah_expand_stream(stream, n_lines, w)
+        return wah_expand_rows_pallas(stream, n_lines, w,
+                                      interpret=interpret)
     s = stream.astype(jnp.int32)
     if s.shape[0] > total:
         # over-padded stream: real words never exceed n_lines * w, so the
