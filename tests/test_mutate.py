@@ -99,3 +99,46 @@ def test_phase_switch_errors(tmp_path):
     diff = mutate.compute_phase_switch_errors(flipped, src)
     assert diff["total"] > 0
     assert len(diff["per_sample"]) == 11
+
+
+def test_inject_phase_switches_roundtrip(tmp_path):
+    """The full sandbox.hpp workflow: inject switch errors -> measure them
+    (they must match the injected count) -> repair with the PBWT phaser
+    (errors must drop substantially)."""
+    from xsqueezeit_tpu.utils.mutate import (
+        compute_phase_switch_errors,
+        extract_matrix,
+        inject_phase_switches,
+    )
+    from xsqueezeit_tpu.utils.phasing import phase_file
+
+    # a founder-mosaic panel: the PBWT phaser needs LD structure to
+    # repair anything (random genotypes are unphaseable by construction)
+    from tests.test_phasing_stats import _haplotype_panel_vcf
+    vcf = _haplotype_panel_vcf(str(tmp_path / "in.vcf"), n_samples=30,
+                               n_records=200, seed=91)
+    bad = str(tmp_path / "bad.bcf")
+    events = inject_phase_switches(vcf, bad, prob=0.02, seed=7)
+    assert events > 5
+
+    # each toggle at het site i>0 flips exactly one inter-site parity; a
+    # toggle at a sample's FIRST het site is invisible to the metric
+    m = compute_phase_switch_errors(bad, vcf)
+    assert events - 30 <= m["total"] <= events
+
+    # carrier matrix is preserved (only within-sample slot order changes)
+    a = extract_matrix(vcf)
+    b = extract_matrix(bad)
+    assert a.shape == b.shape
+    ap = a.reshape(a.shape[0], -1, 2)
+    bp = b.reshape(b.shape[0], -1, 2)
+    np.testing.assert_array_equal(np.sort(ap, axis=2), np.sort(bp, axis=2))
+
+    # phase_file re-phases from scratch (it cannot exploit the mostly-
+    # correct input phase, like the reference's phase_xcf); its error
+    # floor on a founder-mosaic panel is a few %, far below the 50% of a
+    # random phasing — assert the floor, not improvement over 2% injected
+    fixed = str(tmp_path / "fixed.bcf")
+    phase_file(bad, fixed)
+    m2 = compute_phase_switch_errors(fixed, vcf)
+    assert m2["rate"] < 0.15

@@ -134,6 +134,47 @@ def sprinkle_missing(in_path: str, out_path: str, rate: float = 0.01,
     return _mutate_file(in_path, out_path, fn)
 
 
+def inject_phase_switches(in_path: str, out_path: str, prob: float = 0.01,
+                          seed: int | None = None) -> int:
+    """Per-sample phase-switch error injection: at each het site a sample
+    toggles its phase state with probability `prob`, and while toggled its
+    two allele values are swapped (the reference's
+    BcfMatrix::inject_phase_switch_errors, bcf_traversal.hpp:196-218 —
+    deterministic here via `seed`; the reference uses random_device).
+    Returns the number of switch events injected."""
+    rng = np.random.default_rng(seed)
+    state: dict = {}
+    events = 0
+
+    def fn(gt, ploidy):
+        nonlocal events
+        if ploidy != 2:
+            raise ValueError("inject_phase_switches requires diploid records")
+        n = gt.shape[0] // 2
+        tog = state.setdefault("tog", np.zeros(n, bool))
+        a = (gt[0::2] >> 1) - 1
+        b = (gt[1::2] >> 1) - 1
+        het = a != b
+        flips = het & (rng.random(n) < prob)
+        tog ^= flips
+        events += int(flips.sum())
+        # swap allele VALUES between the slots, keep positional phase bits
+        # (matches the reference's carrier-matrix view, which has no
+        # per-slot phase payload); leave EOV-padded samples untouched
+        from ..format.constants import INT32_VECTOR_END
+        eov = np.int32(INT32_VECTOR_END)
+        sw = tog & (gt[0::2] != eov) & (gt[1::2] != eov)
+        va, vb = gt[0::2] >> 1, gt[1::2] >> 1
+        pa, pb = gt[0::2] & 1, gt[1::2] & 1
+        out = np.array(gt, np.int32)
+        out[0::2] = (np.where(sw, vb, va) << 1) | pa
+        out[1::2] = (np.where(sw, va, vb) << 1) | pb
+        return out
+
+    _mutate_file(in_path, out_path, fn)
+    return events
+
+
 def count_entries(path: str) -> int:
     inp = GtInput(path)
     n = sum(1 for _ in inp)
