@@ -89,6 +89,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from xsqueezeit_tpu.utils.malltune import tune_glibc_malloc
+    tune_glibc_malloc()
+
     from xsqueezeit_tpu.codec.encoder_jax import DeviceBlockEncoder
     from xsqueezeit_tpu.parallel.shard import _encode_one_block
 

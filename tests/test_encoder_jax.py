@@ -127,3 +127,46 @@ def test_tracks_device_batch_vs_host_loop(monkeypatch, ws, min_rows):
     records = [make_record(rng, 70, p_alt=0.3, p_missing=0.02, p_eov=0.01,
                            p_phase_flip=0.03) for _ in range(30)]
     check_identical(records, 70, mac_threshold=3, ws=ws)
+
+
+def test_wah_encode_rows_matches_loop():
+    from xsqueezeit_tpu.ops import wah_np
+    rng = np.random.default_rng(9)
+    for H in (1, 14, 15, 31, 300, 5008):
+        R = 37
+        ps = rng.choice([0.0, 0.01, 0.5, 0.99, 1.0], size=R)
+        bits = (rng.random((R, H)) < ps[:, None]).astype(np.uint8)
+        stream, lens = wah_np.wah_encode_rows(bits)
+        want = [wah_np.wah_encode(b) for b in bits]
+        assert lens.tolist() == [w.shape[0] for w in want]
+        np.testing.assert_array_equal(stream, np.concatenate(want))
+    # counter saturation across the 16383-word boundary
+    n = (16383 + 5) * 15
+    bits = np.zeros((2, n), np.uint8)
+    bits[1] = 1
+    stream, lens = wah_np.wah_encode_rows(bits)
+    np.testing.assert_array_equal(
+        stream, np.concatenate([wah_np.wah_encode(b) for b in bits]))
+
+
+def test_csr_sparse_assembly_matches_padded():
+    """The CSR sparse-stream assembler (used by the batched track encode)
+    must match the padded-matrix form byte for byte."""
+    from xsqueezeit_tpu.codec.encoder_base import BlockEncoderBase
+
+    rng = np.random.default_rng(10)
+    enc = BlockEncoderBase(32, block_bcf_lines=100, mac_threshold=3,
+                           aet_dtype=np.uint16)
+    n, H = 17, 64
+    bits = rng.random((n, H)) < rng.uniform(0, 0.3, (n, 1))
+    counts = bits.sum(axis=1).astype(np.int64)
+    negated = rng.random(n) < 0.3
+    _, cc = np.nonzero(bits)
+    cap = max(int(counts.max(initial=0)), 1)
+    idx = np.zeros((n, cap), np.int64)
+    rr, c2 = np.nonzero(bits)
+    starts = (np.cumsum(counts) - counts)[rr]
+    idx[rr, np.arange(rr.shape[0]) - starts] = c2
+    got = enc._assemble_sparse_csr(cc, counts, negated)
+    want = enc._assemble_sparse(idx, counts, negated, np.ones(n, bool))
+    assert got == want

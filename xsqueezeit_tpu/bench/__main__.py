@@ -18,6 +18,9 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
+    from ..utils.malltune import tune_glibc_malloc
+    tune_glibc_malloc()
+
     p = argparse.ArgumentParser(prog="xsqueezeit-tools")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .utils.malltune import tune_glibc_malloc
+    tune_glibc_malloc()
+
     args = build_parser().parse_args(argv)
 
     if args.profile:

@@ -128,8 +128,13 @@ class BlockEncodeDispatcher:
         # device="jax" (option or env) forces the device path regardless.
         big_enough = (self.force_device
                       or len(records) * self.n_haps >= _device_min_cells())
-        cls = self.device_cls if (self.device_cls and uniform
-                                  and big_enough) else GtBlockEncoder
+        # Host blocks use the per-record GtBlockEncoder: a vectorized
+        # whole-block host encoder was built and measured 3-7x SLOWER here
+        # (stacking + re-streaming hundreds of MB through DRAM loses to
+        # cache-resident per-row work; this box first-touches pages at
+        # ~1 GB/s), so the block formulation is device-only.
+        cls = (self.device_cls if (self.device_cls and uniform and big_enough)
+               else GtBlockEncoder)
         enc = cls(**self._kw)
         for gt, na in records:
             enc.encode_record(gt, na)

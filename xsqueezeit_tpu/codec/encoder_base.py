@@ -1,0 +1,402 @@
+"""Block-encoder base: record buffering, line expansion, payload assembly.
+
+Shared, jax-free machinery of the fast block encoders.  The compute core
+is supplied by subclasses: DeviceBlockEncoder (codec/encoder_jax, the TPU
+pipeline) and NumpyBlockEncoder (codec/encoder_np, the vectorized host
+pipeline) produce the same `out` dict and both assemble through here, so
+payload bytes are identical across all three encoders (the per-record
+GtBlockEncoder is the oracle, pinned by tests/test_encoder_jax.py and the
+golden-byte suite).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..format.constants import (
+    GTDict,
+    INT32_MISSING,
+    INT32_VECTOR_END,
+    WeirdnessStrategy,
+)
+from ..format.dictionary import write_dictionary
+from ..ops import wah_np
+
+MISSING_CODE = -1
+EOV_CODE = -2
+
+
+def alleles_from_gt(gt_block: np.ndarray) -> np.ndarray:
+    """htslib int32 gt rows -> compact allele codes (missing -1, EOV -2).
+
+    Written with in-place masking rather than an np.where chain: on a
+    whole block this runs over tens of MB and the chain's five fresh
+    temporaries made first-touch page faults the top cost of the host
+    encode (see utils/malltune.py for the allocator half of the fix).
+    The block encoders call this per record at encode_record time (rows
+    are L1/L2-resident right after parse); the block form exists for the
+    mesh driver and tests.
+    int16 truncation of the special int32 sentinels is harmless — their
+    slots are overwritten by the masks computed on the original values."""
+    gt = np.asarray(gt_block, np.int32)
+    shifted = gt >> 1
+    out = shifted.astype(np.int16)
+    out -= 1
+    out[shifted == 0] = MISSING_CODE
+    out[gt == np.int32(INT32_MISSING)] = MISSING_CODE
+    out[gt == np.int32(INT32_VECTOR_END)] = EOV_CODE
+    return out
+
+
+class BlockEncoderBase:
+    """Buffers records, expands them to binary lines and assembles the
+    byte-exact GT block payload from a core's outputs."""
+
+    # Subclasses with a device path set this; the host encoder batches its
+    # exception tracks with numpy instead.
+    use_device_tracks = False
+
+    def __init__(self, n_samples: int, block_bcf_lines: int, mac_threshold: int,
+                 default_phasing: int = 0, aet_dtype=np.uint32,
+                 weirdness_strategy: int = WeirdnessStrategy.WS_SPARSE):
+        self.n_samples = n_samples
+        self.n_haps = n_samples * 2
+        self.block_bcf_lines = block_bcf_lines
+        self.mac_threshold = mac_threshold
+        self.default_phasing = int(default_phasing)
+        self.aet_dtype = np.dtype(aet_dtype)
+        self.weirdness_strategy = weirdness_strategy
+        self._allele_rows: list[np.ndarray] = []   # int16 codes per record
+        self._nup_rows: list[np.ndarray] = []      # phase-exception bools
+        self._n_alleles: list[int] = []
+
+    @property
+    def bcf_lines(self) -> int:
+        return len(self._n_alleles)
+
+    @property
+    def full(self) -> bool:
+        return self.bcf_lines >= self.block_bcf_lines
+
+    def eligible(self, ploidy: int) -> bool:
+        return ploidy == 2
+
+    def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
+        assert gt.shape[0] in (self.n_haps, self.n_samples), \
+            "block path requires uniformly diploid or uniformly haploid rows"
+        gt = np.asarray(gt, np.int32)
+        # Convert NOW, while the freshly-parsed row is cache-resident:
+        # deferring to serialize() re-streams the whole block (hundreds of
+        # MB) through DRAM for work that is a few fused passes per row.
+        self._allele_rows.append(alleles_from_gt(gt))
+        if gt.shape[0] == self.n_samples and self.n_samples != self.n_haps:
+            # haploid record: single-slot samples carry no phase bit
+            nup = np.zeros(gt.shape[0], bool)
+        else:
+            second = self._second_slot_mask(gt.shape[0])
+            # phase applies only to non-first slots; specials included
+            # (reference parity)
+            nup = second & ((gt & 1) != self.default_phasing)
+        self._nup_rows.append(nup)
+        self._n_alleles.append(n_alleles)
+
+    def _second_slot_mask(self, H: int) -> np.ndarray:
+        m = getattr(self, "_second_mask", None)
+        if m is None or m.shape[0] != H:
+            m = (np.arange(H) & 1).astype(bool)
+            self._second_mask = m
+        return m
+
+    # ------------------------------------------------------------------
+    def prepare(self, pad: bool = True) -> dict:
+        """Host prep before the core call: record-to-line expansion +
+        bucket padding.  Returns the padded core inputs plus everything
+        `assemble` needs; shared by the single-chip serialize() and the
+        multi-chip mesh driver (parallel/shard.MeshBlockEncoder).
+        pad=False skips the power-of-two line bucket (host cores have no
+        XLA executable to share, and the pad is a whole-matrix copy)."""
+        alleles_rec = np.stack(self._allele_rows)   # [n_rec, H] int16
+        nup_rec_bits = np.stack(self._nup_rows)     # [n_rec, H] bool
+        n_alleles = np.asarray(self._n_alleles)
+        n_alts = np.maximum(n_alleles - 1, 0)
+        # Uniformly-haploid blocks (chrX male panels): the diploid 2N
+        # arrangement keeps haplotype pairs adjacent when every line's
+        # partition key is per-sample, so it collapses to an N-element
+        # PBWT over samples -- the SAME kernels run with H = n_samples
+        # (reference semantics: haploid_rearrangement_from_diploid,
+        # interfaces.hpp:318-333 + pbwt_sort1).  Mixed-ploidy blocks stay
+        # on the per-record NumPy encoder.
+        haploid = alleles_rec.shape[1] == self.n_samples \
+            and self.n_samples != self.n_haps
+        H = alleles_rec.shape[1]
+
+        # Expand records to binary lines (one per ALT).
+        rec_of_line = np.repeat(np.arange(len(n_alts)), n_alts)
+        alt_of_line = (np.concatenate([np.arange(1, k + 1) for k in n_alts])
+                       if len(n_alts) else np.zeros(0, np.int64))
+        L = rec_of_line.shape[0]
+        alleles = alleles_rec[rec_of_line]          # [L, H]
+
+        # Pad the line axis to a power-of-two bucket: one XLA executable
+        # serves every block of the file (multi-allelic blocks vary in L).
+        from ..utils.shapes import bucket
+        L_pad = bucket(L) if pad else L
+        alleles_p = alleles
+        alts_p = np.asarray(alt_of_line, np.int32)
+        if L_pad != L:
+            alleles_p = np.concatenate(
+                [alleles, np.full((L_pad - L, H), -3, alleles.dtype)])
+            alts_p = np.concatenate(
+                [alts_p, np.full(L_pad - L, -100, np.int32)])
+        return dict(n_alts=n_alts, haploid=haploid,
+                    H=H, L=L, alleles_rec=alleles_rec,
+                    nup_rec_bits=nup_rec_bits,
+                    alleles_p=alleles_p, alts_p=alts_p)
+
+    def assemble(self, out: dict, prep: dict) -> bytes:
+        """Payload assembly from the core outputs (sliced to [:L]).
+
+        Byte-identical regardless of which core produced `out` --
+        the mesh driver calls this per block with its shard's slice."""
+        n_alts = prep["n_alts"]
+        haploid = prep["haploid"]
+        L = prep["L"]
+        alleles_rec = prep["alleles_rec"]
+        nup_rec_bits = prep["nup_rec_bits"]
+
+        is_wah = out["is_wah"]
+        negated = out["negated"] & ~is_wah
+
+        # --- exception tracks (host flags; rare) --------------------------
+        miss_rec = alleles_rec == MISSING_CODE
+        eov_rec = alleles_rec == EOV_CODE
+        rec_has_missing = miss_rec.any(axis=1)
+        rec_has_eov = eov_rec.any(axis=1)
+        rec_has_nup = nup_rec_bits.any(axis=1)
+
+        zero_alt = n_alts == 0
+        if (zero_alt & (rec_has_missing | rec_has_eov | rec_has_nup)).any():
+            # see GtBlockEncoder.encode_record: per-binary-line exception
+            # tracks cannot carry a record that owns no binary line
+            raise ValueError(
+                "record with no ALT allele carries missing/end-of-vector/"
+                "non-uniform-phasing data, which XSI v5 cannot represent")
+
+        ws = self.weirdness_strategy
+        wah_weird = ws in (WeirdnessStrategy.WS_WAH, WeirdnessStrategy.WS_PBWT_WAH)
+        if ws == WeirdnessStrategy.WS_PBWT_WAH:
+            raise NotImplementedError(
+                "block encoders support WS_SPARSE and WS_WAH")
+
+        missing_bytes, eov_bytes, phase_bytes = self._encode_tracks(
+            miss_rec, eov_rec, nup_rec_bits,
+            rec_has_missing, rec_has_eov, rec_has_nup, wah_weird)
+
+        # --- assemble payload ---------------------------------------------
+        d: dict[int, int] = {
+            GTDict.KEY_BCF_LINES: len(n_alts),
+            GTDict.KEY_BINARY_LINES: L,
+            GTDict.KEY_MAX_LINE_PLOIDY: 1 if haploid else 2,
+            GTDict.KEY_DEFAULT_PHASING: self.default_phasing,
+            GTDict.KEY_WEIRDNESS_STRATEGY: ws,
+            GTDict.KEY_LINE_SORT: GTDict.VAL_UNDEFINED,
+            GTDict.KEY_LINE_SELECT: GTDict.VAL_UNDEFINED,
+            GTDict.KEY_MATRIX_WAH: GTDict.VAL_UNDEFINED,
+            GTDict.KEY_MATRIX_SPARSE: GTDict.VAL_UNDEFINED,
+        }
+        if haploid:
+            d[GTDict.KEY_LINE_HAPLOID] = GTDict.VAL_UNDEFINED
+        if rec_has_missing.any():
+            d[GTDict.KEY_LINE_MISSING] = GTDict.VAL_UNDEFINED
+            d[GTDict.KEY_MATRIX_MISSING if wah_weird
+              else GTDict.KEY_MATRIX_MISSING_SPARSE] = GTDict.VAL_UNDEFINED
+        if rec_has_eov.any():
+            d[GTDict.KEY_LINE_END_OF_VECTORS] = GTDict.VAL_UNDEFINED
+            d[GTDict.KEY_MATRIX_END_OF_VECTORS if wah_weird
+              else GTDict.KEY_MATRIX_END_OF_VECTORS_SPARSE] = GTDict.VAL_UNDEFINED
+        if rec_has_nup.any():
+            d[GTDict.KEY_LINE_NON_UNIFORM_PHASING] = GTDict.VAL_UNDEFINED
+            d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = GTDict.VAL_UNDEFINED
+
+        dict_bytes = write_dictionary(d)
+        payload = bytearray(dict_bytes)
+
+        def first_line_flags(rec_flags: np.ndarray) -> np.ndarray:
+            v = np.zeros(L, np.uint8)
+            first_lines = np.cumsum(np.concatenate([[0], n_alts[:-1]]))
+            keep = n_alts > 0
+            v[first_lines[keep]] = rec_flags[keep]
+            return v
+
+        d[GTDict.KEY_LINE_SORT] = len(payload)
+        payload.extend(wah_np.wah_encode(is_wah.astype(np.uint8)).tobytes())
+        d[GTDict.KEY_LINE_SELECT] = d[GTDict.KEY_LINE_SORT]
+
+        # WAH matrix: concatenate per-line words (front-packed rows)
+        d[GTDict.KEY_MATRIX_WAH] = len(payload)
+        wah_words, wah_len = out["wah_words"], out["wah_len"]
+        W = wah_words.shape[1]
+        take = (np.arange(W)[None, :] < wah_len[:, None]) & is_wah[:, None]
+        payload.extend(wah_words[take].tobytes())
+
+        # Sparse matrix: [count|neg][indices] per line
+        d[GTDict.KEY_MATRIX_SPARSE] = len(payload)
+        if "sparse_csr" in out:
+            payload.extend(self._assemble_sparse_csr(
+                out["sparse_csr"], out["sparse_len"], negated[~is_wah]))
+        else:
+            payload.extend(self._assemble_sparse(
+                out["sparse_idx"], out["sparse_len"], negated, ~is_wah))
+
+        if rec_has_missing.any():
+            d[GTDict.KEY_LINE_MISSING] = len(payload)
+            payload.extend(wah_np.wah_encode(
+                first_line_flags(rec_has_missing)).tobytes())
+            d[GTDict.KEY_MATRIX_MISSING if wah_weird
+              else GTDict.KEY_MATRIX_MISSING_SPARSE] = len(payload)
+            payload.extend(missing_bytes)
+        if rec_has_eov.any():
+            d[GTDict.KEY_LINE_END_OF_VECTORS] = len(payload)
+            payload.extend(wah_np.wah_encode(
+                first_line_flags(rec_has_eov)).tobytes())
+            d[GTDict.KEY_MATRIX_END_OF_VECTORS if wah_weird
+              else GTDict.KEY_MATRIX_END_OF_VECTORS_SPARSE] = len(payload)
+            payload.extend(eov_bytes)
+        if rec_has_nup.any():
+            d[GTDict.KEY_LINE_NON_UNIFORM_PHASING] = len(payload)
+            payload.extend(wah_np.wah_encode(
+                first_line_flags(rec_has_nup)).tobytes())
+            d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = len(payload)
+            payload.extend(phase_bytes)
+        if haploid:
+            d[GTDict.KEY_LINE_HAPLOID] = len(payload)
+            payload.extend(wah_np.wah_encode(np.ones(L, np.uint8)).tobytes())
+
+        payload[: len(dict_bytes)] = write_dictionary(d)
+        return bytes(payload)
+
+    # ------------------------------------------------------ track encode
+    def _encode_tracks(self, miss_rec, eov_rec, nup_rec_bits,
+                       rec_has_missing, rec_has_eov, rec_has_nup,
+                       wah_weird: bool) -> tuple[bytes, bytes, bytes]:
+        """Concatenated track bytes (missing, EOV, phase), record order.
+
+        Host encoders (and device encoders with few flagged records, where
+        dispatch latency dwarfs the work) batch all flagged rows through
+        vectorized numpy; the device encoder routes many-row batches to
+        one jitted dispatch (encoder_jax._encode_tracks_device).  All
+        paths are byte-identical (they reduce to wah_np.wah_encode /
+        sparse_np.sparse_encode semantics, pinned by tests)."""
+        import os
+
+        flag_m = np.flatnonzero(rec_has_missing)
+        flag_e = np.flatnonzero(rec_has_eov)
+        flag_p = np.flatnonzero(rec_has_nup)
+        n_flag = len(flag_m) + len(flag_e) + len(flag_p)
+        if n_flag == 0:
+            return b"", b"", b""
+        min_rows = int(os.environ.get("XSI_TRACKS_DEVICE_MIN", "8"))
+        if self.use_device_tracks and n_flag >= min_rows:
+            return self._encode_tracks_on_device(
+                miss_rec, eov_rec, nup_rec_bits, flag_m, flag_e, flag_p,
+                wah_weird)
+
+        def host_wah(rows_bits, rows) -> bytes:
+            stream, _ = wah_np.wah_encode_rows(
+                rows_bits[rows].astype(np.uint8))
+            return stream.tobytes()
+
+        def host_sparse(rows_bits, rows) -> bytes:
+            bits = rows_bits[rows]
+            counts = bits.sum(axis=1).astype(np.int64)
+            _, cc = np.nonzero(bits)
+            return self._assemble_sparse_csr(
+                cc, counts, np.zeros(len(rows), bool))
+
+        track = host_wah if wah_weird else host_sparse
+        return (track(miss_rec, flag_m), track(eov_rec, flag_e),
+                host_wah(nup_rec_bits, flag_p))
+
+    def _encode_tracks_on_device(self, miss_rec, eov_rec, nup_rec_bits,
+                                 flag_m, flag_e, flag_p,
+                                 wah_weird: bool) -> tuple[bytes, bytes, bytes]:
+        import jax.numpy as jnp
+
+        from ..utils.shapes import bucket
+        from .encoder_jax import _encode_tracks_device
+
+        bits = np.concatenate([miss_rec[flag_m], eov_rec[flag_e],
+                               nup_rec_bits[flag_p]]).astype(np.uint8)
+        R = bits.shape[0]
+        R_pad = bucket(R)
+        if R_pad != R:
+            bits = np.concatenate(
+                [bits, np.zeros((R_pad - R, bits.shape[1]), np.uint8)])
+        nm, ne = len(flag_m), len(flag_e)
+        if wah_weird:
+            cap = 0                      # every track is WAH: no sparse
+        else:
+            # phase rows are always WAH; cap covers only miss/EOV rows
+            me = bits[:nm + ne]
+            cap = bucket(max(int(me.sum(axis=1).max()), 1)) if nm + ne else 0
+        ww, wl, si, sl = (np.asarray(x) for x in _encode_tracks_device(
+            jnp.asarray(bits), int(cap)))
+        ww, wl, si, sl = ww[:R], wl[:R], si[:R], sl[:R]
+
+        def wah_bytes(rows: slice) -> bytes:
+            rows_w, lens = ww[rows], wl[rows]
+            take = np.arange(rows_w.shape[1])[None, :] < lens[:, None]
+            return rows_w[take].tobytes()
+
+        def sparse_bytes(rows: slice) -> bytes:
+            lens = sl[rows]
+            return self._assemble_sparse(
+                si[rows], lens, np.zeros(lens.shape[0], bool),
+                np.ones(lens.shape[0], bool))
+
+        m_sl, e_sl, p_sl = slice(0, nm), slice(nm, nm + ne), slice(nm + ne, R)
+        if wah_weird:
+            return wah_bytes(m_sl), wah_bytes(e_sl), wah_bytes(p_sl)
+        return sparse_bytes(m_sl), sparse_bytes(e_sl), wah_bytes(p_sl)
+
+    def _sparse_bytes(self, indices: np.ndarray, negated: bool) -> np.ndarray:
+        from ..ops.sparse_np import sparse_encode
+        return sparse_encode(indices, negated, self.aet_dtype)
+
+    def _assemble_sparse_csr(self, csr_idx: np.ndarray, counts: np.ndarray,
+                             negated: np.ndarray) -> bytes:
+        """[head][indices] stream from CSR form (concatenated row-major
+        indices + per-row counts) — no padded matrix, so a near-fixed
+        negated line costs its own indices, not a whole L x H buffer."""
+        dt = self.aet_dtype
+        n = counts.shape[0]
+        if n == 0:
+            return b""
+        msb = 1 << (dt.itemsize * 8 - 1)
+        heads = counts.astype(np.int64) | np.where(negated, msb, 0)
+        total = int(counts.sum()) + n
+        outbuf = np.empty(total, dt)
+        starts = np.cumsum(np.concatenate([[0], counts[:-1] + 1]))
+        outbuf[starts] = heads.astype(dt)
+        body = np.ones(total, bool)
+        body[starts] = False
+        outbuf[body] = csr_idx.astype(dt)
+        return outbuf.tobytes()
+
+    def _assemble_sparse(self, sparse_idx: np.ndarray, sparse_len: np.ndarray,
+                         negated: np.ndarray, is_sparse: np.ndarray) -> bytes:
+        """Vectorised [head][indices] stream assembly for all sparse lines."""
+        dt = self.aet_dtype
+        msb = 1 << (dt.itemsize * 8 - 1)
+        lens = sparse_len[is_sparse]
+        if lens.shape[0] == 0:
+            return b""
+        heads = lens.astype(np.int64) | np.where(negated[is_sparse], msb, 0)
+        idx_rows = sparse_idx[is_sparse]
+        total = int(lens.sum()) + lens.shape[0]
+        outbuf = np.zeros(total, dt)
+        starts = np.cumsum(np.concatenate([[0], lens[:-1] + 1]))
+        outbuf[starts] = heads.astype(dt)
+        take = np.arange(idx_rows.shape[1])[None, :] < lens[:, None]
+        flat_dest = (starts[:, None] + 1 + np.arange(idx_rows.shape[1])[None, :])
+        outbuf[flat_dest[take]] = idx_rows[take].astype(dt)
+        return outbuf.tobytes()

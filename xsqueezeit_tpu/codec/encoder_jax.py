@@ -23,21 +23,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..format.constants import (
-    GTDict,
-    INT32_MISSING,
-    INT32_VECTOR_END,
-    WeirdnessStrategy,
-)
-from ..format.dictionary import write_dictionary
-from ..ops import pbwt_jax, wah_jax, wah_np
+from ..ops import pbwt_jax, wah_jax
 from ..utils.jaxcache import ensure_compilation_cache
-from .gt_block import GtBlockEncoder
+from .encoder_base import (   # noqa: F401  (re-exported for consumers)
+    EOV_CODE,
+    MISSING_CODE,
+    BlockEncoderBase,
+    alleles_from_gt,
+)
 
 ensure_compilation_cache()
-
-MISSING_CODE = -1
-EOV_CODE = -2
 
 
 def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
@@ -144,90 +139,11 @@ def _encode_tracks_device(bits, cap):
     return wah_words, wah_len, sparse_idx, sparse_len
 
 
-def alleles_from_gt(gt_block: np.ndarray) -> np.ndarray:
-    """htslib int32 gt rows -> compact allele codes (missing -1, EOV -2)."""
-    alleles = (gt_block >> 1) - 1
-    alleles = np.where(gt_block == np.int32(INT32_MISSING), MISSING_CODE, alleles)
-    alleles = np.where((gt_block >> 1) == 0, MISSING_CODE, alleles)
-    alleles = np.where(gt_block == np.int32(INT32_VECTOR_END), EOV_CODE, alleles)
-    return alleles.astype(np.int16)
+class DeviceBlockEncoder(BlockEncoderBase):
+    """Block encoder driving the JAX pipeline; host assembles the payload
+    (prepare/assemble/track machinery in codec/encoder_base)."""
 
-
-class DeviceBlockEncoder:
-    """Block encoder driving the JAX pipeline; host assembles the payload."""
-
-    def __init__(self, n_samples: int, block_bcf_lines: int, mac_threshold: int,
-                 default_phasing: int = 0, aet_dtype=np.uint32,
-                 weirdness_strategy: int = WeirdnessStrategy.WS_SPARSE):
-        self.n_samples = n_samples
-        self.n_haps = n_samples * 2
-        self.block_bcf_lines = block_bcf_lines
-        self.mac_threshold = mac_threshold
-        self.default_phasing = int(default_phasing)
-        self.aet_dtype = np.dtype(aet_dtype)
-        self.weirdness_strategy = weirdness_strategy
-        self._gt_rows: list[np.ndarray] = []
-        self._n_alleles: list[int] = []
-
-    @property
-    def bcf_lines(self) -> int:
-        return len(self._n_alleles)
-
-    @property
-    def full(self) -> bool:
-        return self.bcf_lines >= self.block_bcf_lines
-
-    def eligible(self, ploidy: int) -> bool:
-        return ploidy == 2
-
-    def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
-        assert gt.shape[0] in (self.n_haps, self.n_samples), \
-            "device path requires uniformly diploid or uniformly haploid rows"
-        self._gt_rows.append(np.asarray(gt, np.int32))
-        self._n_alleles.append(n_alleles)
-
-    # ------------------------------------------------------------------
-    def prepare(self) -> dict:
-        """Host prep before the device call: record-to-line expansion +
-        bucket padding.  Returns the padded device inputs plus everything
-        `assemble` needs; shared by the single-chip serialize() and the
-        multi-chip mesh driver (parallel/shard.MeshBlockEncoder)."""
-        gt_block = np.stack(self._gt_rows)          # [n_rec, H]
-        n_alleles = np.asarray(self._n_alleles)
-        n_alts = np.maximum(n_alleles - 1, 0)
-        # Uniformly-haploid blocks (chrX male panels): the diploid 2N
-        # arrangement keeps haplotype pairs adjacent when every line's
-        # partition key is per-sample, so it collapses to an N-element
-        # PBWT over samples -- the SAME kernels run with H = n_samples
-        # (reference semantics: haploid_rearrangement_from_diploid,
-        # interfaces.hpp:318-333 + pbwt_sort1).  Mixed-ploidy blocks stay
-        # on the NumPy encoder.
-        haploid = gt_block.shape[1] == self.n_samples \
-            and self.n_samples != self.n_haps
-        H = gt_block.shape[1]
-
-        # Expand records to binary lines (one per ALT).
-        rec_of_line = np.repeat(np.arange(len(n_alts)), n_alts)
-        alt_of_line = (np.concatenate([np.arange(1, k + 1) for k in n_alts])
-                       if len(n_alts) else np.zeros(0, np.int64))
-        L = rec_of_line.shape[0]
-        alleles_rec = alleles_from_gt(gt_block)     # [n_rec, H] int16
-        alleles = alleles_rec[rec_of_line]          # [L, H]
-
-        # Pad the line axis to a power-of-two bucket: one XLA executable
-        # serves every block of the file (multi-allelic blocks vary in L).
-        from ..utils.shapes import bucket
-        L_pad = bucket(L)
-        alleles_p = alleles
-        alts_p = np.asarray(alt_of_line, np.int32)
-        if L_pad != L:
-            alleles_p = np.concatenate(
-                [alleles, np.full((L_pad - L, H), -3, alleles.dtype)])
-            alts_p = np.concatenate(
-                [alts_p, np.full(L_pad - L, -100, np.int32)])
-        return dict(gt_block=gt_block, n_alts=n_alts, haploid=haploid,
-                    H=H, L=L, alleles_rec=alleles_rec,
-                    alleles_p=alleles_p, alts_p=alts_p)
+    use_device_tracks = True
 
     def serialize(self) -> bytes:
         prep = self.prepare()
@@ -238,224 +154,3 @@ class DeviceBlockEncoder:
         out = {k: np.asarray(v)[:prep["L"]] for k, v in out.items()}
         return self.assemble(out, prep)
 
-    def assemble(self, out: dict, prep: dict) -> bytes:
-        """Payload assembly from the device outputs (sliced to [:L]).
-
-        Byte-identical regardless of which device(s) produced `out` --
-        the mesh driver calls this per block with its shard's slice."""
-        gt_block = prep["gt_block"]
-        n_alts = prep["n_alts"]
-        haploid = prep["haploid"]
-        H = prep["H"]
-        L = prep["L"]
-        alleles_rec = prep["alleles_rec"]
-
-        is_wah = out["is_wah"]
-        negated = out["negated"] & ~is_wah
-
-        # --- exception tracks (host; rare) --------------------------------
-        miss_rec = alleles_rec == MISSING_CODE
-        eov_rec = alleles_rec == EOV_CODE
-        rec_has_missing = miss_rec.any(axis=1)
-        rec_has_eov = eov_rec.any(axis=1)
-        if haploid:
-            # single-slot samples carry no phase bit
-            nup_rec_bits = np.zeros_like(gt_block, bool)
-        else:
-            second = (np.arange(H) & 1).astype(bool)
-            nup_rec_bits = second[None, :] & (
-                (gt_block & 1) != self.default_phasing)
-        # phase applies only to non-first alleles; specials included (ref parity)
-        rec_has_nup = nup_rec_bits.any(axis=1)
-
-        zero_alt = n_alts == 0
-        if (zero_alt & (rec_has_missing | rec_has_eov | rec_has_nup)).any():
-            # see GtBlockEncoder.encode_record: per-binary-line exception
-            # tracks cannot carry a record that owns no binary line
-            raise ValueError(
-                "record with no ALT allele carries missing/end-of-vector/"
-                "non-uniform-phasing data, which XSI v5 cannot represent")
-
-        ws = self.weirdness_strategy
-        wah_weird = ws in (WeirdnessStrategy.WS_WAH, WeirdnessStrategy.WS_PBWT_WAH)
-        if ws == WeirdnessStrategy.WS_PBWT_WAH:
-            raise NotImplementedError(
-                "device encoder supports WS_SPARSE and WS_WAH")
-
-        missing_bytes, eov_bytes, phase_bytes = self._encode_tracks(
-            miss_rec, eov_rec, nup_rec_bits,
-            rec_has_missing, rec_has_eov, rec_has_nup, wah_weird)
-
-        # --- assemble payload ---------------------------------------------
-        d: dict[int, int] = {
-            GTDict.KEY_BCF_LINES: len(n_alts),
-            GTDict.KEY_BINARY_LINES: L,
-            GTDict.KEY_MAX_LINE_PLOIDY: 1 if haploid else 2,
-            GTDict.KEY_DEFAULT_PHASING: self.default_phasing,
-            GTDict.KEY_WEIRDNESS_STRATEGY: ws,
-            GTDict.KEY_LINE_SORT: GTDict.VAL_UNDEFINED,
-            GTDict.KEY_LINE_SELECT: GTDict.VAL_UNDEFINED,
-            GTDict.KEY_MATRIX_WAH: GTDict.VAL_UNDEFINED,
-            GTDict.KEY_MATRIX_SPARSE: GTDict.VAL_UNDEFINED,
-        }
-        if haploid:
-            d[GTDict.KEY_LINE_HAPLOID] = GTDict.VAL_UNDEFINED
-        if rec_has_missing.any():
-            d[GTDict.KEY_LINE_MISSING] = GTDict.VAL_UNDEFINED
-            d[GTDict.KEY_MATRIX_MISSING if wah_weird
-              else GTDict.KEY_MATRIX_MISSING_SPARSE] = GTDict.VAL_UNDEFINED
-        if rec_has_eov.any():
-            d[GTDict.KEY_LINE_END_OF_VECTORS] = GTDict.VAL_UNDEFINED
-            d[GTDict.KEY_MATRIX_END_OF_VECTORS if wah_weird
-              else GTDict.KEY_MATRIX_END_OF_VECTORS_SPARSE] = GTDict.VAL_UNDEFINED
-        if rec_has_nup.any():
-            d[GTDict.KEY_LINE_NON_UNIFORM_PHASING] = GTDict.VAL_UNDEFINED
-            d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = GTDict.VAL_UNDEFINED
-
-        dict_bytes = write_dictionary(d)
-        payload = bytearray(dict_bytes)
-
-        def first_line_flags(rec_flags: np.ndarray) -> np.ndarray:
-            v = np.zeros(L, np.uint8)
-            first_lines = np.cumsum(np.concatenate([[0], n_alts[:-1]]))
-            keep = n_alts > 0
-            v[first_lines[keep]] = rec_flags[keep]
-            return v
-
-        d[GTDict.KEY_LINE_SORT] = len(payload)
-        payload.extend(wah_np.wah_encode(is_wah.astype(np.uint8)).tobytes())
-        d[GTDict.KEY_LINE_SELECT] = d[GTDict.KEY_LINE_SORT]
-
-        # WAH matrix: concatenate per-line words (front-packed rows)
-        d[GTDict.KEY_MATRIX_WAH] = len(payload)
-        wah_words, wah_len = out["wah_words"], out["wah_len"]
-        W = wah_words.shape[1]
-        take = (np.arange(W)[None, :] < wah_len[:, None]) & is_wah[:, None]
-        payload.extend(wah_words[take].tobytes())
-
-        # Sparse matrix: [count|neg][indices] per line
-        d[GTDict.KEY_MATRIX_SPARSE] = len(payload)
-        payload.extend(self._assemble_sparse(
-            out["sparse_idx"], out["sparse_len"], negated, ~is_wah))
-
-        if rec_has_missing.any():
-            d[GTDict.KEY_LINE_MISSING] = len(payload)
-            payload.extend(wah_np.wah_encode(
-                first_line_flags(rec_has_missing)).tobytes())
-            d[GTDict.KEY_MATRIX_MISSING if wah_weird
-              else GTDict.KEY_MATRIX_MISSING_SPARSE] = len(payload)
-            payload.extend(missing_bytes)
-        if rec_has_eov.any():
-            d[GTDict.KEY_LINE_END_OF_VECTORS] = len(payload)
-            payload.extend(wah_np.wah_encode(
-                first_line_flags(rec_has_eov)).tobytes())
-            d[GTDict.KEY_MATRIX_END_OF_VECTORS if wah_weird
-              else GTDict.KEY_MATRIX_END_OF_VECTORS_SPARSE] = len(payload)
-            payload.extend(eov_bytes)
-        if rec_has_nup.any():
-            d[GTDict.KEY_LINE_NON_UNIFORM_PHASING] = len(payload)
-            payload.extend(wah_np.wah_encode(
-                first_line_flags(rec_has_nup)).tobytes())
-            d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = len(payload)
-            payload.extend(phase_bytes)
-        if haploid:
-            d[GTDict.KEY_LINE_HAPLOID] = len(payload)
-            payload.extend(wah_np.wah_encode(np.ones(L, np.uint8)).tobytes())
-
-        payload[: len(dict_bytes)] = write_dictionary(d)
-        return bytes(payload)
-
-    def _encode_tracks(self, miss_rec, eov_rec, nup_rec_bits,
-                       rec_has_missing, rec_has_eov, rec_has_nup,
-                       wah_weird: bool) -> tuple[bytes, bytes, bytes]:
-        """Concatenated track bytes (missing, EOV, phase), record order.
-
-        Few flagged records: per-record host encode (dispatch latency
-        dwarfs the work).  Many (the sprinkle-missing regime, where EVERY
-        record carries missing calls): one batched device dispatch for
-        all flagged rows of all three track types — WAH via
-        pack_bits+wah_compress_words, sparse via a partition sort —
-        byte-identical to the host loop (both reduce to
-        wah_np.wah_encode / sparse_np.sparse_encode semantics)."""
-        import os
-
-        flag_m = np.flatnonzero(rec_has_missing)
-        flag_e = np.flatnonzero(rec_has_eov)
-        flag_p = np.flatnonzero(rec_has_nup)
-        n_flag = len(flag_m) + len(flag_e) + len(flag_p)
-        if n_flag == 0:
-            return b"", b"", b""
-        min_rows = int(os.environ.get("XSI_TRACKS_DEVICE_MIN", "8"))
-        if n_flag < min_rows:
-            def host_tracks(rows_bits, rows, wah):
-                parts = []
-                for r in rows:
-                    if wah:
-                        parts.append(wah_np.wah_encode(
-                            rows_bits[r].astype(np.uint8)).tobytes())
-                    else:
-                        parts.append(np.ascontiguousarray(self._sparse_bytes(
-                            np.flatnonzero(rows_bits[r]), False)).tobytes())
-                return b"".join(parts)
-
-            return (host_tracks(miss_rec, flag_m, wah_weird),
-                    host_tracks(eov_rec, flag_e, wah_weird),
-                    host_tracks(nup_rec_bits, flag_p, True))
-
-        from ..utils.shapes import bucket
-        bits = np.concatenate([miss_rec[flag_m], eov_rec[flag_e],
-                               nup_rec_bits[flag_p]]).astype(np.uint8)
-        R = bits.shape[0]
-        R_pad = bucket(R)
-        if R_pad != R:
-            bits = np.concatenate(
-                [bits, np.zeros((R_pad - R, bits.shape[1]), np.uint8)])
-        nm, ne = len(flag_m), len(flag_e)
-        if wah_weird:
-            cap = 0                      # every track is WAH: no sparse
-        else:
-            # phase rows are always WAH; cap covers only miss/EOV rows
-            me = bits[:nm + ne]
-            cap = bucket(max(int(me.sum(axis=1).max()), 1)) if nm + ne else 0
-        ww, wl, si, sl = (np.asarray(x) for x in _encode_tracks_device(
-            jnp.asarray(bits), int(cap)))
-        ww, wl, si, sl = ww[:R], wl[:R], si[:R], sl[:R]
-
-        def wah_bytes(rows: slice) -> bytes:
-            rows_w, lens = ww[rows], wl[rows]
-            take = np.arange(rows_w.shape[1])[None, :] < lens[:, None]
-            return rows_w[take].tobytes()
-
-        def sparse_bytes(rows: slice) -> bytes:
-            lens = sl[rows]
-            return self._assemble_sparse(
-                si[rows], lens, np.zeros(lens.shape[0], bool),
-                np.ones(lens.shape[0], bool))
-
-        m_sl, e_sl, p_sl = slice(0, nm), slice(nm, nm + ne), slice(nm + ne, R)
-        if wah_weird:
-            return wah_bytes(m_sl), wah_bytes(e_sl), wah_bytes(p_sl)
-        return sparse_bytes(m_sl), sparse_bytes(e_sl), wah_bytes(p_sl)
-
-    def _sparse_bytes(self, indices: np.ndarray, negated: bool) -> np.ndarray:
-        from ..ops.sparse_np import sparse_encode
-        return sparse_encode(indices, negated, self.aet_dtype)
-
-    def _assemble_sparse(self, sparse_idx: np.ndarray, sparse_len: np.ndarray,
-                         negated: np.ndarray, is_sparse: np.ndarray) -> bytes:
-        """Vectorised [head][indices] stream assembly for all sparse lines."""
-        dt = self.aet_dtype
-        msb = 1 << (dt.itemsize * 8 - 1)
-        lens = sparse_len[is_sparse]
-        if lens.shape[0] == 0:
-            return b""
-        heads = lens.astype(np.int64) | np.where(negated[is_sparse], msb, 0)
-        idx_rows = sparse_idx[is_sparse]
-        total = int(lens.sum()) + lens.shape[0]
-        outbuf = np.zeros(total, dt)
-        starts = np.cumsum(np.concatenate([[0], lens[:-1] + 1]))
-        outbuf[starts] = heads.astype(dt)
-        take = np.arange(idx_rows.shape[1])[None, :] < lens[:, None]
-        flat_dest = (starts[:, None] + 1 + np.arange(idx_rows.shape[1])[None, :])
-        outbuf[flat_dest[take]] = idx_rows[take].astype(dt)
-        return outbuf.tobytes()

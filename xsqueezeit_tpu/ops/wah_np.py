@@ -30,15 +30,29 @@ _POW2 = (1 << np.arange(WAH_BITS, dtype=np.uint16)).astype(np.uint16)
 
 
 def pack_words(bits: np.ndarray) -> np.ndarray:
-    """Pack a 0/1 vector into 15-bit LSB-first words (zero padded)."""
-    bits = np.asarray(bits, dtype=np.uint16)
+    """Pack a 0/1 vector into 15-bit LSB-first words (zero padded).
+
+    Routes through np.packbits on 16-bit-aligned groups (high bit zero)
+    rather than a multiply-reduce over a [..., W, 15] intermediate — the
+    packbits form is ~20x faster and this sits on the host encode's
+    critical path (wah_encode_rows over every sorting line of a block)."""
+    bits = np.asarray(bits)
     n = bits.shape[-1]
     n_words = (n + WAH_BITS - 1) // WAH_BITS
-    pad = n_words * WAH_BITS - n
-    if pad:
-        bits = np.concatenate([bits, np.zeros(bits.shape[:-1] + (pad,), np.uint16)], axis=-1)
-    groups = bits.reshape(bits.shape[:-1] + (n_words, WAH_BITS))
-    return (groups * _POW2).sum(axis=-1).astype(np.uint16)
+    lead = bits.shape[:-1]
+    if n == 0:
+        return np.zeros(lead + (0,), np.uint16)
+    rows = int(np.prod(lead)) if lead else 1
+    buf = np.zeros((rows, n_words, 16), np.uint8)
+    flat_in = bits.reshape(rows, n)
+    full = n // WAH_BITS
+    whole = full * WAH_BITS
+    if full:
+        buf[:, :full, :WAH_BITS] = flat_in[:, :whole].reshape(rows, full, WAH_BITS)
+    if whole != n:
+        buf[:, -1, : n - whole] = flat_in[:, whole:]
+    packed = np.packbits(buf, axis=-1, bitorder="little")   # [..., W, 2]
+    return packed.reshape(lead + (n_words, 2)).view("<u2")[..., 0]
 
 
 def unpack_words(words: np.ndarray, n_bits: int) -> np.ndarray:
@@ -85,6 +99,50 @@ def wah_encode_words(words: np.ndarray) -> np.ndarray:
     fill_word = (WAH_HIGH_BIT | np.where(is_ones, WAH_COUNT_1_BIT, 0) | sub_len).astype(np.uint16)
     out_word = np.where(is_fill, fill_word, words)
     return out_word[emit]
+
+
+def wah_encode_rows(bits2d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """WAH2-encode every row of a [R, H] 0/1 matrix in ONE vectorised pass.
+
+    Returns (concatenated output words in row order, words-emitted-per-row).
+    Byte-identical to `np.concatenate([wah_encode(row) for row in bits2d])`
+    (run boundaries are forced at row starts, all scans stay global) —
+    the batched form the block encoders use so per-row Python call
+    overhead never dominates (~150 us/row for the loop form).
+    """
+    bits2d = np.asarray(bits2d)
+    R = bits2d.shape[0]
+    if R == 0 or bits2d.shape[1] == 0:
+        return np.zeros(0, np.uint16), np.zeros(R, np.int64)
+    words = pack_words(bits2d)            # [R, W]
+    W = words.shape[1]
+    flat = words.reshape(-1)
+    n = flat.shape[0]
+    idx = np.arange(n)
+    is_zero = flat == 0
+    is_ones = flat == WAH_ALL_SET
+    is_fill = is_zero | is_ones
+    cls = np.where(is_zero, 0, np.where(is_ones, 1, 2 + idx))
+    boundary = np.empty(n, bool)
+    boundary[0] = True
+    boundary[1:] = cls[1:] != cls[:-1]
+    boundary |= (idx % W) == 0            # rows never share a run
+    run_id = np.cumsum(boundary) - 1
+    run_starts = np.flatnonzero(boundary)
+    pos_in_run = idx - run_starts[run_id]
+    sub_boundary = boundary | (is_fill & (pos_in_run % WAH_MAX_COUNTER == 0)
+                               & (pos_in_run > 0))
+    sub_id = np.cumsum(sub_boundary) - 1
+    sub_starts = np.flatnonzero(sub_boundary)
+    emit = np.empty(n, bool)
+    emit[:-1] = sub_id[1:] != sub_id[:-1]
+    emit[-1] = True
+    sub_len = (idx - sub_starts[sub_id] + 1).astype(np.uint16)
+    fill_word = (WAH_HIGH_BIT | np.where(is_ones, WAH_COUNT_1_BIT, 0)
+                 | sub_len).astype(np.uint16)
+    out_word = np.where(is_fill, fill_word, flat)
+    lens = np.bincount(idx[emit] // W, minlength=R)
+    return out_word[emit], lens
 
 
 def validate_wah_stream(words: np.ndarray, name: str = "WAH") -> None:
