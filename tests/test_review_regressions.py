@@ -346,3 +346,31 @@ def test_bgzf_threaded_writer_roundtrip(tmp_path):
     r.seek_virtual(v)
     assert r.read() == data[300_000:]
     r.close()
+
+
+def test_haploid_sparse_line_carries_no_phase_bit():
+    """Decoder regression (round 3): the sparse-line fill branch applied
+    default_phasing to odd NATURAL indices even on haploid lines, so any
+    haploid record whose line went sparse (mac <= threshold) decoded with
+    phase bits that were never encoded.  Haploid slots carry no phase bit
+    (gt_block_decoder.fill_genotype_array_advance phase_term)."""
+    from xsqueezeit_tpu.codec.gt_block import GtBlockEncoder
+    from xsqueezeit_tpu.codec.gt_block_decoder import GtBlockDecoder
+
+    N = 6
+    hap = np.full(N, 2, np.int32)
+    hap[2] = 4                       # one ALT carrier -> sparse line
+    neg = np.full(N, 4, np.int32)
+    neg[1] = 2                       # one REF carrier -> negated sparse
+    for records in ([(hap, 2)], [(neg, 2)], [(hap, 2), (neg, 2)]):
+        enc = GtBlockEncoder(N, block_bcf_lines=10, mac_threshold=2,
+                             default_phasing=1, aet_dtype=np.uint16)
+        for gt, na in records:
+            enc.encode_record(gt, na)
+        dec = GtBlockDecoder(enc.serialize(), N, 2 * N, aet_dtype=np.uint16)
+        pos = 0
+        for gt, na in records:
+            dec.seek(pos)
+            np.testing.assert_array_equal(
+                dec.fill_genotype_array_advance(na), gt)
+            pos += na - 1

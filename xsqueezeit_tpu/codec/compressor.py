@@ -120,9 +120,11 @@ class BlockEncodeDispatcher:
 
         n_samples = self.n_haps // 2
         lengths = {g.shape[0] for g, _ in records}
-        # Uniformly diploid or uniformly haploid blocks take the device
-        # pipeline; mixed-ploidy blocks stay on the NumPy encoder.
-        uniform = lengths in ({self.n_haps}, {n_samples})
+        # Uniform blocks take the chunked device pipeline; mixed-ploidy
+        # blocks (haploid + diploid interleaved) take the parity-carrying
+        # device path (encoder_jax.encode_block_core_mixed).  Anything
+        # else (ploidy > 2 guarded upstream) stays on the NumPy encoder.
+        uniform = lengths <= {self.n_haps, n_samples} and bool(lengths)
         # Small blocks encode faster on host: device dispatch + transfer
         # latency (seconds over a tunneled chip) dwarfs the compute.
         # device="jax" (option or env) forces the device path regardless.

@@ -114,20 +114,40 @@ class BlockEncoderBase:
         multi-chip mesh driver (parallel/shard.MeshBlockEncoder).
         pad=False skips the power-of-two line bucket (host cores have no
         XLA executable to share, and the pad is a whole-matrix copy)."""
-        alleles_rec = np.stack(self._allele_rows)   # [n_rec, H] int16
-        nup_rec_bits = np.stack(self._nup_rows)     # [n_rec, H] bool
         n_alleles = np.asarray(self._n_alleles)
         n_alts = np.maximum(n_alleles - 1, 0)
-        # Uniformly-haploid blocks (chrX male panels): the diploid 2N
-        # arrangement keeps haplotype pairs adjacent when every line's
-        # partition key is per-sample, so it collapses to an N-element
-        # PBWT over samples -- the SAME kernels run with H = n_samples
-        # (reference semantics: haploid_rearrangement_from_diploid,
-        # interfaces.hpp:318-333 + pbwt_sort1).  Mixed-ploidy blocks stay
-        # on the per-record NumPy encoder.
-        haploid = alleles_rec.shape[1] == self.n_samples \
-            and self.n_samples != self.n_haps
-        H = alleles_rec.shape[1]
+        row_lens = {r.shape[0] for r in self._allele_rows}
+        mixed = len(row_lens) > 1
+        if mixed:
+            # Mixed-ploidy block (haploid + diploid records interleaved,
+            # chrX PAR boundary): keep records NATURAL-order in a padded
+            # [n_rec, 2N] matrix (haploid rows occupy [:N], REF-padded so
+            # the exception-track flags stay honest); the line matrix gets
+            # haploid rows slot-DUPLICATED for the unified arrangement
+            # chain (encode_block_core_mixed docstring).
+            H = self.n_haps
+            N = self.n_samples
+            rec_hap = np.array([r.shape[0] == N for r in self._allele_rows])
+            alleles_rec = np.zeros((len(self._allele_rows), H), np.int16)
+            nup_rec_bits = np.zeros((len(self._nup_rows), H), bool)
+            for i, (r, p) in enumerate(zip(self._allele_rows,
+                                           self._nup_rows)):
+                alleles_rec[i, :r.shape[0]] = r
+                nup_rec_bits[i, :p.shape[0]] = p
+            haploid = False
+        else:
+            alleles_rec = np.stack(self._allele_rows)   # [n_rec, H] int16
+            nup_rec_bits = np.stack(self._nup_rows)     # [n_rec, H] bool
+            rec_hap = None
+            # Uniformly-haploid blocks (chrX male panels): the diploid 2N
+            # arrangement keeps haplotype pairs adjacent when every line's
+            # partition key is per-sample, so it collapses to an N-element
+            # PBWT over samples -- the SAME kernels run with H = n_samples
+            # (reference semantics: haploid_rearrangement_from_diploid,
+            # interfaces.hpp:318-333 + pbwt_sort1).
+            haploid = alleles_rec.shape[1] == self.n_samples \
+                and self.n_samples != self.n_haps
+            H = alleles_rec.shape[1]
 
         # Expand records to binary lines (one per ALT).
         rec_of_line = np.repeat(np.arange(len(n_alts)), n_alts)
@@ -135,6 +155,12 @@ class BlockEncoderBase:
                        if len(n_alts) else np.zeros(0, np.int64))
         L = rec_of_line.shape[0]
         alleles = alleles_rec[rec_of_line]          # [L, H]
+        hap_line = None
+        if mixed:
+            hap_line = rec_hap[rec_of_line]
+            if hap_line.any():
+                alleles[hap_line] = np.repeat(
+                    alleles[hap_line][:, : self.n_samples], 2, axis=1)
 
         # Pad the line axis to a power-of-two bucket: one XLA executable
         # serves every block of the file (multi-allelic blocks vary in L).
@@ -142,14 +168,19 @@ class BlockEncoderBase:
         L_pad = bucket(L) if pad else L
         alleles_p = alleles
         alts_p = np.asarray(alt_of_line, np.int32)
+        hap_line_p = hap_line
         if L_pad != L:
             alleles_p = np.concatenate(
                 [alleles, np.full((L_pad - L, H), -3, alleles.dtype)])
             alts_p = np.concatenate(
                 [alts_p, np.full(L_pad - L, -100, np.int32)])
-        return dict(n_alts=n_alts, haploid=haploid,
+            if hap_line is not None:
+                hap_line_p = np.concatenate(
+                    [hap_line, np.zeros(L_pad - L, bool)])
+        return dict(n_alts=n_alts, haploid=haploid, mixed=mixed,
                     H=H, L=L, alleles_rec=alleles_rec,
-                    nup_rec_bits=nup_rec_bits,
+                    nup_rec_bits=nup_rec_bits, rec_hap=rec_hap,
+                    hap_line=hap_line, hap_line_p=hap_line_p,
                     alleles_p=alleles_p, alts_p=alts_p)
 
     def assemble(self, out: dict, prep: dict) -> bytes:
@@ -162,6 +193,8 @@ class BlockEncoderBase:
         L = prep["L"]
         alleles_rec = prep["alleles_rec"]
         nup_rec_bits = prep["nup_rec_bits"]
+        hap_line = prep.get("hap_line")
+        any_hap = haploid or (hap_line is not None and bool(hap_line.any()))
 
         is_wah = out["is_wah"]
         negated = out["negated"] & ~is_wah
@@ -189,7 +222,8 @@ class BlockEncoderBase:
 
         missing_bytes, eov_bytes, phase_bytes = self._encode_tracks(
             miss_rec, eov_rec, nup_rec_bits,
-            rec_has_missing, rec_has_eov, rec_has_nup, wah_weird)
+            rec_has_missing, rec_has_eov, rec_has_nup, wah_weird,
+            rec_hap=prep.get("rec_hap"))
 
         # --- assemble payload ---------------------------------------------
         d: dict[int, int] = {
@@ -203,7 +237,7 @@ class BlockEncoderBase:
             GTDict.KEY_MATRIX_WAH: GTDict.VAL_UNDEFINED,
             GTDict.KEY_MATRIX_SPARSE: GTDict.VAL_UNDEFINED,
         }
-        if haploid:
+        if any_hap:
             d[GTDict.KEY_LINE_HAPLOID] = GTDict.VAL_UNDEFINED
         if rec_has_missing.any():
             d[GTDict.KEY_LINE_MISSING] = GTDict.VAL_UNDEFINED
@@ -234,6 +268,18 @@ class BlockEncoderBase:
         # WAH matrix: concatenate per-line words (front-packed rows)
         d[GTDict.KEY_MATRIX_WAH] = len(payload)
         wah_words, wah_len = out["wah_words"], out["wah_len"]
+        if hap_line is not None and "hap_wah_words" in out:
+            # Mixed block: haploid WAH lines take their words from the
+            # N-width grid (even-slot subsequence), diploid from the full
+            # grid — stitch into one per-line-selected matrix.
+            hw, hl = out["hap_wah_words"], out["hap_wah_len"]
+            Wm = max(wah_words.shape[1], hw.shape[1])
+            comb = np.zeros((L, Wm), wah_words.dtype)
+            comb[:, : wah_words.shape[1]] = wah_words
+            comb[hap_line, :] = 0
+            comb[hap_line, : hw.shape[1]] = hw[hap_line]
+            wah_words = comb
+            wah_len = np.where(hap_line, hl, wah_len)
         W = wah_words.shape[1]
         take = (np.arange(W)[None, :] < wah_len[:, None]) & is_wah[:, None]
         payload.extend(wah_words[take].tobytes())
@@ -244,8 +290,14 @@ class BlockEncoderBase:
             payload.extend(self._assemble_sparse_csr(
                 out["sparse_csr"], out["sparse_len"], negated[~is_wah]))
         else:
+            sparse_idx = out["sparse_idx"]
+            if hap_line is not None and hap_line.any():
+                # haploid carriers sit at even slots 2s of the duplicated
+                # line; natural (sample) index is s
+                sparse_idx = np.where(hap_line[:, None], sparse_idx >> 1,
+                                      sparse_idx)
             payload.extend(self._assemble_sparse(
-                out["sparse_idx"], out["sparse_len"], negated, ~is_wah))
+                sparse_idx, out["sparse_len"], negated, ~is_wah))
 
         if rec_has_missing.any():
             d[GTDict.KEY_LINE_MISSING] = len(payload)
@@ -267,9 +319,11 @@ class BlockEncoderBase:
                 first_line_flags(rec_has_nup)).tobytes())
             d[GTDict.KEY_MATRIX_NON_UNIFORM_PHASING] = len(payload)
             payload.extend(phase_bytes)
-        if haploid:
+        if any_hap:
             d[GTDict.KEY_LINE_HAPLOID] = len(payload)
-            payload.extend(wah_np.wah_encode(np.ones(L, np.uint8)).tobytes())
+            flags = (np.ones(L, np.uint8) if haploid
+                     else hap_line.astype(np.uint8))
+            payload.extend(wah_np.wah_encode(flags).tobytes())
 
         payload[: len(dict_bytes)] = write_dictionary(d)
         return bytes(payload)
@@ -277,7 +331,9 @@ class BlockEncoderBase:
     # ------------------------------------------------------ track encode
     def _encode_tracks(self, miss_rec, eov_rec, nup_rec_bits,
                        rec_has_missing, rec_has_eov, rec_has_nup,
-                       wah_weird: bool) -> tuple[bytes, bytes, bytes]:
+                       wah_weird: bool,
+                       rec_hap: np.ndarray | None = None
+                       ) -> tuple[bytes, bytes, bytes]:
         """Concatenated track bytes (missing, EOV, phase), record order.
 
         Host encoders (and device encoders with few flagged records, where
@@ -294,13 +350,30 @@ class BlockEncoderBase:
         n_flag = len(flag_m) + len(flag_e) + len(flag_p)
         if n_flag == 0:
             return b"", b"", b""
+        # Haploid records' natural-order tracks have n_samples bits, not
+        # n_haps: WAH bytes depend on the row length, so WAH-weirdness
+        # tracks with haploid flagged rows take the split host path below.
+        # (WS_SPARSE tracks are [count][indices] — length-agnostic — and
+        # phase rows are never haploid, so everything else is unaffected.)
+        hap_in_wah_rows = (
+            rec_hap is not None and wah_weird
+            and bool(rec_hap[np.concatenate([flag_m, flag_e])].any()))
         min_rows = int(os.environ.get("XSI_TRACKS_DEVICE_MIN", "8"))
-        if self.use_device_tracks and n_flag >= min_rows:
+        if self.use_device_tracks and n_flag >= min_rows \
+                and not hap_in_wah_rows:
             return self._encode_tracks_on_device(
                 miss_rec, eov_rec, nup_rec_bits, flag_m, flag_e, flag_p,
                 wah_weird)
 
         def host_wah(rows_bits, rows) -> bytes:
+            if hap_in_wah_rows and rec_hap[rows].any():
+                N = self.n_samples
+                segs: list[bytes] = []
+                for r in rows:
+                    width = N if rec_hap[r] else rows_bits.shape[1]
+                    segs.append(wah_np.wah_encode(
+                        rows_bits[r, :width].astype(np.uint8)).tobytes())
+                return b"".join(segs)
             stream, _ = wah_np.wah_encode_rows(
                 rows_bits[rows].astype(np.uint8))
             return stream.tobytes()

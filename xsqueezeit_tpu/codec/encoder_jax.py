@@ -98,6 +98,88 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
     }
 
 
+def encode_block_core_mixed(alleles, alts, hap_line, mac_threshold,
+                            sparse_cap):
+    """Device encode body for MIXED-ploidy blocks (haploid + diploid
+    records interleaved, e.g. a chrX PAR boundary block).
+
+    alleles: int8/int16[L, 2N] allele codes with haploid lines in
+    SLOT-DUPLICATED form (each sample's allele in both of its slots), so
+    ONE arrangement chain serves both ploidies: the partition predicate
+    `alleles[a] == alt` evaluates per sample through the diploid
+    arrangement, exactly the reference's pbwt_sort1 -> pbwt_sort_<T, 2>
+    (internal_gt_record.hpp:33-59).  hap_line: bool[L].
+
+    Per-line outputs follow the host GtBlockEncoder semantics:
+      - counts: duplication doubles a haploid line's allele count, so the
+        effective (ac, length) halve where hap_line;
+      - WAH bits of a haploid line are the even-slot subsequence of the
+        arrangement-ordered bits (= haploid_rearrangement_from_diploid
+        order), extracted with the parity payload bit + one batched sort;
+      - sparse indices are NATURAL-order; haploid lines mask odd slots so
+        carriers land at 2s, halved by the host assembler.
+
+    Two WAH word grids come back (full 2N width and N width); `assemble`
+    picks per line.  Byte-exact vs GtBlockEncoder (tests/test_encoder_mixed).
+    """
+    L, H = alleles.shape
+    N = H // 2
+    iota = jnp.arange(H, dtype=jnp.int32)
+    even_slot = (iota & 1) == 0
+
+    ac2 = jnp.sum(alleles.astype(jnp.int32) == alts[:, None], axis=1)
+    ac = jnp.where(hap_line, ac2 >> 1, ac2)
+    len_eff = jnp.where(hap_line, N, H)
+    mac = jnp.minimum(ac, len_eff - ac)
+    is_wah = mac > mac_threshold
+    negated = ac != mac
+    sparse_allele = jnp.where(negated, 0, alts)
+
+    a0 = jnp.arange(H, dtype=jnp.int32)
+    ys, par, _ = pbwt_jax.pbwt_encode_scan_parity(alleles, alts, is_wah, a0)
+
+    words = wah_jax.pack_bits(ys)
+    wah_words, wah_len = wah_jax.wah_compress_words(words)
+
+    # Even-slot subsequence per line: one batched u32 sort
+    # (key = destination-among-evens, payload = bit; odd slots sink past N).
+    even_ar = (par == 0).astype(jnp.int32)
+    dest = jnp.cumsum(even_ar, axis=1) - even_ar   # rank among evens
+    key = jnp.where(par == 0, dest, H).astype(jnp.uint32)
+    hap_ys = (jax.lax.sort((key << 1) | ys.astype(jnp.uint32),
+                           dimension=1, is_stable=False)[:, :N]
+              & jnp.uint32(1)).astype(jnp.uint8)
+    hap_words = wah_jax.pack_bits(hap_ys)
+    hap_wah_words, hap_wah_len = wah_jax.wah_compress_words(hap_words)
+
+    mask = (alleles.astype(jnp.int32) == sparse_allele[:, None]) \
+        & (~hap_line[:, None] | even_slot[None, :])
+    sparse_len = jnp.sum(mask, axis=1)
+    hb = pbwt_jax._hap_bits(H)
+    idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
+    sparse_key = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
+    s = jax.lax.sort(sparse_key, dimension=1, is_stable=False)[:, :sparse_cap]
+    sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
+
+    return {
+        "is_wah": is_wah,
+        "negated": negated,
+        "wah_words": wah_words,
+        "wah_len": wah_len,
+        "hap_wah_words": hap_wah_words,
+        "hap_wah_len": hap_wah_len,
+        "sparse_idx": sparse_idx,
+        "sparse_len": sparse_len,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("sparse_cap",))
+def _encode_block_device_mixed(alleles, alts, hap_line, mac_threshold,
+                               sparse_cap):
+    return encode_block_core_mixed(alleles, alts, hap_line, mac_threshold,
+                                   sparse_cap)
+
+
 @functools.partial(jax.jit, static_argnames=("sparse_cap",))
 def _encode_block_device(alleles, alts, mac_threshold, sparse_cap):
     """Fused device encode of one block.  Exception flags are derived on
@@ -148,9 +230,15 @@ class DeviceBlockEncoder(BlockEncoderBase):
     def serialize(self) -> bytes:
         prep = self.prepare()
         sparse_cap = max(int(self.mac_threshold), 1)
-        out = _encode_block_device(
-            jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
-            jnp.int32(self.mac_threshold), sparse_cap)
+        if prep["mixed"]:
+            out = _encode_block_device_mixed(
+                jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
+                jnp.asarray(prep["hap_line_p"]),
+                jnp.int32(self.mac_threshold), sparse_cap)
+        else:
+            out = _encode_block_device(
+                jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
+                jnp.int32(self.mac_threshold), sparse_cap)
         out = {k: np.asarray(v)[:prep["L"]] for k, v in out.items()}
         return self.assemble(out, prep)
 

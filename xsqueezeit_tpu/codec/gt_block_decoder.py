@@ -318,7 +318,11 @@ class GtBlockDecoder:
         n_eovs = 0
 
         idx = np.arange(n, dtype=np.int64)
-        phase_term = ((idx & 1) & dp).astype(np.int32)
+        # Haploid lines carry one slot per sample: no phase bit anywhere
+        # (the encoder never writes one; the WAH branches below already
+        # omit it -- the sparse/missing paths share this term).
+        phase_term = (np.zeros(n, np.int32) if haploid
+                      else ((idx & 1) & dp).astype(np.int32))
 
         # REF / first ALT
         y, a_before = self._advance_main(extract=True)

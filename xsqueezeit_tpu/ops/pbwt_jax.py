@@ -77,8 +77,33 @@ def pbwt_encode_scan(alleles: jnp.ndarray, alts: jnp.ndarray,
     return ys, a_final
 
 
+def pbwt_encode_scan_parity(alleles: jnp.ndarray, alts: jnp.ndarray,
+                            sorts: jnp.ndarray, a0: jnp.ndarray
+                            ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """pbwt_encode_scan that also yields slot parity in arrangement order.
+
+    The mixed-ploidy block encoder needs, per line, both the bit vector in
+    arrangement order AND the parity a & 1 of the haplotype at each
+    arrangement position (a haploid line emits only the even-slot
+    subsequence; codec/encoder_jax.encode_block_core_mixed).  Parity rides
+    as a second payload bit in the packed keys — one fewer chunk line
+    (C = 30 - b), same single batched extraction sort.
+
+    Oracle: ops/pbwt_np.pbwt_encode_parity.
+    """
+    packed, r_fin = pbwt_encode_keys(alleles, alts, sorts, a0,
+                                     carry_parity=True)
+    s = jax.lax.sort(packed, dimension=1, is_stable=False)
+    ys = (s & jnp.uint32(1)).astype(jnp.uint8)
+    par = ((s >> 1) & jnp.uint32(1)).astype(jnp.uint8)
+    iota = jnp.arange(alleles.shape[1], dtype=jnp.int32)
+    _, a_final = jax.lax.sort((r_fin, iota), num_keys=1, is_stable=False)
+    return ys, par, a_final
+
+
 def pbwt_encode_keys(alleles: jnp.ndarray, alts: jnp.ndarray,
-                     sorts: jnp.ndarray, a0: jnp.ndarray
+                     sorts: jnp.ndarray, a0: jnp.ndarray,
+                     carry_parity: bool = False
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Packed per-line PBWT sort keys (everything but the final sort).
 
@@ -86,10 +111,14 @@ def pbwt_encode_keys(alleles: jnp.ndarray, alts: jnp.ndarray,
     `packed` ascending yields key (P_l, r_chunk) with the line's bit in the
     LSB -- callers may row-wise substitute other 32-bit keys (e.g. sparse
     index compaction) before ONE fused batched sort.
+
+    carry_parity additionally places the haplotype slot parity (h & 1) one
+    bit above the line bit, costing one chunk line of key space.
     """
     L, H = alleles.shape
     b = _hap_bits(H)
-    C = 31 - b
+    vb = 2 if carry_parity else 1   # payload bits below the rank field
+    C = 32 - b - vb
     if C < 2:
         raise ValueError(f"H={H} too large for packed PBWT encode")
     x = (alleles.astype(jnp.int32) == alts[:, None]).astype(jnp.uint32)
@@ -120,7 +149,9 @@ def pbwt_encode_keys(alleles: jnp.ndarray, alts: jnp.ndarray,
 
     r_b = jnp.broadcast_to(r_starts[:, None, :].astype(jnp.uint32),
                            (n_ch, C, H)).reshape(Lp, H)
-    packed = (P.reshape(Lp, H) << (b + 1)) | (r_b << 1) | x.reshape(Lp, H)
+    packed = (P.reshape(Lp, H) << (b + vb)) | (r_b << vb) | x.reshape(Lp, H)
+    if carry_parity:
+        packed = packed | ((jnp.arange(H, dtype=jnp.uint32) & 1) << 1)[None, :]
     return packed[:L], r_fin
 
 

@@ -82,6 +82,37 @@ def haploid_rearrangement_from_diploid(a: np.ndarray) -> np.ndarray:
     return (a[(a & 1) == 0] // 2).astype(a.dtype)
 
 
+def pbwt_encode_parity(alleles: np.ndarray, alts: np.ndarray,
+                       sorts: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Oracle for the parity-carrying block encode (mixed-ploidy blocks).
+
+    alleles[L, H] are allele codes per line in SLOT-DUPLICATED form: a
+    haploid line stores each sample's allele in both of its slots, so the
+    partition predicate `alleles[l, a] == alt` evaluates per SAMPLE through
+    the diploid arrangement — exactly `pbwt_sort_haploid`'s
+    `allele[a // 2] == alt` (reference pbwt_sort1 -> pbwt_sort_<T, 2>).
+
+    Returns (ys uint8[L, H] bits in arrangement order,
+             par uint8[L, H] slot parity a & 1 in arrangement order,
+             a_final int32[H]).
+    A haploid line's emitted WAH bits are ys[l] restricted to par[l] == 0
+    (the even-slot subsequence = haploid_rearrangement_from_diploid order).
+    """
+    alleles = np.asarray(alleles)
+    L, H = alleles.shape
+    a = np.arange(H, dtype=np.int32)
+    ys = np.zeros((L, H), np.uint8)
+    par = np.zeros((L, H), np.uint8)
+    for l in range(L):
+        key = alleles[l][a] == alts[l]
+        ys[l] = key
+        par[l] = a & 1
+        if sorts[l]:
+            a = stable_partition(a, key)
+    return ys, par, a
+
+
 def pbwt_sort_weirdness(a: np.ndarray, column: np.ndarray) -> np.ndarray:
     """Encoder-side weirdness arrangement update (WS_PBWT_WAH strategy).
 
