@@ -93,7 +93,6 @@ def main():
     tune_glibc_malloc()
 
     from xsqueezeit_tpu.codec.encoder_jax import DeviceBlockEncoder
-    from xsqueezeit_tpu.parallel.shard import _encode_one_block
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
@@ -102,14 +101,43 @@ def main():
     alleles = make_block(rng)
     alts = np.ones(L, np.int32)
 
-    encode = jax.jit(lambda a, t: _encode_one_block(a, t, jnp.int32(MAF_THRESHOLD),
-                                                    MAF_THRESHOLD))
     a_dev = jax.device_put(jnp.asarray(alleles), dev)
     t_dev = jax.device_put(jnp.asarray(alts), dev)
 
-    encode(a_dev, t_dev)
-    enc_s = slope_time(lambda: encode(a_dev, t_dev),
-                       lambda o: np.asarray(o["n_bytes"]))
+    # The production serialize() path (encode_block_core_compact): line
+    # classes are host-known from per-record counts taken at parse time on
+    # the overlapped reader thread, so the chain runs at the WAH bucket.
+    # The timed loop re-derives the O(L) class vectors each iteration (the
+    # per-block host work the driver does in prepare()); the [L, H] matrix
+    # is staged once, like the decode side (tunnel-bandwidth exclusion).
+    from xsqueezeit_tpu.codec.encoder_jax import _encode_block_device_compact
+    from xsqueezeit_tpu.utils.shapes import bucket
+
+    ac_host = alleles.astype(np.int64).sum(axis=1)
+
+    def line_classes():
+        mac = np.minimum(ac_host, H - ac_host)
+        is_wah = mac > MAF_THRESHOLD
+        negated = ac_host != mac
+        wah_rows = np.flatnonzero(is_wah)
+        n_wah = wah_rows.shape[0]
+        lw = bucket(max(n_wah, 1))
+        wah_rows_p = np.zeros(lw, np.int32)
+        wah_rows_p[:n_wah] = wah_rows
+        sorts_w = np.zeros(lw, bool)
+        sorts_w[:n_wah] = True
+        return is_wah, negated, wah_rows_p, sorts_w
+
+    staged_cls = [jax.device_put(jnp.asarray(x), dev)
+                  for x in line_classes()]
+
+    def encode_once():
+        line_classes()                   # real per-block host work
+        return _encode_block_device_compact(
+            a_dev, t_dev, *staged_cls, MAF_THRESHOLD)
+
+    encode_once()
+    enc_s = slope_time(encode_once, lambda o: np.asarray(o["wah_len"])[:1])
 
     # --- the real on-disk GT block payload (what a decoder reads) ----------
     enc_blk = DeviceBlockEncoder(N_SAMPLES, L, MAF_THRESHOLD,

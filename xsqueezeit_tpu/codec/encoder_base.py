@@ -68,6 +68,7 @@ class BlockEncoderBase:
         self._allele_rows: list[np.ndarray] = []   # int16 codes per record
         self._nup_rows: list[np.ndarray] = []      # phase-exception bools
         self._n_alleles: list[int] = []
+        self._alt_counts: list[np.ndarray] = []    # carrier count per ALT
 
     @property
     def bcf_lines(self) -> int:
@@ -87,7 +88,22 @@ class BlockEncoderBase:
         # Convert NOW, while the freshly-parsed row is cache-resident:
         # deferring to serialize() re-streams the whole block (hundreds of
         # MB) through DRAM for work that is a few fused passes per row.
-        self._allele_rows.append(alleles_from_gt(gt))
+        codes = alleles_from_gt(gt)
+        self._allele_rows.append(codes)
+        # Per-ALT carrier counts, one more pass over the L1-resident row:
+        # they make is_wah/negated host-known at serialize time, so the
+        # device chain runs only over the WAH rows (prepare() wah_rows).
+        # Counts over ALL slots incl. specials' (negative codes never hit
+        # an ALT bucket) — mac = min(ac, len - ac) matches GtBlockEncoder.
+        if n_alleles == 2:
+            self._alt_counts.append(
+                np.array([np.count_nonzero(codes == 1)], np.int64))
+        elif n_alleles <= 1:
+            self._alt_counts.append(np.zeros(0, np.int64))
+        else:
+            self._alt_counts.append(np.bincount(
+                np.maximum(codes, 0), minlength=n_alleles
+            )[1:n_alleles].astype(np.int64))
         if gt.shape[0] == self.n_samples and self.n_samples != self.n_haps:
             # haploid record: single-slot samples carry no phase bit
             nup = np.zeros(gt.shape[0], bool)
@@ -165,6 +181,27 @@ class BlockEncoderBase:
         # Pad the line axis to a power-of-two bucket: one XLA executable
         # serves every block of the file (multi-allelic blocks vary in L).
         from ..utils.shapes import bucket
+        # Host-known line classification (from the per-record carrier
+        # counts taken at encode_record time): lets the device core gather
+        # the WAH rows and run the PBWT chain at the WAH bucket only —
+        # sparse-heavy blocks skip most of the chain (symmetric with the
+        # decoder's compacted-rows formulation, decoder_jax._decode_block_full).
+        ac_line = (np.concatenate(self._alt_counts)
+                   if L else np.zeros(0, np.int64))
+        len_eff = np.full(L, H, np.int64)
+        if mixed:
+            len_eff[hap_line] = self.n_samples
+        mac = np.minimum(ac_line, len_eff - ac_line)
+        is_wah = mac > self.mac_threshold
+        negated = ac_line != mac
+        wah_rows = np.flatnonzero(is_wah)
+        n_wah = wah_rows.shape[0]
+        Lw_pad = bucket(max(n_wah, 1)) if pad else max(n_wah, 1)
+        wah_rows_p = np.zeros(Lw_pad, np.int32)
+        wah_rows_p[:n_wah] = wah_rows
+        sorts_w = np.zeros(Lw_pad, bool)
+        sorts_w[:n_wah] = True
+
         L_pad = bucket(L) if pad else L
         alleles_p = alleles
         alts_p = np.asarray(alt_of_line, np.int32)
@@ -177,11 +214,19 @@ class BlockEncoderBase:
             if hap_line is not None:
                 hap_line_p = np.concatenate(
                     [hap_line, np.zeros(L_pad - L, bool)])
+        is_wah_p = is_wah
+        negated_p = negated
+        if L_pad != L:
+            is_wah_p = np.concatenate([is_wah, np.zeros(L_pad - L, bool)])
+            negated_p = np.concatenate([negated, np.zeros(L_pad - L, bool)])
         return dict(n_alts=n_alts, haploid=haploid, mixed=mixed,
                     H=H, L=L, alleles_rec=alleles_rec,
                     nup_rec_bits=nup_rec_bits, rec_hap=rec_hap,
                     hap_line=hap_line, hap_line_p=hap_line_p,
-                    alleles_p=alleles_p, alts_p=alts_p)
+                    alleles_p=alleles_p, alts_p=alts_p,
+                    is_wah=is_wah, negated=negated,
+                    is_wah_p=is_wah_p, negated_p=negated_p,
+                    wah_rows_p=wah_rows_p, sorts_w=sorts_w, n_wah=n_wah)
 
     def assemble(self, out: dict, prep: dict) -> bytes:
         """Payload assembly from the core outputs (sliced to [:L]).
@@ -268,7 +313,12 @@ class BlockEncoderBase:
         # WAH matrix: concatenate per-line words (front-packed rows)
         d[GTDict.KEY_MATRIX_WAH] = len(payload)
         wah_words, wah_len = out["wah_words"], out["wah_len"]
-        if hap_line is not None and "hap_wah_words" in out:
+        if out.get("wah_compact"):
+            # Compacted grid (encode_block_core_compact): rows are the WAH
+            # lines in line order already — emit directly.
+            take = np.arange(wah_words.shape[1])[None, :] < wah_len[:, None]
+            payload.extend(wah_words[take].tobytes())
+        elif hap_line is not None and "hap_wah_words" in out:
             # Mixed block: haploid WAH lines take their words from the
             # N-width grid (even-slot subsequence), diploid from the full
             # grid — stitch into one per-line-selected matrix.
@@ -280,9 +330,11 @@ class BlockEncoderBase:
             comb[hap_line, : hw.shape[1]] = hw[hap_line]
             wah_words = comb
             wah_len = np.where(hap_line, hl, wah_len)
-        W = wah_words.shape[1]
-        take = (np.arange(W)[None, :] < wah_len[:, None]) & is_wah[:, None]
-        payload.extend(wah_words[take].tobytes())
+        if not out.get("wah_compact"):
+            W = wah_words.shape[1]
+            take = ((np.arange(W)[None, :] < wah_len[:, None])
+                    & is_wah[:, None])
+            payload.extend(wah_words[take].tobytes())
 
         # Sparse matrix: [count|neg][indices] per line
         d[GTDict.KEY_MATRIX_SPARSE] = len(payload)

@@ -98,6 +98,71 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
     }
 
 
+def encode_block_core_compact(alleles, alts, is_wah, negated, wah_rows,
+                              sorts_w, sparse_cap):
+    """Device encode body with host-known line classes — the production
+    fast path.
+
+    The per-record carrier counts taken at parse time (encoder_base
+    .encode_record, an L1-resident pass on an already-overlapped host
+    thread) make is_wah/negated exact host inputs, so the PBWT chain +
+    WAH compression run ONLY over the gathered WAH rows ([Lw, H], a
+    near-free monotone row gather) instead of all L lines.  A rare-heavy
+    block (1KGP3 chr20 mix: ~55% sparse lines) roughly halves its chain
+    work; the sparse compaction stays a full-width single pass.  Returns
+    the same dict as encode_block_core but with the WAH grid COMPACTED to
+    wah row order (assemble slices [:n_wah]).
+
+    Skipping non-sorting lines is exact: they never update the
+    arrangement and their ys rows are never read (reference semantics:
+    only sorting lines call pbwt_sort, gt_block.hpp:106-151).
+    """
+    L, H = alleles.shape
+    sparse_allele = jnp.where(negated, 0, alts)
+
+    aw = jnp.take(alleles, wah_rows, axis=0)
+    at_w = jnp.take(alts, wah_rows, axis=0)
+    if H <= 65535:
+        ys, _ = pbwt_jax.pbwt_encode_chunked(aw, at_w, sorts_w)
+    else:
+        a0 = jnp.arange(H, dtype=jnp.int32)
+        ys, _ = pbwt_jax.pbwt_encode_scan(aw, at_w, sorts_w, a0)
+    words = wah_jax.pack_bits(ys)
+    wah_words, wah_len = wah_jax.wah_compress_words(words)
+
+    mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
+    sparse_len = jnp.sum(mask, axis=1)
+    iota = jnp.arange(H, dtype=jnp.int32)
+    if sparse_cap <= 32:
+        m8 = jnp.where(is_wah[:, None], 0, mask.astype(jnp.int8))
+        code = jnp.cumsum(m8, axis=1)
+        code = jnp.where(m8 != 0, code, 0)
+        sparse_idx = jnp.stack(
+            [jnp.sum(jnp.where(code == k + 1, iota[None, :], 0),
+                     axis=1) for k in range(sparse_cap)], axis=1)
+    else:
+        hb = pbwt_jax._hap_bits(H)
+        idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
+        sparse_key = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
+        s = jax.lax.sort(sparse_key, dimension=1,
+                         is_stable=False)[:, :sparse_cap]
+        sparse_idx = jnp.where((s >> hb) == 0, s, 0).astype(jnp.int32)
+
+    return {
+        "wah_words": wah_words,
+        "wah_len": wah_len,
+        "sparse_idx": sparse_idx,
+        "sparse_len": sparse_len,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("sparse_cap",))
+def _encode_block_device_compact(alleles, alts, is_wah, negated, wah_rows,
+                                 sorts_w, sparse_cap):
+    return encode_block_core_compact(alleles, alts, is_wah, negated,
+                                     wah_rows, sorts_w, sparse_cap)
+
+
 def encode_block_core_mixed(alleles, alts, hap_line, mac_threshold,
                             sparse_cap):
     """Device encode body for MIXED-ploidy blocks (haploid + diploid
@@ -230,15 +295,28 @@ class DeviceBlockEncoder(BlockEncoderBase):
     def serialize(self) -> bytes:
         prep = self.prepare()
         sparse_cap = max(int(self.mac_threshold), 1)
+        L = prep["L"]
         if prep["mixed"]:
             out = _encode_block_device_mixed(
                 jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
                 jnp.asarray(prep["hap_line_p"]),
                 jnp.int32(self.mac_threshold), sparse_cap)
+            out = {k: np.asarray(v)[:L] for k, v in out.items()}
         else:
-            out = _encode_block_device(
+            out = _encode_block_device_compact(
                 jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
-                jnp.int32(self.mac_threshold), sparse_cap)
-        out = {k: np.asarray(v)[:prep["L"]] for k, v in out.items()}
+                jnp.asarray(prep["is_wah_p"]), jnp.asarray(prep["negated_p"]),
+                jnp.asarray(prep["wah_rows_p"]), jnp.asarray(prep["sorts_w"]),
+                sparse_cap)
+            n_wah = prep["n_wah"]
+            out = {
+                "is_wah": prep["is_wah"],
+                "negated": prep["negated"],
+                "wah_compact": True,
+                "wah_words": np.asarray(out["wah_words"])[:n_wah],
+                "wah_len": np.asarray(out["wah_len"])[:n_wah],
+                "sparse_idx": np.asarray(out["sparse_idx"])[:L],
+                "sparse_len": np.asarray(out["sparse_len"])[:L],
+            }
         return self.assemble(out, prep)
 
