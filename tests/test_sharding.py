@@ -27,23 +27,35 @@ def test_entry_compiles():
 def test_sharded_encoder_matches_single_device():
     import jax.numpy as jnp
     from jax.sharding import Mesh
-    from xsqueezeit_tpu.parallel.shard import (
-        _encode_one_block,
-        make_sharded_encoder,
-    )
+    from xsqueezeit_tpu.codec.encoder_jax import _encode_block_device_compact
+    from xsqueezeit_tpu.parallel.shard import make_sharded_encoder
 
     n_dev = min(4, len(jax.devices()))
     mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("blocks",))
-    B, L, H = n_dev * 2, 16, 32
+    B, L, H, thr = n_dev * 2, 16, 32, 2
     rng = np.random.default_rng(1)
     alleles = (rng.random((B, L, H)) < 0.4).astype(np.int8)
     alts = np.ones((B, L), np.int32)
+    ac = alleles.astype(np.int64).sum(axis=2)
+    mac = np.minimum(ac, H - ac)
+    is_wah = mac > thr
+    negated = ac != mac
+    Lw = L  # tiny grids: no bucketing needed in the test
+    wah_rows = np.zeros((B, Lw), np.int32)
+    sorts_w = np.zeros((B, Lw), bool)
+    for b in range(B):
+        wr = np.flatnonzero(is_wah[b])
+        wah_rows[b, : wr.shape[0]] = wr
+        sorts_w[b, : wr.shape[0]] = True
 
     out = make_sharded_encoder(mesh, sparse_cap=4)(
-        jnp.asarray(alleles), jnp.asarray(alts), jnp.int32(2))
+        jnp.asarray(alleles), jnp.asarray(alts), jnp.asarray(is_wah),
+        jnp.asarray(negated), jnp.asarray(wah_rows), jnp.asarray(sorts_w))
     for b in range(B):
-        single = _encode_one_block(jnp.asarray(alleles[b]),
-                                   jnp.asarray(alts[b]), jnp.int32(2), 4)
+        single = _encode_block_device_compact(
+            jnp.asarray(alleles[b]), jnp.asarray(alts[b]),
+            jnp.asarray(is_wah[b]), jnp.asarray(negated[b]),
+            jnp.asarray(wah_rows[b]), jnp.asarray(sorts_w[b]), 4)
         np.testing.assert_array_equal(np.asarray(out["wah_words"][b]),
                                       np.asarray(single["wah_words"]))
         np.testing.assert_array_equal(np.asarray(out["wah_len"][b]),

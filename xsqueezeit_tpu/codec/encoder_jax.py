@@ -293,7 +293,9 @@ class DeviceBlockEncoder(BlockEncoderBase):
     use_device_tracks = True
 
     def serialize(self) -> bytes:
-        prep = self.prepare()
+        return self.serialize_prepared(self.prepare())
+
+    def serialize_prepared(self, prep: dict) -> bytes:
         sparse_cap = max(int(self.mac_threshold), 1)
         L = prep["L"]
         if prep["mixed"]:

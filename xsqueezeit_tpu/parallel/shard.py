@@ -46,19 +46,31 @@ def _encode_one_block(alleles, alts, mac_threshold, sparse_cap):
 
 def make_sharded_encoder(mesh: Mesh, axis: str = "blocks",
                          sparse_cap: int = 8):
-    """Build a pjit-ed multi-block encoder over `mesh`.
+    """Build a pjit-ed multi-block encoder over `mesh` — the compact
+    formulation (host-known line classes; the chain runs over each
+    block's gathered WAH rows only, codec.encoder_jax
+    .encode_block_core_compact).
 
     Returned fn: (alleles int8[B, L, H], alts int32[B, L],
-                  mac_threshold int32) ->
+                  is_wah bool[B, L], negated bool[B, L],
+                  wah_rows int32[B, Lw], sorts_w bool[B, Lw]) ->
         dict of per-block outputs gathered in block order +
         "total_bytes" (psum over all devices).
     """
+    from ..codec.encoder_jax import encode_block_core_compact
 
-    def per_shard(alleles, alts, mac_threshold):
-        # alleles: [B_local, L, H] on this device
-        out = jax.vmap(
-            lambda al, at: _encode_one_block(al, at, mac_threshold, sparse_cap)
-        )(alleles, alts)
+    def one(al, at, iw, ng, wr, sw):
+        out = encode_block_core_compact(al, at, iw, ng, wr, sw, sparse_cap)
+        # sparse entries serialize in A_T units: 2 B while n_haps fits u16
+        aet_bytes = 2 if al.shape[1] <= 0xFFFF else 4
+        out["n_bytes"] = (jnp.sum(jnp.where(sw, out["wah_len"], 0)) * 2
+                          + jnp.sum(jnp.where(iw, 0, out["sparse_len"] + 1))
+                          * aet_bytes)
+        return out
+
+    def per_shard(alleles, alts, is_wah, negated, wah_rows, sorts_w):
+        out = jax.vmap(one)(alleles, alts, is_wah, negated, wah_rows,
+                            sorts_w)
         local_bytes = jnp.sum(out.pop("n_bytes"))
         out["total_bytes"] = jax.lax.psum(local_bytes, axis)
         return out
@@ -67,10 +79,9 @@ def make_sharded_encoder(mesh: Mesh, axis: str = "blocks",
 
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None), P()),
+        in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None)),
         out_specs={
-            "is_wah": P(axis, None),
-            "negated": P(axis, None),
             "wah_words": P(axis, None, None),
             "wah_len": P(axis, None),
             "sparse_idx": P(axis, None, None),
@@ -121,38 +132,49 @@ class MeshBlockEncoder:
         Returns each block's serialized payload, in order."""
         preps = [e.prepare() for e in encoders]
         H = preps[0]["H"]
-        if any(p["H"] != H for p in preps):
-            # mixed diploid/haploid widths across the batch: encode each
-            # block on its own (still device, just not batched)
-            return [e.assemble(*_single(e, p)) for e, p in
+        if any(p["H"] != H for p in preps) or any(p["mixed"] for p in preps):
+            # mixed diploid/haploid widths (or mixed-ploidy blocks, which
+            # take the parity kernel) across the batch: encode each block
+            # on its own (still device, just not batched)
+            return [e.serialize_prepared(p) for e, p in
                     zip(encoders, preps)]
         L_pad = max(p["alleles_p"].shape[0] for p in preps)
+        Lw_pad = max(p["wah_rows_p"].shape[0] for p in preps)
         B = len(preps)
         B_pad = -(-B // self.n_dev) * self.n_dev
         alleles = np.full((B_pad, L_pad, H), -3, np.int16)
         alts = np.full((B_pad, L_pad), -100, np.int32)
+        is_wah = np.zeros((B_pad, L_pad), bool)
+        negated = np.zeros((B_pad, L_pad), bool)
+        wah_rows = np.zeros((B_pad, Lw_pad), np.int32)
+        sorts_w = np.zeros((B_pad, Lw_pad), bool)
         for i, p in enumerate(preps):
             lp = p["alleles_p"].shape[0]
+            lw = p["wah_rows_p"].shape[0]
             alleles[i, :lp] = p["alleles_p"]
             alts[i, :lp] = p["alts_p"]
+            is_wah[i, :lp] = p["is_wah_p"]
+            negated[i, :lp] = p["negated_p"]
+            wah_rows[i, :lw] = p["wah_rows_p"]
+            sorts_w[i, :lw] = p["sorts_w"]
         out = self._fn(jnp.asarray(alleles), jnp.asarray(alts),
-                       jnp.int32(self.mac_threshold))
+                       jnp.asarray(is_wah), jnp.asarray(negated),
+                       jnp.asarray(wah_rows), jnp.asarray(sorts_w))
         out = {k: np.asarray(v) for k, v in out.items() if k != "total_bytes"}
         payloads = []
         for i, (e, p) in enumerate(zip(encoders, preps)):
-            block_out = {k: v[i][:p["L"]] for k, v in out.items()}
+            nw, L = p["n_wah"], p["L"]
+            block_out = {
+                "is_wah": p["is_wah"],
+                "negated": p["negated"],
+                "wah_compact": True,
+                "wah_words": out["wah_words"][i][:nw],
+                "wah_len": out["wah_len"][i][:nw],
+                "sparse_idx": out["sparse_idx"][i][:L],
+                "sparse_len": out["sparse_len"][i][:L],
+            }
             payloads.append(e.assemble(block_out, p))
         return payloads
-
-
-def _single(encoder, prep):
-    from ..codec.encoder_jax import _encode_block_device
-
-    sparse_cap = max(int(encoder.mac_threshold), 1)
-    out = _encode_block_device(
-        jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
-        jnp.int32(encoder.mac_threshold), sparse_cap)
-    return {k: np.asarray(v)[:prep["L"]] for k, v in out.items()}, prep
 
 
 def make_sharded_decoder(mesh: Mesh, axis: str = "blocks"):
