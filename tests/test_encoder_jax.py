@@ -170,3 +170,28 @@ def test_csr_sparse_assembly_matches_padded():
     got = enc._assemble_sparse_csr(cc, counts, negated)
     want = enc._assemble_sparse(idx, counts, negated, np.ones(n, bool))
     assert got == want
+
+
+def test_hrc_width_wah_bucket_quarters():
+    """H > 16384 coarsens the WAH-row axis to quarter buckets of L_pad:
+    each (Lw, H) chain executable costs ~35 min of one-time Mosaic
+    compile at HRC width, so the fine bucket ladder is capped at 4
+    variants per block size (encoder_base.prepare)."""
+    H = 20000  # > 16384 trigger
+    n_samples = H // 2
+    rng = np.random.default_rng(0)
+    # L=512 records -> L_pad=512; q = max(512//4, 256) = 256 ->
+    # bucket multiples {256, 512}
+    for n_common, want in ((1, 256), (100, 256), (300, 512), (500, 512)):
+        enc = DeviceBlockEncoder(n_samples, 1024, 2, aet_dtype=np.uint32)
+        common = np.full(H, 2, np.int32)
+        common[0::2] = 4
+        rare = np.full(H, 2, np.int32)
+        rare[0] = 4
+        for i in range(512):
+            enc.encode_record(common if i < n_common else rare, 2)
+        prep = enc.prepare()
+        assert prep["n_wah"] == n_common
+        # L=512 records -> L_pad=512, quarter q=max(512//4,256)=256
+        assert prep["wah_rows_p"].shape[0] == want, \
+            (n_common, prep["wah_rows_p"].shape[0])

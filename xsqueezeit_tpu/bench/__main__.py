@@ -77,6 +77,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--device", default="numpy")
     s.add_argument("--dir", default=None)
 
+    s = sub.add_parser("warmup", help="pre-compile device executables for "
+                                      "a geometry (HRC-width chain kernels "
+                                      "cost ~35 min one-time Mosaic compile; "
+                                      "the jit cache persists them)")
+    s.add_argument("--samples", type=int, required=True)
+    s.add_argument("--block-length", type=int, default=8192)
+    s.add_argument("--maf-threshold", type=int, default=None)
+    s.add_argument("--fracs", default="1.0,0.7,0.45,0.2")
+
     s = sub.add_parser("scaling", help="multi-process compress scaling "
                                        "curve (jax.distributed, CPU)")
     s.add_argument("--records", type=int, default=20000)
@@ -142,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
             n_records=args.records, n_samples=args.samples,
             block_length=args.block_length, device=args.device,
             workdir=args.dir)))
+    elif args.cmd == "warmup":
+        from .tools import warmup
+        print(json.dumps(warmup(
+            args.samples, block_length=args.block_length,
+            mac_threshold=args.maf_threshold,
+            fracs=tuple(float(f) for f in args.fracs.split(",")))))
     elif args.cmd == "scaling":
         from .tools import scaling_curve
         procs = tuple(int(x) for x in args.procs.split(",") if x)

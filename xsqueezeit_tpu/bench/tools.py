@@ -499,3 +499,64 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
             "block_length": block_length,
             "single_process_compress_s": round(t_single, 2),
             "byte_identical": True, "curve": results}
+
+
+def warmup(n_samples: int, block_length: int = 8192,
+           mac_threshold: int | None = None,
+           fracs: tuple = (1.0, 0.7, 0.45, 0.2)) -> dict:
+    """Pre-compile the device executables for a production geometry.
+
+    At HRC width (64976 haplotypes) the Pallas chain kernels cost ~35 min
+    of one-time Mosaic compile per (Lw, H) shape; executables persist in
+    the jit cache (utils/jaxcache), so running this once ahead of time
+    makes the first real compress/extract start instantly.  Each `frac`
+    builds one synthetic block whose WAH-line count lands in a distinct
+    WAH-row bucket (encoder_base.prepare: quarter buckets of L_pad when
+    H > 16384), encodes it through the production DeviceBlockEncoder
+    path and decodes the payload back through DeviceBlockDecoder —
+    compiling the same executables a real file of this geometry hits.
+    """
+    from ..codec.decoder_jax import DeviceBlockDecoder
+    from ..codec.encoder_jax import DeviceBlockEncoder
+    from ..utils.shapes import bucket
+
+    H = 2 * n_samples
+    thr = (max(int(H * 0.001), 1) if mac_threshold is None
+           else int(mac_threshold))
+    aet = np.uint16 if H <= 0xFFFF else np.uint32
+    L_pad = bucket(block_length)
+
+    # Two template records: a balanced common row (mac = H/2 -> WAH) and a
+    # single-carrier rare row (-> sparse).  Values don't matter for
+    # compilation, shapes do.
+    common = np.full(H, 2, np.int32)
+    common[0::2] = 4
+    rare = np.full(H, 2, np.int32)
+    rare[0] = 4
+
+    shapes = []
+    for frac in fracs:
+        n_wah = max(min(int(block_length * frac), block_length), 1)
+        enc = DeviceBlockEncoder(n_samples, block_length, thr,
+                                 default_phasing=0, aet_dtype=aet)
+        for i in range(block_length):
+            enc.encode_record(common if i < n_wah else rare, 2)
+        t0 = time.perf_counter()
+        prep = enc.prepare()
+        payload = enc.serialize_prepared(prep)
+        t_enc = time.perf_counter() - t0
+        prep_lw = prep["wah_rows_p"].shape[0]
+
+        dec = DeviceBlockDecoder(payload, n_samples, H, aet)
+        t0 = time.perf_counter()
+        out = dec.decode_all()
+        t_dec = time.perf_counter() - t0
+        assert out is not None
+        shapes.append({"frac": frac, "n_wah": n_wah, "L_pad": L_pad,
+                       "Lw_pad": prep_lw,
+                       "encode_s": round(t_enc, 2),
+                       "decode_s": round(t_dec, 2)})
+        print(f"warmup frac={frac}: Lw_pad={prep_lw} "
+              f"encode {t_enc:.1f}s decode {t_dec:.1f}s", flush=True)
+    return {"n_samples": n_samples, "n_haps": H, "block_length": block_length,
+            "mac_threshold": thr, "shapes": shapes}

@@ -196,13 +196,24 @@ class BlockEncoderBase:
         negated = ac_line != mac
         wah_rows = np.flatnonzero(is_wah)
         n_wah = wah_rows.shape[0]
-        Lw_pad = bucket(max(n_wah, 1)) if pad else max(n_wah, 1)
+
+        L_pad = bucket(L) if pad else L
+        if not pad:
+            Lw_pad = max(n_wah, 1)
+        elif H > 16384:
+            # HRC-and-beyond widths: the Pallas chain executable costs
+            # ~35 min of one-time Mosaic compile PER (Lw, H) shape (memory:
+            # measured at 64976 haps), so the WAH-row axis gets quarter
+            # buckets of L_pad (<= 4 variants per block size) instead of
+            # the fine power-of-two ladder.
+            q = max(L_pad // 4, 256)
+            Lw_pad = min(-(-max(n_wah, 1) // q) * q, L_pad)
+        else:
+            Lw_pad = bucket(max(n_wah, 1))
         wah_rows_p = np.zeros(Lw_pad, np.int32)
         wah_rows_p[:n_wah] = wah_rows
         sorts_w = np.zeros(Lw_pad, bool)
         sorts_w[:n_wah] = True
-
-        L_pad = bucket(L) if pad else L
         alleles_p = alleles
         alts_p = np.asarray(alt_of_line, np.int32)
         hap_line_p = hap_line
