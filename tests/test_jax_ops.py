@@ -204,3 +204,34 @@ def test_pbwt_chunked_near_u16_boundary():
     np.testing.assert_array_equal(np.asarray(got_a), np.asarray(want_a))
     vals, _ = pbwt_jax.pbwt_decode_chunked(got_y, jnp.asarray(sorts))
     np.testing.assert_array_equal(np.asarray(vals), (x == 1))
+
+
+def test_rank_chain_packed_pairs_matches_sequential():
+    """_rank_chain's packed-pair phase A (total_bits <= 16: doubled jump,
+    paired totals per operand) must match the per-chunk sequential rank
+    recurrence r_{t+1} = stable-rank by (T_t, r_t) — and the unpacked
+    branch (total_bits > 16) likewise."""
+    import jax.numpy as jnp
+
+    from xsqueezeit_tpu.ops.pbwt_jax import _hap_bits, _rank_chain
+
+    rng = np.random.default_rng(3)
+    for H, tb, n_ch in ((48, 9, 37), (129, 16, 64), (64, 16, 3),
+                        (80, 18, 23)):
+        b = _hap_bits(H)
+        T = rng.integers(0, 1 << tb, (n_ch, H)).astype(np.uint32)
+        r0 = rng.permutation(H).astype(np.int32)
+        r = r0.copy()
+        starts = []
+        for t in range(n_ch):
+            starts.append(r.copy())
+            order = np.lexsort((r, T[t]))   # stable rank by (T_t, r_t)
+            inv = np.empty(H, np.int64)
+            inv[order] = np.arange(H)
+            r = inv.astype(np.int32)
+        r_fin, r_starts = _rank_chain(jnp.asarray(T), jnp.asarray(r0), b,
+                                      total_bits=tb)
+        np.testing.assert_array_equal(np.asarray(r_fin), r,
+                                      err_msg=f"H={H} tb={tb}")
+        np.testing.assert_array_equal(np.asarray(r_starts), np.array(starts),
+                                      err_msg=f"H={H} tb={tb}")

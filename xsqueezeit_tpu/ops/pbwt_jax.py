@@ -145,7 +145,7 @@ def pbwt_encode_keys(alleles: jnp.ndarray, alts: jnp.ndarray,
     P = incl - contrib                                    # exclusive prefix
     T = incl[:, -1, :]                                    # chunk totals [n_ch, H]
 
-    r_fin, r_starts = _rank_chain(T, r0, b)
+    r_fin, r_starts = _rank_chain(T, r0, b, total_bits=C)
 
     r_b = jnp.broadcast_to(r_starts[:, None, :].astype(jnp.uint32),
                            (n_ch, C, H)).reshape(Lp, H)
@@ -210,7 +210,8 @@ def _pallas_interpret() -> bool:
     return os.environ.get("XSI_PALLAS", "").lower() == "interpret"
 
 
-def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4
+def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4,
+                total_bits: int | None = None
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Chunk-start rank chain: r_{t+1} = rank by (T_t, r_t).
 
@@ -221,21 +222,49 @@ def _rank_chain(T: jnp.ndarray, r0: jnp.ndarray, b: int, s_jump: int = 4
     S chunks at a time: r_{t+S} = rank by (T_{t+S-1}, ..., T_t, r_t).
     Phase A chains group starts sequentially; phase B fills within-group
     chunk starts batched across all groups.
+
+    When the caller declares total_bits <= 16 (and H fits 16 bits), phase A
+    packs PAIRS of chunk totals per u32 operand and rides (rank, iota) in
+    one more — the same radix order with half the compare traffic — and
+    doubles the jump to S = 2 * s_jump: half the sequential steps at equal
+    per-step bytes.  Sort cost on TPU scales with key operand bytes
+    (memory: measured ~1-2 us/row at [*, 5008], scaling with packed width).
     """
     n_ch, H = T.shape
     S = s_jump
+    pack_pairs = (total_bits is not None and total_bits <= 16
+                  and H <= 0xFFFF)
+    if pack_pairs:
+        S = 2 * s_jump
     iota = jnp.arange(H, dtype=jnp.int32)
     padg = (-n_ch) % S
     Tg = jnp.pad(T, ((0, padg), (0, 0)))  # zero keys: identity rank update
     n_g = (n_ch + padg) // S
     Tg = Tg.reshape(n_g, S, H)
 
-    def step_a(r, ts):
-        k0 = (ts[0] << b) | r.astype(jnp.uint32)
-        keys = tuple(ts[j] for j in range(S - 1, 0, -1)) + (k0, iota)
-        a_end = jax.lax.sort(keys, num_keys=S, is_stable=False)[-1]
-        r_new = _sort_apply(a_end, iota, H)   # inverse via one packed sort
-        return r_new, r
+    if pack_pairs:
+        iota_u = iota.astype(jnp.uint32)
+
+        def step_a(r, ts):
+            # priority order T_{S-1} > ... > T_0 > r is preserved by any
+            # within-operand packing that keeps higher-priority totals in
+            # higher bits; rank is unique so iota (the payload) never
+            # influences the order.
+            keys = tuple((ts[j + 1] << 16) | ts[j]
+                         for j in range(S - 2, -1, -2))
+            keys = keys + ((r.astype(jnp.uint32) << 16) | iota_u,)
+            a_end = (jax.lax.sort(keys, num_keys=len(keys),
+                                  is_stable=False)[-1]
+                     & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            r_new = _sort_apply(a_end, iota, H)
+            return r_new, r
+    else:
+        def step_a(r, ts):
+            k0 = (ts[0] << b) | r.astype(jnp.uint32)
+            keys = tuple(ts[j] for j in range(S - 1, 0, -1)) + (k0, iota)
+            a_end = jax.lax.sort(keys, num_keys=S, is_stable=False)[-1]
+            r_new = _sort_apply(a_end, iota, H)  # inverse via one packed sort
+            return r_new, r
 
     r_fin, r_gstart = jax.lax.scan(step_a, r0, Tg)
 
@@ -298,7 +327,7 @@ def pbwt_encode_chunked(alleles: jnp.ndarray, alts: jnp.ndarray,
     T = jnp.sum(jnp.where(ss[:, :, None] != 0, xc << sh[:, :, None],
                           jnp.uint32(0)), axis=1)
 
-    r_fin, r_starts = _rank_chain(T, iota, b)
+    r_fin, r_starts = _rank_chain(T, iota, b, total_bits=C)
 
     # β̂ load: one packed sort per chunk (batched) lands each hap's register
     # at its chunk-start slot.
