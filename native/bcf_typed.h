@@ -1,0 +1,103 @@
+/*
+ * BCF2.2 typed-value helpers shared by the c_xcf shim (c_api.cpp) and the
+ * batch genotype reader (gt_batch.cpp).
+ *
+ * Semantics restated from the hts-specs BCF2.2 typed encoding (the
+ * reference gets these from htslib's vcf.c); every read is bounds-checked
+ * against endp — these walk untrusted file bytes and must fail cleanly on
+ * truncated/malformed input, never overread.
+ */
+#ifndef XSI_BCF_TYPED_H
+#define XSI_BCF_TYPED_H
+
+#include <cstdint>
+#include <cstring>
+
+namespace xsi_native {
+
+inline bool read_typed_int(const uint8_t **pp, const uint8_t *endp,
+                           int64_t *out) {
+  const uint8_t *p = *pp;
+  if (p >= endp) return false;
+  uint8_t d = *p++;
+  int type = d & 0x0f;
+  int64_t v = 0;
+  if (type == 1) {
+    if (p + 1 > endp) return false;
+    v = *reinterpret_cast<const int8_t *>(p); p += 1;
+  } else if (type == 2) {
+    if (p + 2 > endp) return false;
+    int16_t t; memcpy(&t, p, 2); v = t; p += 2;
+  } else {
+    if (p + 4 > endp) return false;
+    int32_t t; memcpy(&t, p, 4); v = t; p += 4;
+  }
+  *pp = p;
+  *out = v;
+  return true;
+}
+
+/* Locate a FORMAT field in an indiv block.  On success points *data at the
+ * packed values ([len x n_sample] entries of `width` bytes, fully inside
+ * the block) and returns true.  *found=false with a true return means the
+ * key is absent (clean walk); a false return means a malformed block. */
+inline bool find_format_field(const uint8_t *p, const uint8_t *endp,
+                              int n_sample, int key, bool *found,
+                              int *type_out, int64_t *len_out,
+                              const uint8_t **data) {
+  *found = false;
+  while (p < endp) {
+    int64_t k, len;
+    if (!read_typed_int(&p, endp, &k) || p >= endp) return false;
+    uint8_t d = *p++;
+    int type = d & 0x0f;
+    len = d >> 4;
+    if (len == 15 && !read_typed_int(&p, endp, &len)) return false;
+    if (len < 0) return false;
+    int width = (type == 1 || type == 7) ? 1 : type == 2 ? 2 : 4;
+    size_t span = size_t(width) * size_t(len) * size_t(n_sample);
+    if (span > size_t(endp - p)) return false;
+    if (k == key) {
+      *found = true;
+      *type_out = type;
+      *len_out = len;
+      *data = p;
+      return true;
+    }
+    p += span;
+  }
+  return true;
+}
+
+/* Decode `total` packed GT values of typed width `type` into htslib int32
+ * codes (missing / vector_end sentinels widened).  `data` must span the
+ * values (guaranteed by find_format_field). */
+inline void decode_gt_values(int type, const uint8_t *data, int64_t total,
+                             int32_t *out) {
+  // htslib sentinel values (named k* — the shim's vcf.h defines macros
+  // with the canonical bcf_int32_* names)
+  const int32_t kMissing32 = INT32_MIN;
+  const int32_t kVectorEnd32 = INT32_MIN + 1;
+  for (int64_t i = 0; i < total; ++i) {
+    int32_t v;
+    if (type == 1) {
+      int8_t t = *reinterpret_cast<const int8_t *>(data + i);
+      v = (t == int8_t(0x80)) ? kMissing32
+          : (t == int8_t(0x81)) ? kVectorEnd32 : t;
+    } else if (type == 2) {
+      int16_t t;
+      memcpy(&t, data + 2 * i, 2);
+      v = (t == int16_t(0x8000)) ? kMissing32
+          : (t == int16_t(0x8001)) ? kVectorEnd32 : t;
+    } else {
+      int32_t t;
+      memcpy(&t, data + 4 * i, 4);
+      v = t;
+    }
+    out[i] = v;
+  }
+}
+
+}  // namespace xsi_native
+
+#endif  // XSI_BCF_TYPED_H

@@ -18,6 +18,7 @@
 #include "hts_shim/synced_bcf_reader.h"
 #include "hts_shim/xsqueezeit_export/include/c_api.h"
 #include "xsi_accessor.h"
+#include "bcf_typed.h"
 #include "bgzf_reader.h"
 #include "csi_reader.h"
 
@@ -34,33 +35,11 @@
 
 namespace {
 
-/* BGZF reading is shared with the accessor: bgzf_reader.h. */
+/* BGZF reading is shared with the accessor (bgzf_reader.h); the
+ * bounds-checked typed-value walk is shared with the batch genotype
+ * reader (bcf_typed.h). */
 using ShimBgzf = xsi_native::BgzfReader;
-
-/* -------------------------------------------------------- typed scalars */
-/* All typed-field reads are bounds-checked against endp: the shim parses
- * untrusted file bytes without htslib's validation layer, so a truncated
- * or malformed BCF must surface as a clean error, never an overread. */
-bool read_typed_int(const uint8_t **pp, const uint8_t *endp, int64_t *out) {
-  const uint8_t *p = *pp;
-  if (p >= endp) return false;
-  uint8_t d = *p++;
-  int type = d & 0x0f;
-  int64_t v = 0;
-  if (type == 1) {
-    if (p + 1 > endp) return false;
-    v = *reinterpret_cast<const int8_t *>(p); p += 1;
-  } else if (type == 2) {
-    if (p + 2 > endp) return false;
-    int16_t t; memcpy(&t, p, 2); v = t; p += 2;
-  } else {
-    if (p + 4 > endp) return false;
-    int32_t t; memcpy(&t, p, 4); v = t; p += 4;
-  }
-  *pp = p;
-  *out = v;
-  return true;
-}
+using xsi_native::read_typed_int;
 
 /* ------------------------------------------------------- header parsing */
 struct HeaderImpl {
@@ -421,77 +400,47 @@ struct ReaderImpl {
 int64_t find_format_scalar(const LineImpl &li, int key, bool *found) {
   const uint8_t *p = li.indiv.data();
   const uint8_t *endp = p + li.indiv.size();
+  int type = 0;
+  int64_t len = 0;
+  const uint8_t *data = nullptr;
   *found = false;
-  while (p < endp) {
-    int64_t k, len;
-    if (!read_typed_int(&p, endp, &k) || p >= endp) return -1;
-    uint8_t d = *p++;
-    int type = d & 0x0f;
-    len = d >> 4;
-    if (len == 15 && !read_typed_int(&p, endp, &len)) return -1;
-    if (len < 0) return -1;
-    int width = (type == 1 || type == 7) ? 1 : type == 2 ? 2 : 4;
-    size_t span = size_t(width) * size_t(len) * size_t(li.n_sample);
-    if (span > size_t(endp - p)) return -1;
-    if (k == key && (type == 1 || type == 2 || type == 3)) {
-      if (size_t(width) > size_t(endp - p)) return -1;
-      int64_t v = 0;
-      if (type == 1) v = *reinterpret_cast<const int8_t *>(p);
-      else if (type == 2) { int16_t t; memcpy(&t, p, 2); v = t; }
-      else { int32_t t; memcpy(&t, p, 4); v = t; }
-      *found = true;
-      return v;
-    }
-    p += span;
+  if (!xsi_native::find_format_field(p, endp, li.n_sample, key, found,
+                                     &type, &len, &data))
+    return -1;
+  if (!*found || !(type == 1 || type == 2 || type == 3) || len <= 0) {
+    *found = false;
+    return -1;
   }
-  return -1;
+  int64_t v = 0;
+  if (type == 1) v = *reinterpret_cast<const int8_t *>(data);
+  else if (type == 2) { int16_t t; memcpy(&t, data, 2); v = t; }
+  else { int32_t t; memcpy(&t, data, 4); v = t; }
+  return v;
 }
 
 /* Decode FORMAT/GT into htslib int32 codes (value/missing/vector_end). */
 int decode_gt(const LineImpl &li, int gt_key, void **dst, int *ndst) {
   const uint8_t *p = li.indiv.data();
   const uint8_t *endp = p + li.indiv.size();
-  while (p < endp) {
-    int64_t k, len;
-    if (!read_typed_int(&p, endp, &k) || p >= endp) return -2;
-    uint8_t d = *p++;
-    int type = d & 0x0f;
-    len = d >> 4;
-    if (len == 15 && !read_typed_int(&p, endp, &len)) return -2;
-    if (len < 0) return -2;
-    int width = (type == 1 || type == 7) ? 1 : type == 2 ? 2 : 4;
-    size_t span = size_t(width) * size_t(len) * size_t(li.n_sample);
-    if (span > size_t(endp - p)) return -2;
-    if (k != gt_key) { p += span; continue; }
-    int total = int(len) * li.n_sample;
-    if (*ndst < total || *dst == nullptr) {
-      void *np = realloc(*dst, size_t(total) * sizeof(int32_t));
-      if (!np) return -4;
-      *dst = np;
-      *ndst = total;
-    }
-    auto *out = static_cast<int32_t *>(*dst);
-    for (int i = 0; i < total; ++i) {
-      int64_t v;
-      if (type == 1) {
-        int8_t t = *reinterpret_cast<const int8_t *>(p + i);
-        v = (t == int8_t(0x80)) ? bcf_int32_missing
-            : (t == int8_t(0x81)) ? bcf_int32_vector_end : t;
-      } else if (type == 2) {
-        int16_t t;
-        memcpy(&t, p + 2 * i, 2);
-        v = (t == int16_t(0x8000)) ? bcf_int32_missing
-            : (t == int16_t(0x8001)) ? bcf_int32_vector_end : t;
-      } else {
-        int32_t t;
-        memcpy(&t, p + 4 * i, 4);
-        v = t;
-      }
-      out[i] = int32_t(v);
-    }
-    return total;
+  bool found = false;
+  int type = 0;
+  int64_t len = 0;
+  const uint8_t *data = nullptr;
+  if (!xsi_native::find_format_field(p, endp, li.n_sample, gt_key, &found,
+                                     &type, &len, &data))
+    return -2;
+  if (!found) return -3;  // GT not present (htslib errcode)
+  if (type == 7 || len < 0) return -2;
+  int total = int(len) * li.n_sample;
+  if (*ndst < total || *dst == nullptr) {
+    void *np = realloc(*dst, size_t(total) * sizeof(int32_t));
+    if (!np) return -4;
+    *dst = np;
+    *ndst = total;
   }
-  return -3;  // GT not present (htslib errcode)
+  xsi_native::decode_gt_values(type, data, total,
+                               static_cast<int32_t *>(*dst));
+  return total;
 }
 
 struct SyncImpl {

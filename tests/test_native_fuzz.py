@@ -170,3 +170,75 @@ def test_swapped_companions(fuzz_bin, container, tmp_path):
     var = open(container + "_var.bcf", "rb").read()
     p = _write_pair(tmp_path, "swap", var, data)
     _check_clean(_run(fuzz_bin, p), "swapped companion files")
+
+
+# ---------------------------------------------------------------- gt_batch
+@pytest.fixture(scope="module")
+def gtb_fuzz_bin():
+    subprocess.run(["make", "-C", _NATIVE_DIR, "fuzz_gtb_asan"],
+                   check=True, capture_output=True)
+    return os.path.join(_NATIVE_DIR, "fuzz_gtb_asan")
+
+
+@pytest.fixture(scope="module")
+def gtb_bcf(tmp_path_factory):
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    from xsqueezeit_tpu.io.bcf import BcfReader
+
+    td = tmp_path_factory.mktemp("gtb")
+    p = str(td / "in.bcf")
+    synth_bcf(p, 90, 31)
+    r = BcfReader(p)
+    skip = 9 + r.header_text_len
+    gt_key = r.header.str2idx["GT"]
+    r.close()
+    return p, skip, gt_key, 31
+
+
+def _run_gtb(binpath, path, skip, gt_key, n_samples):
+    return subprocess.run(
+        [binpath, path, str(skip), str(gt_key), str(n_samples)],
+        env=_ASAN_ENV, capture_output=True, text=True, timeout=120)
+
+
+def test_gtb_happy_path_sanitized(gtb_fuzz_bin, gtb_bcf):
+    p, skip, key, n = gtb_bcf
+    r = _run_gtb(gtb_fuzz_bin, p, skip, key, n)
+    _check_clean(r, "gtb happy path")
+    assert "records 90" in r.stdout
+
+
+def test_gtb_truncations(gtb_fuzz_bin, gtb_bcf, tmp_path):
+    p, skip, key, n = gtb_bcf
+    data = open(p, "rb").read()
+    for frac in (0.1, 0.5, 0.9, 0.99):
+        cut = str(tmp_path / f"cut{int(frac*100)}.bcf")
+        open(cut, "wb").write(data[: int(len(data) * frac)])
+        r = _run_gtb(gtb_fuzz_bin, cut, skip, key, n)
+        _check_clean(r, f"gtb truncated {frac}")
+
+
+def test_gtb_bit_flips(gtb_fuzz_bin, gtb_bcf, tmp_path):
+    import numpy as np
+
+    p, skip, key, n = gtb_bcf
+    data = bytearray(open(p, "rb").read())
+    rng = np.random.default_rng(17)
+    for trial in range(12):
+        mut = bytearray(data)
+        for pos in rng.integers(0, len(mut), 24):
+            mut[pos] ^= 1 << int(rng.integers(0, 8))
+        f = str(tmp_path / f"flip{trial}.bcf")
+        open(f, "wb").write(bytes(mut))
+        r = _run_gtb(gtb_fuzz_bin, f, skip, key, n)
+        _check_clean(r, f"gtb flips trial {trial}")
+
+
+def test_gtb_wrong_geometry(gtb_fuzz_bin, gtb_bcf):
+    """Mismatched skip/key/sample-count must fail cleanly, not overread."""
+    p, skip, key, n = gtb_bcf
+    for args in ((p, 0, key, n), (p, skip + 13, key, n),
+                 (p, skip, key + 5, n), (p, skip, key, n * 3),
+                 (p, skip, key, 1)):
+        r = _run_gtb(gtb_fuzz_bin, *args)
+        _check_clean(r, f"gtb geometry {args[1:]}")

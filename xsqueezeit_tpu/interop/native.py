@@ -21,7 +21,8 @@ _LIB_PATH = os.path.join(_LIB_DIR, "libxsqueezeit_tpu.so")
 def build_native(force: bool = False) -> str:
     """Build the native library if needed; returns its path."""
     srcs = [os.path.join(_LIB_DIR, s) for s in
-            ("xsi_accessor.cpp", "bcf_emit.cpp", "xsi_extract.cpp")]
+            ("xsi_accessor.cpp", "bcf_emit.cpp", "xsi_extract.cpp",
+             "gt_batch.cpp", "bcf_typed.h", "bgzf_reader.h")]
     if force or not os.path.exists(_LIB_PATH) or any(
             os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
             for s in srcs if os.path.exists(s)):
@@ -168,3 +169,95 @@ class NativeBcfEmitter:
             self._e = None
             if rc != 0:
                 raise OSError(f"bcf_emit_close failed ({rc})")
+
+
+class NativeGtBatchReader:
+    """Batch BCF genotype reader (native/gt_batch.cpp) — the read-side
+    counterpart of native_extract.  Python parses the header once and
+    hands the record-stream offset + GT key to the native walker, which
+    returns whole batches of (shared bytes, decoded int32 GT rows).
+
+    Iterates (shared: bytes, gt: int32 ndarray, n_alleles: int,
+    ploidy: int) in record order.  Reference analog: htslib
+    bcf_read/bcf_get_genotypes driving the compressor
+    (/root/reference/include/xcf.hpp traversal).
+    """
+
+    def __init__(self, path: str, header_skip: int, gt_key: int,
+                 n_samples: int, batch_recs: int = 1024,
+                 skip_recs: int = 0):
+        lib = ctypes.CDLL(build_native())
+        lib.xsi_gtb_open.restype = ctypes.c_void_p
+        lib.xsi_gtb_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int64]
+        lib.xsi_gtb_batch.restype = ctypes.c_int
+        lib.xsi_gtb_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.xsi_gtb_error.restype = ctypes.c_char_p
+        lib.xsi_gtb_error.argtypes = [ctypes.c_void_p]
+        lib.xsi_gtb_close.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self._h = lib.xsi_gtb_open(path.encode(), header_skip, gt_key,
+                                   n_samples, skip_recs)
+        if not self._h:
+            raise OSError(f"native GT reader failed to open {path}")
+        self.batch_recs = batch_recs
+        self._alloc(max(n_samples, 1) * 2 * batch_recs + 64,
+                    max(1 << 20, 512 * batch_recs))
+
+    def _alloc(self, gt_cap: int, sh_cap: int) -> None:
+        self._gt = np.empty(gt_cap, np.int32)
+        self._sh = np.empty(sh_cap, np.uint8)
+        self._gt_off = np.empty(self.batch_recs + 1, np.int64)
+        self._sh_off = np.empty(self.batch_recs + 1, np.int64)
+        self._na = np.empty(self.batch_recs, np.int32)
+        self._pl = np.empty(self.batch_recs, np.int32)
+
+    def __iter__(self):
+        while True:
+            n = self._lib.xsi_gtb_batch(
+                self._h, self.batch_recs,
+                self._gt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self._gt.shape[0],
+                self._gt_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._sh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self._sh.shape[0],
+                self._sh_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._na.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self._pl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if n == 0:
+                return
+            if n == -5:
+                # one record larger than the buffers: double and retry
+                self._alloc(self._gt.shape[0] * 2, self._sh.shape[0] * 2)
+                continue
+            if n < 0:
+                raise ValueError(
+                    f"native BCF parse failed ({n}): "
+                    f"{self._lib.xsi_gtb_error(self._h).decode()}")
+            # One copy per batch; rows are views into the copies (consumers
+            # may retain them across batches, e.g. the dispatcher's pending
+            # list — the reused ctypes buffers above get overwritten).
+            sh_bytes = self._sh[: self._sh_off[n]].tobytes()
+            gt_all = self._gt[: self._gt_off[n]].copy()
+            for r in range(n):
+                gt = gt_all[self._gt_off[r]:self._gt_off[r + 1]]
+                yield (sh_bytes[self._sh_off[r]:self._sh_off[r + 1]],
+                       gt, int(self._na[r]), int(self._pl[r]))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.xsi_gtb_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

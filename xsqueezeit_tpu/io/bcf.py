@@ -426,6 +426,7 @@ class BcfReader:
         text = self._f.read(l_text).rstrip(b"\0").decode()
         self.header = BcfHeader.from_text(text)
         self.header_text = text
+        self.header_text_len = l_text   # on-disk length incl. NUL padding
 
     def __iter__(self):
         while True:

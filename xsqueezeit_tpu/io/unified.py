@@ -44,6 +44,7 @@ class GtInput:
     def __init__(self, path: str):
         self.path = path
         self.format = sniff_format(path)
+        self._consumed = 0   # records advanced past (iteration or skip)
         if self.format == "bcf":
             self._bcf = BcfReader(path)
             self.header = self._bcf.header
@@ -56,9 +57,44 @@ class GtInput:
                 header_text + "\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
                 + ("\tFORMAT\t" + "\t".join(self.samples) if self.samples else ""))
 
+    def _native_reader(self):
+        """The native batch GT walker (interop/native.NativeGtBatchReader):
+        ~an order of magnitude faster than the Python record parse, which
+        is the compress pipeline's ceiling.  Falls back to the Python
+        reader when the native lib can't build or XSI_NATIVE_PARSE=0."""
+        if os.environ.get("XSI_NATIVE_PARSE", "1") in ("0", "off", "no"):
+            return None
+        gt_key = self.header.str2idx.get("GT")
+        if gt_key is None:
+            return None
+        try:
+            from ..interop.native import NativeGtBatchReader
+            # record stream starts after magic(5) + l_text(4) + header text;
+            # records already consumed through THIS GtInput (skip_records /
+            # a partial prior iteration) are frame-skipped natively so both
+            # parsers expose the same stream position semantics.
+            skip = 9 + self._bcf.header_text_len
+            return NativeGtBatchReader(self.path, skip, gt_key,
+                                       len(self.samples),
+                                       skip_recs=self._consumed)
+        except Exception:
+            return None
+
     def __iter__(self):
         if self.format == "bcf":
+            native = self._native_reader()
+            if native is not None:
+                self._native = native
+                try:
+                    for shared, gt, n_alleles, ploidy in native:
+                        self._consumed += 1
+                        yield GtInputRecord(shared, gt, n_alleles, ploidy)
+                finally:
+                    native.close()
+                    self._native = None
+                return
             for rec in self._bcf:
+                self._consumed += 1
                 out = rec.genotypes()
                 gt, ploidy = out if out is not None else (None, 0)
                 yield GtInputRecord(rec.shared, gt, rec.n_allele, ploidy)
@@ -91,7 +127,9 @@ class GtInput:
         if n <= 0:
             return 0
         if self.format == "bcf":
-            return self._bcf.skip_records(n)
+            done = self._bcf.skip_records(n)
+            self._consumed += done
+            return done
         done = 0
         for line in self._vcf._f:
             if line.strip():
@@ -101,6 +139,10 @@ class GtInput:
         return done
 
     def close(self):
+        native = getattr(self, "_native", None)
+        if native is not None:
+            native.close()
+            self._native = None
         if self.format == "bcf":
             self._bcf.close()
         else:
