@@ -1,0 +1,459 @@
+/*
+ * Native GT block encoder: the host compress hot loop in C++.
+ *
+ * Byte-identical to the Python oracle (codec/gt_block.py GtBlockEncoder,
+ * pinned by tests/test_native_encode.py over the whole fixture matrix and
+ * by the golden-byte suite).  Semantics restated from the XSI v5 GT block
+ * layout (reference: gt_block.hpp:106-151 encode, 380-470 serialize);
+ * this is a port of OUR oracle's structure, not of the reference's
+ * word-at-a-time templates.
+ *
+ * The Python host path measures ~75 MB/s logical (encode-bound); this
+ * loop is the -c counterpart of the native extract loop
+ * (xsi_extract.cpp).  The device (TPU) path is unaffected.
+ */
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int WAH_BITS = 15;
+constexpr uint16_t WAH_HIGH_BIT = 1u << 15;
+constexpr uint16_t WAH_COUNT_1_BIT = 1u << 14;
+constexpr uint16_t WAH_MAX_COUNTER = (1u << 14) - 1;
+constexpr uint16_t WAH_ALL_SET = 0x7FFF;
+
+constexpr int32_t kMissing32 = INT32_MIN;        // bcf_int32_missing
+constexpr int32_t kVectorEnd32 = INT32_MIN + 1;  // bcf_int32_vector_end
+
+/* GT block dictionary keys (format/constants.py GTDict). */
+enum GtKeys : uint32_t {
+  KEY_BCF_LINES = 0x0,
+  KEY_BINARY_LINES = 0x1,
+  KEY_MAX_LINE_PLOIDY = 0x2,
+  KEY_DEFAULT_PHASING = 0x3,
+  KEY_WEIRDNESS_STRATEGY = 0x4,
+  KEY_LINE_SORT = 0x10,
+  KEY_LINE_SELECT = 0x11,
+  KEY_LINE_HAPLOID = 0x12,
+  KEY_LINE_MISSING = 0x16,
+  KEY_LINE_NON_UNIFORM_PHASING = 0x17,
+  KEY_LINE_END_OF_VECTORS = 0x18,
+  KEY_MATRIX_WAH = 0x20,
+  KEY_MATRIX_SPARSE = 0x21,
+  KEY_MATRIX_MISSING = 0x26,
+  KEY_MATRIX_NON_UNIFORM_PHASING = 0x27,
+  KEY_MATRIX_END_OF_VECTORS = 0x28,
+  KEY_MATRIX_MISSING_SPARSE = 0x36,
+  KEY_MATRIX_END_OF_VECTORS_SPARSE = 0x38,
+};
+constexpr uint32_t VAL_UNDEFINED = 0xFFFFFFFFu;
+constexpr uint32_t DICT_SIZE_SYMBOL = 0xFFFFFFFFu;
+
+enum Ws { WS_PBWT_WAH = 0, WS_WAH = 1, WS_SPARSE = 2 };
+
+/* WAH2-encode a 0/1 bit vector (LSB-first 15-bit words, counter runs
+ * saturating at 16383 words; wah_np.wah_encode semantics). */
+void wah_encode_bits(const uint8_t *bits, int64_t n,
+                     std::vector<uint16_t> *out) {
+  int64_t n_words = (n + WAH_BITS - 1) / WAH_BITS;
+  uint16_t run_word = 0;  // current fill word value (0 or WAH_ALL_SET)
+  uint32_t run_len = 0;
+  auto flush = [&]() {
+    if (!run_len) return;
+    uint16_t w = WAH_HIGH_BIT | uint16_t(run_len);
+    if (run_word == WAH_ALL_SET) w |= WAH_COUNT_1_BIT;
+    out->push_back(w);
+    run_len = 0;
+  };
+  for (int64_t wi = 0; wi < n_words; ++wi) {
+    uint16_t w = 0;
+    int64_t base = wi * WAH_BITS;
+    int64_t lim = base + WAH_BITS < n ? WAH_BITS : n - base;
+    for (int64_t j = 0; j < lim; ++j)
+      w |= uint16_t(bits[base + j] != 0) << j;
+    if (w == 0 || w == WAH_ALL_SET) {
+      if (run_len && run_word != w) flush();
+      run_word = w;
+      if (++run_len == WAH_MAX_COUNTER) flush();
+    } else {
+      flush();
+      out->push_back(w);
+    }
+  }
+  flush();
+}
+
+void wah_encode_flags(const std::vector<uint8_t> &flags,
+                      std::vector<uint8_t> *payload) {
+  std::vector<uint16_t> words;
+  wah_encode_bits(flags.data(), int64_t(flags.size()), &words);
+  const uint8_t *p = reinterpret_cast<const uint8_t *>(words.data());
+  payload->insert(payload->end(), p, p + words.size() * 2);
+}
+
+struct GtEncoder {
+  int n_samples, n_haps, block_bcf_lines, mac_threshold, default_phasing;
+  int aet_bytes;  // 2 or 4
+  int ws;
+  std::string error;
+
+  std::vector<int32_t> a, a_weird, a_next;
+  std::vector<int16_t> alleles;  // scratch: current record's allele codes
+  std::vector<uint8_t> bits;     // scratch
+  int bcf_lines = 0;
+  int64_t binary_lines = 0;
+  int max_vector_length = 1;
+  bool missing_found = false, eov_found = false, nup_found = false,
+       haploid_found = false;
+
+  std::vector<uint8_t> line_is_wah, haploid_binary_line;  // per binary line
+  std::vector<uint8_t> line_has_missing, line_has_eov,
+      line_has_nup;                   // per BCF line
+  std::vector<int32_t> alt_counts;    // per BCF line
+
+  std::vector<uint16_t> wah_words;    // concatenated WAH matrix
+  std::vector<uint8_t> sparse_bytes;  // concatenated sparse matrix (A_T units)
+  std::vector<uint8_t> miss_track, eov_track;  // WAH or sparse per strategy
+  std::vector<uint16_t> phase_words;
+
+  GtEncoder(int ns, int bl, int mt, int dp, int ab, int w)
+      : n_samples(ns), n_haps(2 * ns), block_bcf_lines(bl), mac_threshold(mt),
+        default_phasing(dp), aet_bytes(ab), ws(w) {
+    a.resize(n_haps);
+    a_weird.resize(n_haps);
+    a_next.resize(n_haps);
+    for (int i = 0; i < n_haps; ++i) a[i] = a_weird[i] = i;
+  }
+
+  bool sparse_append(const std::vector<uint32_t> &idx, bool negated,
+                     std::vector<uint8_t> *dst) {
+    uint64_t flag = aet_bytes == 2 ? 0x8000u : 0x80000000u;
+    if (idx.size() >= flag) {
+      error = "sparse line too long for index type";
+      return false;
+    }
+    uint64_t head = uint64_t(idx.size()) | (negated ? flag : 0);
+    if (aet_bytes == 2) {
+      uint16_t h16 = uint16_t(head);
+      dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&h16),
+                  reinterpret_cast<uint8_t *>(&h16) + 2);
+      for (uint32_t v : idx) {
+        uint16_t v16 = uint16_t(v);
+        dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&v16),
+                    reinterpret_cast<uint8_t *>(&v16) + 2);
+      }
+    } else {
+      uint32_t h32 = uint32_t(head);
+      dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&h32),
+                  reinterpret_cast<uint8_t *>(&h32) + 4);
+      for (uint32_t v : idx) {
+        dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&v),
+                    reinterpret_cast<uint8_t *>(&v) + 4);
+      }
+    }
+    return true;
+  }
+
+  int encode_record(const int32_t *gt, int64_t ngt, int n_alleles) {
+    if (bcf_lines >= block_bcf_lines) {
+      error = "block is full";
+      return -1;
+    }
+    if (n_samples == 0 || ngt % n_samples != 0) {
+      error = "gt length is not a multiple of n_samples";
+      return -1;
+    }
+    int ploidy = int(ngt / n_samples);
+    if (ploidy > 2) {
+      error = "Ploidy higher than 2 is not supported";
+      return -1;
+    }
+    if (ploidy > max_vector_length) max_vector_length = ploidy;
+    bool haploid = ploidy == 1;
+
+    alleles.resize(size_t(ngt));
+    bool has_missing = false, has_eov = false, has_nup = false;
+    for (int64_t i = 0; i < ngt; ++i) {
+      int32_t g = gt[i];
+      int32_t al = (g >> 1) - 1;
+      if ((g >> 1) == 0 || g == kMissing32) {
+        al = -1;
+        has_missing = true;
+      } else if (g == kVectorEnd32) {
+        al = -2;
+        has_eov = true;
+      }
+      alleles[size_t(i)] = int16_t(al < -2 ? -3 : al);
+      // phase applies to non-first slots only, specials included
+      if (!haploid && (i & 1) && ((g & 1) != default_phasing)) has_nup = true;
+    }
+
+    if (n_alleles <= 1) {
+      if (has_missing || has_eov || has_nup) {
+        error = "record with no ALT allele carries missing/end-of-vector/"
+                "non-uniform-phasing data, which XSI v5 cannot represent";
+        return -2;
+      }
+      line_has_missing.push_back(0);
+      line_has_eov.push_back(0);
+      line_has_nup.push_back(0);
+      alt_counts.push_back(n_alleles - 1);
+      haploid_found |= haploid;  // oracle parity: set even with no line
+      bcf_lines++;
+      return 0;
+    }
+    line_has_missing.push_back(has_missing);
+    line_has_eov.push_back(has_eov);
+    line_has_nup.push_back(has_nup);
+    alt_counts.push_back(n_alleles - 1);
+    missing_found |= has_missing;
+    eov_found |= has_eov;
+    nup_found |= has_nup;
+    haploid_found |= haploid;
+
+    // --- main genotype matrix: one binary line per ALT -------------------
+    for (int alt = 1; alt < n_alleles; ++alt) {
+      int64_t ac = 0;
+      for (int64_t i = 0; i < ngt; ++i) ac += alleles[size_t(i)] == alt;
+      int64_t mac = ac < ngt - ac ? ac : ngt - ac;
+      haploid_binary_line.push_back(haploid);
+      if (mac > mac_threshold) {
+        line_is_wah.push_back(1);
+        if (haploid) {
+          // bits over the haploid arrangement (even haps of a, halved)
+          bits.clear();
+          for (int j = 0; j < n_haps; ++j)
+            if ((a[j] & 1) == 0)
+              bits.push_back(alleles[size_t(a[j] >> 1)] == alt);
+          wah_encode_bits(bits.data(), int64_t(bits.size()), &wah_words);
+          // partition the 2N arrangement by the per-SAMPLE key
+          int lo = 0;
+          for (int j = 0; j < n_haps; ++j)
+            if (alleles[size_t(a[j] >> 1)] != alt) a_next[lo++] = a[j];
+          for (int j = 0; j < n_haps; ++j)
+            if (alleles[size_t(a[j] >> 1)] == alt) a_next[lo++] = a[j];
+          a.swap(a_next);
+        } else {
+          bits.resize(size_t(n_haps));
+          for (int j = 0; j < n_haps; ++j)
+            bits[size_t(j)] = alleles[size_t(a[j])] == alt;
+          wah_encode_bits(bits.data(), n_haps, &wah_words);
+          int lo = 0;
+          for (int j = 0; j < n_haps; ++j)
+            if (!bits[size_t(j)]) a_next[lo++] = a[j];
+          for (int j = 0; j < n_haps; ++j)
+            if (bits[size_t(j)]) a_next[lo++] = a[j];
+          a.swap(a_next);
+        }
+      } else {
+        line_is_wah.push_back(0);
+        int sparse_allele = ac == mac ? alt : 0;
+        std::vector<uint32_t> idx;
+        for (int64_t i = 0; i < ngt; ++i)
+          if (alleles[size_t(i)] == sparse_allele) idx.push_back(uint32_t(i));
+        if (!sparse_append(idx, sparse_allele == 0, &sparse_bytes)) return -3;
+      }
+      binary_lines++;
+    }
+
+    // --- exception tracks ------------------------------------------------
+    bool wah_weird = ws == WS_WAH || ws == WS_PBWT_WAH;
+    if (ws == WS_SPARSE) {
+      std::vector<uint32_t> idx;
+      if (has_missing) {
+        idx.clear();
+        for (int64_t i = 0; i < ngt; ++i)
+          if (alleles[size_t(i)] == -1) idx.push_back(uint32_t(i));
+        if (!sparse_append(idx, false, &miss_track)) return -3;
+      }
+      if (has_eov) {
+        idx.clear();
+        for (int64_t i = 0; i < ngt; ++i)
+          if (alleles[size_t(i)] == -2) idx.push_back(uint32_t(i));
+        if (!sparse_append(idx, false, &eov_track)) return -3;
+      }
+    } else if (wah_weird) {
+      std::vector<uint16_t> words;
+      auto weird_wah = [&](int16_t code, std::vector<uint8_t> *dst) {
+        bits.clear();
+        if (haploid) {
+          for (int j = 0; j < n_haps; ++j)
+            if ((a_weird[j] & 1) == 0)
+              bits.push_back(alleles[size_t(a_weird[j] >> 1)] == code);
+        } else {
+          for (int j = 0; j < n_haps; ++j)
+            bits.push_back(alleles[size_t(a_weird[j])] == code);
+        }
+        words.clear();
+        wah_encode_bits(bits.data(), int64_t(bits.size()), &words);
+        const uint8_t *p = reinterpret_cast<const uint8_t *>(words.data());
+        dst->insert(dst->end(), p, p + words.size() * 2);
+      };
+      if (has_missing) weird_wah(-1, &miss_track);
+      if (has_eov) weird_wah(-2, &eov_track);
+      if ((has_missing || has_eov) && ws == WS_PBWT_WAH && !haploid) {
+        // weirdness arrangement update: partition by missing-or-EOV
+        int lo = 0;
+        for (int j = 0; j < n_haps; ++j) {
+          int16_t c = alleles[size_t(a_weird[j])];
+          if (!(c == -1 || c == -2)) a_next[lo++] = a_weird[j];
+        }
+        for (int j = 0; j < n_haps; ++j) {
+          int16_t c = alleles[size_t(a_weird[j])];
+          if (c == -1 || c == -2) a_next[lo++] = a_weird[j];
+        }
+        a_weird.swap(a_next);
+      }
+    } else {
+      error = "unsupported weirdness strategy";
+      return -4;
+    }
+
+    if (has_nup) {
+      bits.resize(size_t(ngt));
+      for (int64_t i = 0; i < ngt; ++i)
+        bits[size_t(i)] =
+            (i & 1) && ((gt[i] & 1) != default_phasing);
+      wah_encode_bits(bits.data(), ngt, &phase_words);
+    }
+
+    bcf_lines++;
+    return 0;
+  }
+
+  void first_line_flags(const std::vector<uint8_t> &per_bcf,
+                        std::vector<uint8_t> *out) const {
+    out->assign(size_t(binary_lines), 0);
+    int64_t off = 0;
+    for (size_t i = 0; i < alt_counts.size(); ++i) {
+      if (alt_counts[i] <= 0) continue;
+      (*out)[size_t(off)] = per_bcf[i];
+      off += alt_counts[i];
+    }
+  }
+
+  int64_t serialize(uint8_t *out, int64_t cap) {
+    bool wah_weird = ws == WS_WAH || ws == WS_PBWT_WAH;
+    std::map<uint32_t, uint32_t> d;
+    d[KEY_BCF_LINES] = uint32_t(bcf_lines);
+    d[KEY_BINARY_LINES] = uint32_t(binary_lines);
+    d[KEY_MAX_LINE_PLOIDY] = uint32_t(max_vector_length);
+    d[KEY_DEFAULT_PHASING] = uint32_t(default_phasing);
+    d[KEY_WEIRDNESS_STRATEGY] = uint32_t(ws);
+    d[KEY_LINE_SORT] = VAL_UNDEFINED;
+    d[KEY_LINE_SELECT] = VAL_UNDEFINED;
+    d[KEY_MATRIX_WAH] = VAL_UNDEFINED;
+    d[KEY_MATRIX_SPARSE] = VAL_UNDEFINED;
+    if (missing_found) {
+      d[KEY_LINE_MISSING] = VAL_UNDEFINED;
+      d[wah_weird ? KEY_MATRIX_MISSING : KEY_MATRIX_MISSING_SPARSE] =
+          VAL_UNDEFINED;
+    }
+    if (eov_found) {
+      d[KEY_LINE_END_OF_VECTORS] = VAL_UNDEFINED;
+      d[wah_weird ? KEY_MATRIX_END_OF_VECTORS
+                  : KEY_MATRIX_END_OF_VECTORS_SPARSE] = VAL_UNDEFINED;
+    }
+    if (nup_found) {
+      d[KEY_LINE_NON_UNIFORM_PHASING] = VAL_UNDEFINED;
+      d[KEY_MATRIX_NON_UNIFORM_PHASING] = VAL_UNDEFINED;
+    }
+    if (haploid_found) d[KEY_LINE_HAPLOID] = VAL_UNDEFINED;
+
+    size_t dict_bytes = 8 * (d.size() + 1);
+    std::vector<uint8_t> payload;
+    payload.resize(dict_bytes);  // dictionary placeholder
+
+    auto mark = [&](uint32_t key) { d[key] = uint32_t(payload.size()); };
+    auto put_u16 = [&](const std::vector<uint16_t> &v) {
+      const uint8_t *p = reinterpret_cast<const uint8_t *>(v.data());
+      payload.insert(payload.end(), p, p + v.size() * 2);
+    };
+    std::vector<uint8_t> flags;
+
+    mark(KEY_LINE_SORT);
+    wah_encode_flags(line_is_wah, &payload);
+    d[KEY_LINE_SELECT] = d[KEY_LINE_SORT];
+
+    mark(KEY_MATRIX_WAH);
+    put_u16(wah_words);
+    mark(KEY_MATRIX_SPARSE);
+    payload.insert(payload.end(), sparse_bytes.begin(), sparse_bytes.end());
+
+    if (missing_found) {
+      mark(KEY_LINE_MISSING);
+      first_line_flags(line_has_missing, &flags);
+      wah_encode_flags(flags, &payload);
+      mark(wah_weird ? KEY_MATRIX_MISSING : KEY_MATRIX_MISSING_SPARSE);
+      payload.insert(payload.end(), miss_track.begin(), miss_track.end());
+    }
+    if (eov_found) {
+      mark(KEY_LINE_END_OF_VECTORS);
+      first_line_flags(line_has_eov, &flags);
+      wah_encode_flags(flags, &payload);
+      mark(wah_weird ? KEY_MATRIX_END_OF_VECTORS
+                     : KEY_MATRIX_END_OF_VECTORS_SPARSE);
+      payload.insert(payload.end(), eov_track.begin(), eov_track.end());
+    }
+    if (nup_found) {
+      mark(KEY_LINE_NON_UNIFORM_PHASING);
+      first_line_flags(line_has_nup, &flags);
+      wah_encode_flags(flags, &payload);
+      mark(KEY_MATRIX_NON_UNIFORM_PHASING);
+      put_u16(phase_words);
+    }
+    if (haploid_found) {
+      mark(KEY_LINE_HAPLOID);
+      wah_encode_flags(haploid_binary_line, &payload);
+    }
+
+    // dictionary (ascending key order; std::map iterates sorted)
+    uint32_t hdr[2] = {DICT_SIZE_SYMBOL, uint32_t(d.size())};
+    memcpy(payload.data(), hdr, 8);
+    size_t off = 8;
+    for (const auto &kv : d) {
+      uint32_t e[2] = {kv.first, kv.second};
+      memcpy(payload.data() + off, e, 8);
+      off += 8;
+    }
+
+    if (int64_t(payload.size()) > cap) return -int64_t(payload.size());
+    memcpy(out, payload.data(), payload.size());
+    return int64_t(payload.size());
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *xsi_enc_open(int n_samples, int block_bcf_lines, int mac_threshold,
+                   int default_phasing, int aet_bytes, int ws) {
+  if (n_samples <= 0 || (aet_bytes != 2 && aet_bytes != 4)) return nullptr;
+  return new GtEncoder(n_samples, block_bcf_lines, mac_threshold,
+                       default_phasing, aet_bytes, ws);
+}
+
+int xsi_enc_record(void *hv, const int32_t *gt, int64_t ngt, int n_alleles) {
+  return static_cast<GtEncoder *>(hv)->encode_record(gt, ngt, n_alleles);
+}
+
+int64_t xsi_enc_serialize(void *hv, uint8_t *out, int64_t cap) {
+  return static_cast<GtEncoder *>(hv)->serialize(out, cap);
+}
+
+int xsi_enc_bcf_lines(void *hv) {
+  return static_cast<GtEncoder *>(hv)->bcf_lines;
+}
+
+const char *xsi_enc_error(void *hv) {
+  return static_cast<GtEncoder *>(hv)->error.c_str();
+}
+
+void xsi_enc_close(void *hv) { delete static_cast<GtEncoder *>(hv); }
+
+}  // extern "C"

@@ -1,0 +1,133 @@
+"""Native GT block encoder (native/gt_encoder.cpp) vs the Python oracle.
+
+The host -c hot loop in C++ (counterpart of the native extract loop):
+payloads must be byte-identical to codec/gt_block.py GtBlockEncoder for
+every record class, strategy, index width and phasing default, and the
+whole-pipeline containers must match across XSI_NATIVE_ENCODE=0/1.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from xsqueezeit_tpu.codec.gt_block import GtBlockEncoder
+from xsqueezeit_tpu.codec.gt_block_decoder import GtBlockDecoder
+from xsqueezeit_tpu.format.constants import WeirdnessStrategy
+from tests.gt_synth import make_record
+
+native = pytest.importorskip("xsqueezeit_tpu.interop.native")
+
+
+def both(records, n_samples, **kw):
+    py = GtBlockEncoder(n_samples, **kw)
+    nt = native.NativeBlockEncoder(n_samples, **kw)
+    for gt, na in records:
+        py.encode_record(gt, na)
+        nt.encode_record(gt, na)
+    a, b = py.serialize(), nt.serialize()
+    assert a == b, f"payloads differ: {len(a)} vs {len(b)} bytes"
+    return a
+
+
+def kitchen_sink(rng, n):
+    records = []
+    for i in range(n):
+        if i % 7 == 0:
+            records.append(make_record(rng, 64, p_alt=0.5, haploid=True))
+        elif i % 5 == 0:
+            records.append(make_record(rng, 64, n_alts=3, p_alt=0.4,
+                                       p_missing=0.03, p_phase_flip=0.05))
+        elif i % 3 == 0:
+            records.append(make_record(rng, 64, p_alt=0.002))
+        else:
+            records.append(make_record(rng, 64, p_alt=0.3, p_missing=0.02,
+                                       p_eov=0.04, p_phase_flip=0.02))
+    return records
+
+
+@pytest.mark.parametrize("ws", [WeirdnessStrategy.WS_SPARSE,
+                                WeirdnessStrategy.WS_WAH,
+                                WeirdnessStrategy.WS_PBWT_WAH])
+@pytest.mark.parametrize("aet", [np.uint16, np.uint32])
+def test_native_encoder_matrix(ws, aet):
+    rng = np.random.default_rng(hash((int(ws), np.dtype(aet).num)) % 2**31)
+    records = kitchen_sink(rng, 48)
+    payload = both(records, 64, block_bcf_lines=10_000, mac_threshold=2,
+                   default_phasing=1, aet_dtype=aet, weirdness_strategy=ws)
+    if ws != WeirdnessStrategy.WS_PBWT_WAH:
+        dec = GtBlockDecoder(payload, 64, 128, aet_dtype=aet)
+        pos = 0
+        for gt, na in records:
+            dec.seek(pos)
+            np.testing.assert_array_equal(
+                dec.fill_genotype_array_advance(na), gt)
+            pos += na - 1
+
+
+def test_native_encoder_long_runs_and_saturation():
+    """> 16383-word fills exercise the WAH counter-saturation path."""
+    n = 20000  # 40000 haps -> 2667 words per line
+    gt0 = np.full(2 * n, 2, np.int32)
+    gt0[1::2] |= 1
+    gt1 = gt0.copy()
+    gt1[2:12000] |= 2  # long one-fill + long zero-fill
+    kw = dict(block_bcf_lines=100, mac_threshold=1, default_phasing=1,
+              aet_dtype=np.uint32,
+              weirdness_strategy=WeirdnessStrategy.WS_SPARSE)
+    both([(gt0, 2), (gt1, 2), (gt1, 2)], n, **kw)
+
+
+def test_native_encoder_zero_alt_and_errors():
+    kw = dict(block_bcf_lines=10, mac_threshold=1, default_phasing=1,
+              aet_dtype=np.uint16,
+              weirdness_strategy=WeirdnessStrategy.WS_SPARSE)
+    clean = np.full(12, 2, np.int32)
+    clean[1::2] |= 1
+    both([(clean, 1)], 6, **kw)  # clean zero-ALT round trip
+
+    nt = native.NativeBlockEncoder(6, **kw)
+    bad = clean.copy()
+    bad[0] = 0  # missing on a zero-ALT record
+    with pytest.raises(ValueError, match="no ALT allele"):
+        nt.encode_record(bad, 1)
+
+    nt2 = native.NativeBlockEncoder(6, **kw)
+    with pytest.raises(ValueError, match="Ploidy higher than 2"):
+        nt2.encode_record(np.zeros(18, np.int32), 2)
+
+
+def test_native_encoder_unphased_default():
+    rng = np.random.default_rng(9)
+    records = [make_record(rng, 50, p_alt=0.3, phased=False)
+               for _ in range(12)]
+    both(records, 50, block_bcf_lines=100, mac_threshold=1,
+         default_phasing=0, aet_dtype=np.uint16,
+         weirdness_strategy=WeirdnessStrategy.WS_SPARSE)
+
+
+def test_compress_containers_identical_across_encoders(tmp_path):
+    import hashlib
+
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    from xsqueezeit_tpu.codec.compressor import (
+        CompressorOptions,
+        compress_file,
+    )
+
+    inp = str(tmp_path / "in.bcf")
+    synth_bcf(inp, 500, 83)
+    sums = {}
+    for mode in ("0", "1"):
+        os.environ["XSI_NATIVE_ENCODE"] = mode
+        try:
+            sub = tmp_path / ("m" + mode)
+            sub.mkdir()
+            out = str(sub / "o.xsi")
+            compress_file(inp, out, CompressorOptions(block_length=128,
+                                                      device="numpy"))
+            sums[mode] = tuple(
+                hashlib.sha256(open(out + s, "rb").read()).hexdigest()
+                for s in ("", "_var.bcf", "_var.bcf.csi"))
+        finally:
+            os.environ.pop("XSI_NATIVE_ENCODE", None)
+    assert sums["0"] == sums["1"]

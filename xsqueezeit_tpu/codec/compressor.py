@@ -60,6 +60,22 @@ def _device_min_cells() -> int:
     return int(os.environ.get("XSI_DEVICE_MIN_CELLS", 2_000_000))
 
 
+def _host_encoder_cls():
+    """Native C++ block encoder when buildable (XSI_NATIVE_ENCODE=0
+    reverts), else the Python oracle — payloads are byte-identical."""
+    if os.environ.get("XSI_NATIVE_ENCODE", "1") not in ("0", "off", "no"):
+        try:
+            from ..interop.native import NativeBlockEncoder
+            NativeBlockEncoder  # noqa: B018
+            from ..interop.native import build_native
+            build_native()
+            return NativeBlockEncoder
+        except Exception:
+            pass
+    from .gt_block import GtBlockEncoder
+    return GtBlockEncoder
+
+
 def _device_encoder_cls(device: str):
     if device == "auto":
         device = os.environ.get("XSI_DEVICE", "auto")
@@ -130,13 +146,16 @@ class BlockEncodeDispatcher:
         # device="jax" (option or env) forces the device path regardless.
         big_enough = (self.force_device
                       or len(records) * self.n_haps >= _device_min_cells())
-        # Host blocks use the per-record GtBlockEncoder: a vectorized
-        # whole-block host encoder was built and measured 3-7x SLOWER here
-        # (stacking + re-streaming hundreds of MB through DRAM loses to
-        # cache-resident per-row work; this box first-touches pages at
-        # ~1 GB/s), so the block formulation is device-only.
-        cls = (self.device_cls if (self.device_cls and uniform and big_enough)
-               else GtBlockEncoder)
+        # Host blocks use the per-record encoder — native C++ when the lib
+        # builds (gt_encoder.cpp, byte-identical, ~10x), else the Python
+        # oracle.  (A vectorized whole-block host encoder was built and
+        # measured 3-7x SLOWER here: stacking + re-streaming hundreds of MB
+        # through DRAM loses to cache-resident per-row work, so the block
+        # formulation is device-only.)
+        if self.device_cls and uniform and big_enough:
+            cls = self.device_cls
+        else:
+            cls = _host_encoder_cls()
         enc = cls(**self._kw)
         for gt, na in records:
             enc.encode_record(gt, na)

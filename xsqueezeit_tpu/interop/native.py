@@ -22,7 +22,8 @@ def build_native(force: bool = False) -> str:
     """Build the native library if needed; returns its path."""
     srcs = [os.path.join(_LIB_DIR, s) for s in
             ("xsi_accessor.cpp", "bcf_emit.cpp", "xsi_extract.cpp",
-             "gt_batch.cpp", "bcf_typed.h", "bgzf_reader.h")]
+             "gt_batch.cpp", "gt_encoder.cpp", "bcf_typed.h",
+             "bgzf_reader.h")]
     if force or not os.path.exists(_LIB_PATH) or any(
             os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
             for s in srcs if os.path.exists(s)):
@@ -254,6 +255,81 @@ class NativeGtBatchReader:
     def close(self) -> None:
         if self._h:
             self._lib.xsi_gtb_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeBlockEncoder:
+    """ctypes binding for the native GT block encoder (native/gt_encoder.cpp)
+    — same interface as codec.gt_block.GtBlockEncoder, byte-identical
+    payloads (pinned by tests/test_native_encode.py).  The host -c hot
+    loop in C++: the compress counterpart of native_extract."""
+
+    def __init__(self, n_samples: int, block_bcf_lines: int,
+                 mac_threshold: int, default_phasing: int = 0,
+                 aet_dtype=np.uint32, weirdness_strategy: int = 2):
+        lib = ctypes.CDLL(build_native())
+        lib.xsi_enc_open.restype = ctypes.c_void_p
+        lib.xsi_enc_open.argtypes = [ctypes.c_int] * 6
+        lib.xsi_enc_record.restype = ctypes.c_int
+        lib.xsi_enc_record.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int]
+        lib.xsi_enc_serialize.restype = ctypes.c_int64
+        lib.xsi_enc_serialize.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.xsi_enc_bcf_lines.restype = ctypes.c_int
+        lib.xsi_enc_bcf_lines.argtypes = [ctypes.c_void_p]
+        lib.xsi_enc_error.restype = ctypes.c_char_p
+        lib.xsi_enc_error.argtypes = [ctypes.c_void_p]
+        lib.xsi_enc_close.argtypes = [ctypes.c_void_p]
+        self._lib = lib
+        self.block_bcf_lines = block_bcf_lines
+        self.n_samples = n_samples
+        self._h = lib.xsi_enc_open(
+            n_samples, block_bcf_lines, int(mac_threshold),
+            int(default_phasing), np.dtype(aet_dtype).itemsize,
+            int(weirdness_strategy))
+        if not self._h:
+            raise OSError("xsi_enc_open failed")
+
+    @property
+    def bcf_lines(self) -> int:
+        return self._lib.xsi_enc_bcf_lines(self._h)
+
+    @property
+    def full(self) -> bool:
+        return self.bcf_lines >= self.block_bcf_lines
+
+    def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
+        gt = np.ascontiguousarray(gt, np.int32)
+        rc = self._lib.xsi_enc_record(
+            self._h, gt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gt.shape[0], int(n_alleles))
+        if rc != 0:
+            raise ValueError(self._lib.xsi_enc_error(self._h).decode())
+
+    def serialize(self) -> bytes:
+        cap = 1 << 20
+        while True:
+            buf = np.empty(cap, np.uint8)
+            n = self._lib.xsi_enc_serialize(
+                self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                cap)
+            if n >= 0:
+                out = buf[:n].tobytes()
+                self.close()
+                return out
+            cap = -int(n)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.xsi_enc_close(self._h)
             self._h = None
 
     def __del__(self):
