@@ -119,6 +119,23 @@ class BlockEncodeDispatcher:
         self._mesh_encoder = None
         self._batch: list = []      # [(DeviceBlockEncoder, Future)]
         self.batch_target = 1
+        # Host-path block encodes run on a small worker pool: the native
+        # encoder releases the GIL, so independent blocks encode in
+        # parallel while the main thread parses (order is preserved by the
+        # caller's future deque, not by worker count).  Device paths keep
+        # one worker (device dispatch serializes anyway).  Each in-flight
+        # block holds its records (~L x H x 4 B), so the pool stays small.
+        if device_cls is not None:
+            self.encode_workers = 1
+        else:
+            self.encode_workers = max(1, int(os.environ.get(
+                "XSI_ENCODE_THREADS", min(4, os.cpu_count() or 1))))
+
+    @property
+    def inflight_target(self) -> int:
+        """Blocks allowed in flight before the driver blocks on the head
+        future (bounds memory: one block's records is L x H x 4 bytes)."""
+        return max(2 * self.batch_target, self.encode_workers + 1)
 
     @property
     def full(self) -> bool:
@@ -225,7 +242,8 @@ class BlockEncodeDispatcher:
         eligible blocks accumulate into mesh batches of `batch_target`."""
         if self._executor is None:
             from concurrent.futures import ThreadPoolExecutor
-            self._executor = ThreadPoolExecutor(max_workers=1)
+            self._executor = ThreadPoolExecutor(
+                max_workers=self.encode_workers)
         records, self.pending = self.pending, []
         if self._device_eligible(records) and self._probe_mesh() is not None:
             from concurrent.futures import Future
@@ -394,7 +412,7 @@ def _compress_loop(inp, opts, xsi, var_writer, var_header, csi, block,
             # partially-filled mesh batch: the head future could otherwise
             # sit in a batch that never fills (e.g. a run of mixed-ploidy
             # blocks that are mesh-ineligible).
-            while len(pending_blocks) > 2 * block.batch_target:
+            while len(pending_blocks) > block.inflight_target:
                 if not pending_blocks[0].done():
                     block.flush()
                 xsi.write_block(pending_blocks.popleft().result())
