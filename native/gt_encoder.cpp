@@ -104,6 +104,8 @@ struct GtEncoder {
   std::vector<int32_t> a, a_weird, a_next;
   std::vector<int16_t> alleles;  // scratch: current record's allele codes
   std::vector<uint8_t> bits;     // scratch
+  std::vector<int64_t> acs;      // scratch: per-allele counts
+  std::vector<uint32_t> idx;     // scratch: sparse index collector
   int bcf_lines = 0;
   int64_t binary_lines = 0;
   int max_vector_length = 1;
@@ -176,6 +178,7 @@ struct GtEncoder {
     bool haploid = ploidy == 1;
 
     alleles.resize(size_t(ngt));
+    acs.assign(size_t(n_alleles > 0 ? n_alleles : 1), 0);
     bool has_missing = false, has_eov = false, has_nup = false;
     for (int64_t i = 0; i < ngt; ++i) {
       int32_t g = gt[i];
@@ -186,6 +189,8 @@ struct GtEncoder {
       } else if (g == kVectorEnd32) {
         al = -2;
         has_eov = true;
+      } else if (al < int32_t(acs.size())) {
+        acs[size_t(al)]++;  // fused per-allele count (one pass, not per ALT)
       }
       alleles[size_t(i)] = int16_t(al < -2 ? -3 : al);
       // phase applies to non-first slots only, specials included
@@ -217,8 +222,7 @@ struct GtEncoder {
 
     // --- main genotype matrix: one binary line per ALT -------------------
     for (int alt = 1; alt < n_alleles; ++alt) {
-      int64_t ac = 0;
-      for (int64_t i = 0; i < ngt; ++i) ac += alleles[size_t(i)] == alt;
+      int64_t ac = acs[size_t(alt)];
       int64_t mac = ac < ngt - ac ? ac : ngt - ac;
       haploid_binary_line.push_back(haploid);
       if (mac > mac_threshold) {
@@ -252,7 +256,7 @@ struct GtEncoder {
       } else {
         line_is_wah.push_back(0);
         int sparse_allele = ac == mac ? alt : 0;
-        std::vector<uint32_t> idx;
+        idx.clear();
         for (int64_t i = 0; i < ngt; ++i)
           if (alleles[size_t(i)] == sparse_allele) idx.push_back(uint32_t(i));
         if (!sparse_append(idx, sparse_allele == 0, &sparse_bytes)) return -3;
@@ -263,7 +267,6 @@ struct GtEncoder {
     // --- exception tracks ------------------------------------------------
     bool wah_weird = ws == WS_WAH || ws == WS_PBWT_WAH;
     if (ws == WS_SPARSE) {
-      std::vector<uint32_t> idx;
       if (has_missing) {
         idx.clear();
         for (int64_t i = 0; i < ngt; ++i)
