@@ -82,8 +82,12 @@ class BgzfReader {
   }
 
   bool load_block() {
+    member_off_ = ftell(fp_);
     uint8_t hdr[18];
-    if (fread(hdr, 1, 18, fp_) != 18) return false;  // EOF (not an error)
+    if (fread(hdr, 1, 18, fp_) != 18) {
+      end_off_ = member_off_;
+      return false;  // EOF (not an error)
+    }
     if (hdr[0] != 0x1f || hdr[1] != 0x8b) return fail("BGZF: bad gzip magic");
     uint16_t xlen = uint16_t(hdr[10]) | (uint16_t(hdr[11]) << 8);
     std::vector<uint8_t> extra(xlen);
@@ -117,6 +121,7 @@ class BgzfReader {
     if (isize > (1u << 16)) return fail("BGZF: ISIZE exceeds 64 KiB");
     block_.resize(isize);
     pos_ = 0;
+    end_off_ = ftell(fp_);
     if (isize == 0) return load_block();  // EOF marker member: try next
     z_stream zs{};
     if (inflateInit2(&zs, -15) != Z_OK) return fail("zlib init failed");
@@ -133,7 +138,20 @@ class BgzfReader {
   FILE *fp_;
   std::vector<uint8_t> block_;
   size_t pos_ = 0;
+  long member_off_ = 0;  // file offset of the current member's start
+  long end_off_ = 0;     // file offset just past the current member
   std::string error_;
+
+ public:
+  // Virtual offset of the next byte to be read (htslib coordinates:
+  // member file offset << 16 | intra-member offset).  When the current
+  // member is exhausted, points at the next member's start — the form
+  // CSI chunk-end comparisons expect.
+  uint64_t tell_virtual() const {
+    if (pos_ < block_.size())
+      return (uint64_t(member_off_) << 16) | uint64_t(pos_);
+    return uint64_t(end_off_) << 16;
+  }
 };
 
 }  // namespace xsi_native

@@ -72,6 +72,8 @@ class VariantBcf {
   bool ok() const { return ok_; }
   int bm_key() const { return bm_key_; }
   const std::vector<uint8_t> &shared() const { return shared_; }
+  bool seek_virtual(uint64_t voff) { return r_.seek_virtual(voff); }
+  uint64_t tell_virtual() const { return r_.tell_virtual(); }
 
   // 1 = record, 0 = EOF, -1 = error
   int next(BcfRecordLite *rec) {
@@ -967,6 +969,18 @@ const char *xsi_sample_name(const xsi_file_t *f, uint64_t i) {
 int xsi_next_record(xsi_file_t *f) {
   if (!f->var) { set_error("no variant file"); return -1; }
   return f->var->next(&f->cur);
+}
+
+/* CSI-chunk navigation on the variant file (region extracts: the chunk
+ * voffsets come from the caller's index lookup, io/csi.py). */
+int xsi_var_seek(xsi_file_t *f, uint64_t voff) {
+  if (!f->var) { set_error("no variant file"); return -1; }
+  return f->var->seek_virtual(voff) ? 0 : -1;
+}
+
+uint64_t xsi_var_tell(const xsi_file_t *f) {
+  if (!f->var) return 0;
+  return f->var->tell_virtual();
 }
 
 int32_t xsi_record_n_allele(const xsi_file_t *f) { return f->cur.n_allele; }

@@ -40,6 +40,8 @@ const char *xsi_sample_name(const xsi_file_t *f, uint64_t i);
  * 0 at EOF, negative on error.  After a successful call the record's
  * n_allele, BM pointer, CHROM id and POS are exposed. */
 int xsi_next_record(xsi_file_t *f);
+int xsi_var_seek(xsi_file_t *f, uint64_t voff);
+uint64_t xsi_var_tell(const xsi_file_t *f);
 int32_t xsi_record_n_allele(const xsi_file_t *f);
 int32_t xsi_record_bm(const xsi_file_t *f);
 int32_t xsi_record_rid(const xsi_file_t *f);

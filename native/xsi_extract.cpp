@@ -59,16 +59,51 @@ void pack_type_descriptor(std::vector<uint8_t> *out, int type, int64_t len) {
 
 }  // namespace
 
+namespace {
+
+/* (rid, start, end) triplets, 1-based inclusive with INT64 sentinels for
+ * open bounds — pre-resolved by the Python driver (codec/decompressor.py
+ * Region.overlaps / Region.targets semantics). */
+bool keep_record(int32_t rid, int64_t pos1, int64_t rlen,
+                 const int64_t *regions, int n_regions,
+                 const int64_t *targets, int n_targets) {
+  if (n_regions) {
+    bool hit = false;
+    for (int i = 0; i < n_regions && !hit; ++i) {
+      const int64_t *r = regions + 3 * i;
+      hit = r[0] == rid && pos1 + rlen - 1 >= r[1] && pos1 <= r[2];
+    }
+    if (!hit) return false;
+  }
+  if (n_targets) {
+    bool hit = false;
+    for (int i = 0; i < n_targets && !hit; ++i) {
+      const int64_t *t = targets + 3 * i;
+      hit = t[0] == rid && pos1 >= t[1] && pos1 <= t[2];
+    }
+    if (!hit) return false;
+  }
+  return true;
+}
+
+}  // namespace
+
 extern "C" {
 
-/* Extract every record of `xsi_path` (+ its `_var.bcf`) into `out_path`
- * as a BCF with the given header text (l_text bytes incl. trailing NUL),
+/* Extract records of `xsi_path` (+ its `_var.bcf`) into `out_path` as a
+ * BCF with the given header text (l_text bytes incl. trailing NUL),
  * FORMAT/GT string-dictionary index `gt_key`, and BGZF level `level`.
- * Returns the number of records written, or negative on error
- * (xsi_last_error() describes it). */
-int64_t xsi_extract_file(const char *xsi_path, const char *out_path,
-                         const uint8_t *header_text, uint32_t l_text,
-                         int32_t gt_key, int level) {
+ *
+ * chunks: n_chunks (beg_voff, end_voff) CSI chunk pairs to iterate (NULL
+ * = stream the whole file); regions/targets: filter triplets (see
+ * keep_record).  Returns the number of records written, or negative on
+ * error (xsi_last_error() describes it). */
+int64_t xsi_extract_ranges(const char *xsi_path, const char *out_path,
+                           const uint8_t *header_text, uint32_t l_text,
+                           int32_t gt_key, int level,
+                           const uint64_t *chunks, int n_chunks,
+                           const int64_t *regions, int n_regions,
+                           const int64_t *targets, int n_targets) {
   xsi_file_t *f = xsi_open(xsi_path);
   if (!f) return -1;
   const int64_t n_samples = int64_t(xsi_num_samples(f));
@@ -91,8 +126,44 @@ int64_t xsi_extract_file(const char *xsi_path, const char *out_path,
   int64_t n_rec = 0;
   int64_t rc_final = 0;
 
-  int rc;
-  while ((rc = xsi_next_record(f)) == 1) {
+  int chunk_i = 0;
+  uint64_t chunk_end = ~0ull;
+  if (n_chunks > 0) {
+    if (xsi_var_seek(f, chunks[0]) != 0) {
+      bcf_emit_close(e);
+      xsi_close(f);
+      return -7;
+    }
+    chunk_end = chunks[1];
+  }
+
+  int rc = 0;
+  for (;;) {
+    if (n_chunks > 0) {
+      // advance through chunk ranges: read while before this chunk's end
+      while (xsi_var_tell(f) >= chunk_end) {
+        if (++chunk_i >= n_chunks) { rc = 0; goto done; }
+        if (xsi_var_seek(f, chunks[2 * chunk_i]) != 0) {
+          rc_final = -7;
+          goto done;
+        }
+        chunk_end = chunks[2 * chunk_i + 1];
+      }
+    }
+    if ((rc = xsi_next_record(f)) != 1) break;
+
+    if (n_regions || n_targets) {
+      uint32_t slen0 = 0;
+      const uint8_t *sh0 = xsi_record_shared(f, &slen0);
+      if (!sh0 || slen0 < 24) { rc_final = -4; break; }
+      int32_t rlen32;
+      memcpy(&rlen32, sh0 + 8, 4);
+      if (!keep_record(xsi_record_rid(f), xsi_record_pos(f) + 1,
+                       int64_t(rlen32), regions, n_regions, targets,
+                       n_targets))
+        continue;
+    }
+
     int64_t n = xsi_get_genotypes(f, gt.data(), cap);
     if (n < 0 || n % n_samples != 0) { rc_final = -3; break; }
     int64_t ploidy = n / n_samples;
@@ -142,11 +213,20 @@ int64_t xsi_extract_file(const char *xsi_path, const char *out_path,
     }
     n_rec++;
   }
+done:
   if (rc < 0 && rc_final == 0) rc_final = -6;  // variant-file read error
 
   if (bcf_emit_close(e) != 0 && rc_final == 0) rc_final = -5;
   xsi_close(f);
   return rc_final != 0 ? rc_final : n_rec;
+}
+
+/* Whole-file unfiltered extract (the original entry point). */
+int64_t xsi_extract_file(const char *xsi_path, const char *out_path,
+                         const uint8_t *header_text, uint32_t l_text,
+                         int32_t gt_key, int level) {
+  return xsi_extract_ranges(xsi_path, out_path, header_text, l_text, gt_key,
+                            level, nullptr, 0, nullptr, 0, nullptr, 0);
 }
 
 }  /* extern "C" */

@@ -175,3 +175,38 @@ def test_native_extract_missing_var_file(tmp_path):
     os.rename(xsi + "_var.bcf", xsi + "_var.gone")
     with pytest.raises(OSError):
         _native_extract(xsi, str(tmp_path / "o.bcf"))
+
+
+def test_native_region_target_extract_matches_python(tmp_path, monkeypatch):
+    """-O b region/target extracts through xsi_extract_ranges must yield
+    exactly the Python driver's record set (CSI chunk seek + overlap
+    rules; htslib semantics via xcf.cpp:115-139)."""
+    from tests import fixtures
+    from xsqueezeit_tpu.cli import main as cli
+    from xsqueezeit_tpu.io.bcf import BcfReader
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=21,
+                              n_records=300, seed=5, p_multi=0.2)
+    xsi = str(tmp_path / "f.xsi")
+    assert cli(["-c", "-f", vcf, "-o", xsi,
+                "--variant-block-length", "64"]) == 0
+
+    def recs(p):
+        r = BcfReader(p)
+        out = [(bytes(rec.shared), bytes(rec.indiv)) for rec in r]
+        r.close()
+        return out
+
+    monkeypatch.delenv("XSI_DEVICE", raising=False)
+    cases = [("-r", "20:60500-61000"), ("-r", "20:60000-60100,20:62000-62300"),
+             ("-r", "20"), ("-r", "20:62000-"), ("-r", "19:1-100"),
+             ("-t", "20:60500-61000"), ("-t", "19")]
+    for flag, spec in cases:
+        monkeypatch.setenv("XSI_NATIVE", "0")
+        assert cli(["-x", "-f", xsi, "-o", str(tmp_path / "py.bcf"),
+                    "-O", "b", flag, spec]) == 0
+        monkeypatch.setenv("XSI_NATIVE", "1")
+        assert cli(["-x", "-f", xsi, "-o", str(tmp_path / "nt.bcf"),
+                    "-O", "b", flag, spec]) == 0
+        a, b = recs(str(tmp_path / "py.bcf")), recs(str(tmp_path / "nt.bcf"))
+        assert a == b, (flag, spec, len(a), len(b))

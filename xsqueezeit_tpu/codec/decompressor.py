@@ -449,12 +449,13 @@ class Decompressor:
 
     def _can_extract_native(self, output_path, write_header: bool,
                             write_eof: bool) -> bool:
-        """The native whole-file extract loop covers the unfiltered case:
-        a plain path target, full sample set, no region/target/block-range
-        filtering, full file (header + EOF)."""
+        """The native extract loop covers full-sample-set BCF output to a
+        plain path (header + EOF), unfiltered or region/target-restricted
+        (the CSI chunk lookup stays in Python; the C loop seeks the chunk
+        voffsets and applies the same overlap rules)."""
         o = self.opts
         if not (isinstance(output_path, str) and output_path != "-"
-                and self._select is None and not o.regions and not o.targets
+                and self._select is None
                 and o.block_range is None and write_header and write_eof):
             return False
         if o.device != "auto" or os.environ.get("XSI_DEVICE") in (
@@ -473,14 +474,43 @@ class Decompressor:
             return False
 
     def _decompress_to_bcf_native(self, output_path: str, level: int) -> dict:
-        from ..interop.native import native_extract
+        from ..interop.native import native_extract, native_extract_ranges
 
         header = self.output_header()
         gt_key = header.ensure_string(
             "GT",
             '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
         text = header.to_text().encode() + b"\0"
-        n = native_extract(self.xsi_path, output_path, text, gt_key, level)
+        o = self.opts
+        if not o.regions and not o.targets:
+            n = native_extract(self.xsi_path, output_path, text, gt_key,
+                               level)
+            return self._emit_stats(n)
+
+        # Region/target extract: resolve chrom names + CSI chunks here,
+        # hand the C loop pre-computed voffsets and filter triplets.
+        reader = BcfReader(self.var_path)
+        contigs = reader.header.dict_contigs
+        LO, HI = -(1 << 62), 1 << 62
+
+        regions = parse_region_list(o.regions) if o.regions else None
+        reg_t = ([(contigs.index(r.chrom) if r.chrom in contigs else -1,
+                   r.start if r.start is not None else LO,
+                   r.end if r.end is not None else HI)
+                  for r in regions] if regions else None)
+        tgt_t = None
+        if o.targets:
+            tgt_t = [(contigs.index(r.chrom) if r.chrom in contigs else -1,
+                      r.start if r.start is not None else LO,
+                      r.end if r.end is not None else HI)
+                     for r in parse_region_list(o.targets)]
+        chunks = self._region_chunks(reader, regions) if regions else None
+        reader.close()
+        if chunks is not None and not chunks:
+            chunks = [(0, 0)]   # indexed, nothing overlaps: emit no records
+        n = native_extract_ranges(self.xsi_path, output_path, text, gt_key,
+                                  level, chunks=chunks, regions=reg_t,
+                                  targets=tgt_t)
         return self._emit_stats(n)
 
     def _decompress_to_bcf(self, output_path, level: int = 6,

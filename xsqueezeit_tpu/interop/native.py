@@ -337,3 +337,46 @@ class NativeBlockEncoder:
             self.close()
         except Exception:
             pass
+
+
+def native_extract_ranges(xsi_path: str, out_path: str, header_text: bytes,
+                          gt_key: int, level: int = 6,
+                          chunks=None, regions=None, targets=None) -> int:
+    """Region/target-filtered native extract (native/xsi_extract.cpp
+    xsi_extract_ranges).  chunks: [(beg_voff, end_voff)] CSI chunk pairs
+    (None = stream whole file); regions/targets: (rid, start1, end1)
+    triplets with INT64 sentinels for open bounds, pre-resolved by the
+    Python driver (reference analog: htslib
+    initialize_bcf_file_reader_with_region, xcf.cpp:115-139)."""
+    lib = ctypes.CDLL(build_native())
+    lib.xsi_extract_ranges.restype = ctypes.c_int64
+    lib.xsi_extract_ranges.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_int32, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+    lib.xsi_last_error.restype = ctypes.c_char_p
+
+    def flat(arr, dtype):
+        if not arr:
+            return None, 0
+        a = np.ascontiguousarray(np.asarray(arr, dtype).reshape(-1))
+        return a, len(arr)
+
+    ch, n_ch = flat(chunks, np.uint64)
+    rg, n_rg = flat(regions, np.int64)
+    tg, n_tg = flat(targets, np.int64)
+    n = lib.xsi_extract_ranges(
+        xsi_path.encode(), out_path.encode(), header_text, len(header_text),
+        gt_key, level,
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)) if n_ch else None,
+        n_ch,
+        rg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) if n_rg else None,
+        n_rg,
+        tg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) if n_tg else None,
+        n_tg)
+    if n < 0:
+        raise OSError(f"native ranged extract failed ({n}): "
+                      f"{lib.xsi_last_error().decode()}")
+    return int(n)
