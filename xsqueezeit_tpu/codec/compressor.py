@@ -238,7 +238,8 @@ class BlockEncodeDispatcher:
         keep parsing input while the device works (the 2-stage pipeline the
         reference approximates with its two threads, xsqueezeit.cpp:120-148;
         SURVEY §2 'pipeline parallelism' row).  Returns a Future[bytes];
-        single worker preserves block order.  On a multi-device host,
+        the caller's future deque preserves block order at any worker
+        count.  On a multi-device host,
         eligible blocks accumulate into mesh batches of `batch_target`."""
         if self._executor is None:
             from concurrent.futures import ThreadPoolExecutor
