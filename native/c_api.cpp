@@ -411,6 +411,14 @@ int64_t find_format_scalar(const LineImpl &li, int key, bool *found) {
     *found = false;
     return -1;
   }
+  // find_format_field only guarantees width*len*n_sample bytes at `data`;
+  // with a malformed n_sample==0 that is a zero-byte guarantee, so the
+  // scalar read below needs its own bound.
+  int width = type == 2 ? 2 : type == 3 ? 4 : 1;
+  if (endp - data < width) {
+    *found = false;
+    return -1;
+  }
   int64_t v = 0;
   if (type == 1) v = *reinterpret_cast<const int8_t *>(data);
   else if (type == 2) { int16_t t; memcpy(&t, data, 2); v = t; }

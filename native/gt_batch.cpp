@@ -42,7 +42,14 @@ struct GtBatchReader {
   bool fetch(std::vector<uint8_t> &shared, std::vector<uint8_t> &indiv) {
     uint32_t l_shared, l_indiv;
     size_t got = bgzf.read(&l_shared, 4);
-    if (got == 0) { eof = true; return false; }   // clean EOF
+    if (got == 0) {
+      if (!bgzf.error().empty()) {  // corrupt member, NOT a clean EOF
+        error = bgzf.error();
+        return false;
+      }
+      eof = true;
+      return false;
+    }
     if (got != 4 || bgzf.read(&l_indiv, 4) != 4) {
       error = "truncated record frame";
       return false;
@@ -141,11 +148,11 @@ int xsi_gtb_batch(void *hv, int max_recs, int32_t *gt, int64_t gt_cap,
       h->error = "malformed FORMAT block";
       return -2;
     }
-    if (!found || type == 7 || len <= 0) {
-      h->error = "record without usable GT";
-      return -3;
-    }
-    int64_t total = len * h->n_samples;
+    // A record without usable GT is delivered with an EMPTY gt row and
+    // ploidy 0 (the Python reader yields gt=None there; consumers like
+    // utils/bitmap.py skip such records rather than erroring).
+    bool has_gt = found && type != 7 && len > 0;
+    int64_t total = has_gt ? len * h->n_samples : 0;
 
     if (gpos + total > gt_cap || spos + int64_t(sh.size()) > sh_cap) {
       // carry to the next call
@@ -159,12 +166,12 @@ int xsi_gtb_batch(void *hv, int max_recs, int32_t *gt, int64_t gt_cap,
       break;
     }
 
-    xsi_native::decode_gt_values(type, data, total, gt + gpos);
+    if (has_gt) xsi_native::decode_gt_values(type, data, total, gt + gpos);
     memcpy(shared + spos, sh.data(), sh.size());
     uint32_t n_allele_info;
     memcpy(&n_allele_info, sh.data() + 16, 4);
     n_allele[n] = int32_t(n_allele_info >> 16);
-    ploidy[n] = int32_t(len);
+    ploidy[n] = has_gt ? int32_t(len) : 0;
     gpos += total;
     spos += int64_t(sh.size());
     ++n;

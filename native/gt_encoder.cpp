@@ -442,18 +442,22 @@ void *xsi_enc_open(int n_samples, int block_bcf_lines, int mac_threshold,
 }
 
 int xsi_enc_record(void *hv, const int32_t *gt, int64_t ngt, int n_alleles) {
+  if (!hv || !gt) return -1;
   return static_cast<GtEncoder *>(hv)->encode_record(gt, ngt, n_alleles);
 }
 
 int64_t xsi_enc_serialize(void *hv, uint8_t *out, int64_t cap) {
+  if (!hv || !out) return -1;
   return static_cast<GtEncoder *>(hv)->serialize(out, cap);
 }
 
 int xsi_enc_bcf_lines(void *hv) {
+  if (!hv) return -1;
   return static_cast<GtEncoder *>(hv)->bcf_lines;
 }
 
 const char *xsi_enc_error(void *hv) {
+  if (!hv) return "no encoder handle";
   return static_cast<GtEncoder *>(hv)->error.c_str();
 }
 

@@ -374,3 +374,162 @@ def test_haploid_sparse_line_carries_no_phase_bit():
             np.testing.assert_array_equal(
                 dec.fill_genotype_array_advance(na), gt)
             pos += na - 1
+
+
+def test_zero_alt_haploid_record_keeps_line_haploid_key():
+    """Review regression (round 3): a clean zero-ALT haploid record owns
+    no binary line but still sets haploid_found in the oracle, so the
+    device mixed-block assembler must emit KEY_LINE_HAPLOID (all-zero
+    flags) or the payload diverges from the host encoders."""
+    import pytest
+    jax = pytest.importorskip("jax")  # noqa: F841
+
+    from xsqueezeit_tpu.codec.encoder_jax import DeviceBlockEncoder
+    from xsqueezeit_tpu.codec.gt_block import GtBlockEncoder
+
+    N = 6
+    dip = np.full(2 * N, 2, np.int32)
+    dip[1::2] |= 1
+    dip[0] = 4
+    hap0 = np.full(N, 2, np.int32)      # haploid, zero-ALT (ALT='.')
+    kw = dict(block_bcf_lines=10, mac_threshold=1, default_phasing=1,
+              aet_dtype=np.uint16)
+    py = GtBlockEncoder(N, **kw)
+    dv = DeviceBlockEncoder(N, **kw)
+    for gt, na in ((dip, 2), (hap0, 1), (dip, 2)):
+        py.encode_record(gt, na)
+        dv.encode_record(gt, na)
+    assert py.serialize() == dv.serialize()
+
+
+def test_native_parse_gtless_record_yields_none(tmp_path):
+    """Review regression (round 3): a record without FORMAT/GT must come
+    back as gt=None (Python reader parity), not a hard parse error —
+    bitmap/mutate/phasing consumers skip such records."""
+    import os
+
+    from xsqueezeit_tpu.io.bcf import BcfWriter
+    from xsqueezeit_tpu.io.unified import GtInput
+
+    vcf = tmp_path / "g.vcf"
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n"
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="G">\n'
+                "##contig=<ID=20>\n"
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                "S0\tS1\n"
+                "20\t100\t.\tG\tA\t.\t.\t.\tGT\t0|1\t1|1\n")
+    inp = GtInput(str(vcf))
+    recs = list(inp)
+    bcf = str(tmp_path / "g.bcf")
+    w = BcfWriter(bcf, inp.header)
+    from xsqueezeit_tpu.io.bcf import patch_shared_sample_counts
+    from xsqueezeit_tpu.io.sites import encode_gt_indiv
+    # record 1: with GT; record 2: NO FORMAT fields at all
+    w.write_raw(patch_shared_sample_counts(recs[0].shared, 1, 2),
+                encode_gt_indiv(inp.header, recs[0].gt, 2, 2))
+    w.write_raw(patch_shared_sample_counts(recs[0].shared, 0, 2), b"")
+    w.close()
+    inp.close()
+
+    for mode in ("0", "1"):
+        os.environ["XSI_NATIVE_PARSE"] = mode
+        try:
+            got = [(r.gt is None, r.ploidy) for r in GtInput(bcf)]
+        finally:
+            os.environ.pop("XSI_NATIVE_PARSE", None)
+        assert got == [(False, 2), (True, 0)], (mode, got)
+
+
+def test_native_parse_corrupt_member_raises(tmp_path):
+    """Review regression (round 3): a corrupt BGZF member mid-stream must
+    raise through the native parser, not silently truncate the stream
+    (zero-byte read with error() set is NOT a clean EOF)."""
+    import os
+
+    import pytest
+
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    from xsqueezeit_tpu.io.unified import GtInput
+
+    p = str(tmp_path / "c.bcf")
+    synth_bcf(p, 3000, 40)
+    data = bytearray(open(p, "rb").read())
+    # find a mid-file BGZF member boundary and clobber its gzip magic
+    off, members = 0, []
+    while off + 18 <= len(data) and data[off] == 0x1F and data[off+1] == 0x8B:
+        members.append(off)
+        xlen = data[off+10] | (data[off+11] << 8)
+        extra = data[off+12:off+12+xlen]
+        bsize = None
+        i = 0
+        while i + 4 <= len(extra):
+            slen = extra[i+2] | (extra[i+3] << 8)
+            if extra[i] == 0x42 and extra[i+1] == 0x43 and slen == 2:
+                bsize = (extra[i+4] | (extra[i+5] << 8)) + 1
+                break
+            i += 4 + slen
+        if bsize is None:
+            break
+        off += bsize
+    assert len(members) > 2, "need a multi-member BGZF file"
+    data[members[len(members) // 2]] ^= 0xFF   # bad gzip magic mid-file
+    cut = str(tmp_path / "corrupt.bcf")
+    open(cut, "wb").write(bytes(data))
+    os.environ["XSI_NATIVE_PARSE"] = "1"
+    try:
+        with pytest.raises((ValueError, OSError)):
+            n = 0
+            for _ in GtInput(cut):
+                n += 1
+            assert n == 200  # only reachable if the flip hit dead bytes
+    finally:
+        os.environ.pop("XSI_NATIVE_PARSE", None)
+
+
+def test_native_then_python_skip_positions_agree(tmp_path):
+    """Review regression (round 3): skip_records after a partial native
+    iteration must account for records the native reader consumed (the
+    Python reader's position lags otherwise)."""
+    import itertools
+    import os
+
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    from xsqueezeit_tpu.io.unified import GtInput
+
+    p = str(tmp_path / "s.bcf")
+    synth_bcf(p, 50, 20)
+    os.environ["XSI_NATIVE_PARSE"] = "1"
+    try:
+        inp = GtInput(p)
+        first10 = list(itertools.islice(iter(inp), 10))
+        assert len(first10) == 10
+        assert inp.skip_records(5) == 5
+        # force the PYTHON path for the remainder
+        os.environ["XSI_NATIVE_PARSE"] = "0"
+        rest = list(inp)
+        inp.close()
+    finally:
+        os.environ.pop("XSI_NATIVE_PARSE", None)
+    # records 0..9 consumed natively, 10..14 skipped -> 15.. remain
+    ref = list(GtInput(p))
+    assert len(rest) == 35
+    assert bytes(rest[0].shared) == bytes(ref[15].shared)
+
+
+def test_native_encoder_use_after_serialize_raises():
+    import pytest
+
+    from xsqueezeit_tpu.interop.native import NativeBlockEncoder
+
+    enc = NativeBlockEncoder(4, 10, 1, aet_dtype=np.uint16)
+    gt = np.full(8, 2, np.int32)
+    gt[1::2] |= 1
+    enc.encode_record(gt, 2)
+    assert enc.bcf_lines == 1
+    enc.serialize()
+    assert enc.bcf_lines == 1        # still answerable after close
+    with pytest.raises(RuntimeError):
+        enc.serialize()
+    with pytest.raises(RuntimeError):
+        enc.encode_record(gt, 2)

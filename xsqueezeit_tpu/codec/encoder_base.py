@@ -250,7 +250,11 @@ class BlockEncoderBase:
         alleles_rec = prep["alleles_rec"]
         nup_rec_bits = prep["nup_rec_bits"]
         hap_line = prep.get("hap_line")
-        any_hap = haploid or (hap_line is not None and bool(hap_line.any()))
+        rec_hap = prep.get("rec_hap")
+        # Oracle parity: haploid_found is per RECORD — a clean zero-ALT
+        # haploid record owns no binary line but still sets the flag, so
+        # the key is emitted with an all-zero flag vector.
+        any_hap = haploid or (rec_hap is not None and bool(rec_hap.any()))
 
         is_wah = out["is_wah"]
         negated = out["negated"] & ~is_wah

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -18,17 +19,24 @@ _LIB_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_LIB_DIR, "libxsqueezeit_tpu.so")
 
 
+_BUILD_LOCK = threading.Lock()
+
+
 def build_native(force: bool = False) -> str:
-    """Build the native library if needed; returns its path."""
+    """Build the native library if needed; returns its path.
+
+    Serialized: the encode worker pool can race several first-touch
+    builds otherwise (concurrent links to one .so corrupt it)."""
     srcs = [os.path.join(_LIB_DIR, s) for s in
             ("xsi_accessor.cpp", "bcf_emit.cpp", "xsi_extract.cpp",
              "gt_batch.cpp", "gt_encoder.cpp", "bcf_typed.h",
              "bgzf_reader.h")]
-    if force or not os.path.exists(_LIB_PATH) or any(
-            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
-            for s in srcs if os.path.exists(s)):
-        subprocess.run(["make", "-C", _LIB_DIR, "libxsqueezeit_tpu.so"],
-                       check=True, capture_output=True)
+    with _BUILD_LOCK:
+        if force or not os.path.exists(_LIB_PATH) or any(
+                os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                for s in srcs if os.path.exists(s)):
+            subprocess.run(["make", "-C", _LIB_DIR, "libxsqueezeit_tpu.so"],
+                           check=True, capture_output=True)
     return _LIB_PATH
 
 
@@ -297,24 +305,30 @@ class NativeBlockEncoder:
             int(weirdness_strategy))
         if not self._h:
             raise OSError("xsi_enc_open failed")
+        self._lines = 0   # mirrored host-side: valid after close too
 
     @property
     def bcf_lines(self) -> int:
-        return self._lib.xsi_enc_bcf_lines(self._h)
+        return self._lines
 
     @property
     def full(self) -> bool:
         return self.bcf_lines >= self.block_bcf_lines
 
     def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
+        if not self._h:
+            raise RuntimeError("encoder already serialized/closed")
         gt = np.ascontiguousarray(gt, np.int32)
         rc = self._lib.xsi_enc_record(
             self._h, gt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             gt.shape[0], int(n_alleles))
         if rc != 0:
             raise ValueError(self._lib.xsi_enc_error(self._h).decode())
+        self._lines += 1
 
     def serialize(self) -> bytes:
+        if not self._h:
+            raise RuntimeError("encoder already serialized/closed")
         cap = 1 << 20
         while True:
             buf = np.empty(cap, np.uint8)

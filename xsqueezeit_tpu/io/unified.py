@@ -44,7 +44,8 @@ class GtInput:
     def __init__(self, path: str):
         self.path = path
         self.format = sniff_format(path)
-        self._consumed = 0   # records advanced past (iteration or skip)
+        self._consumed = 0      # records advanced past (iteration or skip)
+        self._py_consumed = 0   # records the PYTHON _bcf reader advanced
         if self.format == "bcf":
             self._bcf = BcfReader(path)
             self.header = self._bcf.header
@@ -88,13 +89,19 @@ class GtInput:
                 try:
                     for shared, gt, n_alleles, ploidy in native:
                         self._consumed += 1
-                        yield GtInputRecord(shared, gt, n_alleles, ploidy)
+                        # ploidy 0 = record without usable GT (Python
+                        # reader parity: gt is None, consumers skip)
+                        yield GtInputRecord(shared,
+                                            gt if ploidy > 0 else None,
+                                            n_alleles, ploidy)
                 finally:
                     native.close()
                     self._native = None
                 return
+            self._reconcile_py_position()
             for rec in self._bcf:
                 self._consumed += 1
+                self._py_consumed += 1
                 out = rec.genotypes()
                 gt, ploidy = out if out is not None else (None, 0)
                 yield GtInputRecord(rec.shared, gt, rec.n_allele, ploidy)
@@ -127,8 +134,13 @@ class GtInput:
         if n <= 0:
             return 0
         if self.format == "bcf":
+            # a prior native iteration may have advanced past the Python
+            # reader's position — catch it up first so the skip lands on
+            # the right records whichever parser serves the next iteration
+            self._reconcile_py_position()
             done = self._bcf.skip_records(n)
             self._consumed += done
+            self._py_consumed += done
             return done
         done = 0
         for line in self._vcf._f:
@@ -137,6 +149,11 @@ class GtInput:
                 if done >= n:
                     break
         return done
+
+    def _reconcile_py_position(self) -> None:
+        behind = self._consumed - self._py_consumed
+        if behind > 0:
+            self._py_consumed += self._bcf.skip_records(behind)
 
     def close(self):
         native = getattr(self, "_native", None)
