@@ -34,6 +34,7 @@ const uint8_t BGZF_EOF_MARKER[28] = {
 struct bcf_emit {
   FILE *fp = nullptr;
   int level = 6;
+  bool write_eof = true;  // body segments omit the 28-byte EOF marker
   std::vector<uint8_t> buf;        // pending uncompressed bytes (< MAX_BLOCK
                                    // after every write call)
   std::vector<uint8_t> comp;       // scratch for one compressed member
@@ -117,26 +118,36 @@ struct bcf_emit {
 
 extern "C" {
 
-bcf_emit_t *bcf_emit_open(const char *path, const uint8_t *header_text,
-                          uint32_t l_text, int level) {
+bcf_emit_t *bcf_emit_open_segment(const char *path,
+                                  const uint8_t *header_text, uint32_t l_text,
+                                  int level, int write_header,
+                                  int write_eof) {
   FILE *fp = fopen(path, "wb");
   if (!fp) return nullptr;
   auto *e = new bcf_emit();
   e->fp = fp;
   e->level = level;
-  const uint8_t magic[5] = {'B', 'C', 'F', 2, 2};
-  e->write(magic, 5);
-  uint8_t l[4] = {uint8_t(l_text & 0xff), uint8_t((l_text >> 8) & 0xff),
-                  uint8_t((l_text >> 16) & 0xff),
-                  uint8_t((l_text >> 24) & 0xff)};
-  e->write(l, 4);
-  e->write(header_text, l_text);
+  e->write_eof = write_eof != 0;
+  if (write_header) {
+    const uint8_t magic[5] = {'B', 'C', 'F', 2, 2};
+    e->write(magic, 5);
+    uint8_t l[4] = {uint8_t(l_text & 0xff), uint8_t((l_text >> 8) & 0xff),
+                    uint8_t((l_text >> 16) & 0xff),
+                    uint8_t((l_text >> 24) & 0xff)};
+    e->write(l, 4);
+    e->write(header_text, l_text);
+  }
   if (e->failed) {
     fclose(fp);
     delete e;
     return nullptr;
   }
   return e;
+}
+
+bcf_emit_t *bcf_emit_open(const char *path, const uint8_t *header_text,
+                          uint32_t l_text, int level) {
+  return bcf_emit_open_segment(path, header_text, l_text, level, 1, 1);
 }
 
 int bcf_emit_records(bcf_emit_t *e, const uint8_t *shared,
@@ -169,7 +180,7 @@ int bcf_emit_close(bcf_emit_t *e) {
     if (!e->flush_member(e->buf.data(), e->buf.size())) e->failed = true;
     e->buf.clear();
   }
-  if (!e->failed) {
+  if (!e->failed && e->write_eof) {
     if (fwrite(BGZF_EOF_MARKER, 1, 28, e->fp) != 28) e->failed = true;
   }
   rc = e->failed ? -2 : 0;

@@ -29,6 +29,12 @@ typedef struct bcf_emit bcf_emit_t;
 bcf_emit_t *bcf_emit_open(const char *path, const uint8_t *header_text,
                           uint32_t l_text, int level);
 
+/* Segment variant: write_header/write_eof=0 emit a records-only BGZF body
+ * (multi-process partition; segments concatenate into one valid BCF). */
+bcf_emit_t *bcf_emit_open_segment(const char *path,
+                                  const uint8_t *header_text, uint32_t l_text,
+                                  int level, int write_header, int write_eof);
+
 /* Append a batch of records.
  *   shared:     concatenated shared blobs
  *   sh_off:     n_rec+1 byte offsets into `shared`

@@ -90,6 +90,15 @@ bool keep_record(int32_t rid, int64_t pos1, int64_t rlen,
 
 extern "C" {
 
+int64_t xsi_extract_segment(const char *xsi_path, const char *out_path,
+                            const uint8_t *header_text, uint32_t l_text,
+                            int32_t gt_key, int level,
+                            const uint64_t *chunks, int n_chunks,
+                            const int64_t *regions, int n_regions,
+                            const int64_t *targets, int n_targets,
+                            int64_t start_blk, int64_t end_blk,
+                            int write_header, int write_eof);
+
 /* Extract records of `xsi_path` (+ its `_var.bcf`) into `out_path` as a
  * BCF with the given header text (l_text bytes incl. trailing NUL),
  * FORMAT/GT string-dictionary index `gt_key`, and BGZF level `level`.
@@ -104,6 +113,24 @@ int64_t xsi_extract_ranges(const char *xsi_path, const char *out_path,
                            const uint64_t *chunks, int n_chunks,
                            const int64_t *regions, int n_regions,
                            const int64_t *targets, int n_targets) {
+  return xsi_extract_segment(xsi_path, out_path, header_text, l_text, gt_key,
+                             level, chunks, n_chunks, regions, n_regions,
+                             targets, n_targets, -1, -1, 1, 1);
+}
+
+/* Full-control entry: everything xsi_extract_ranges does, plus a BM block
+ * window [start_blk, end_blk) (-1 = unbounded; records outside are
+ * skipped, and iteration stops at end_blk — blocks are file-ordered) and
+ * header/EOF segment flags (multi-process body segments,
+ * parallel/distributed.decompress_file_multihost). */
+int64_t xsi_extract_segment(const char *xsi_path, const char *out_path,
+                            const uint8_t *header_text, uint32_t l_text,
+                            int32_t gt_key, int level,
+                            const uint64_t *chunks, int n_chunks,
+                            const int64_t *regions, int n_regions,
+                            const int64_t *targets, int n_targets,
+                            int64_t start_blk, int64_t end_blk,
+                            int write_header, int write_eof) {
   xsi_file_t *f = xsi_open(xsi_path);
   if (!f) return -1;
   const int64_t n_samples = int64_t(xsi_num_samples(f));
@@ -112,7 +139,8 @@ int64_t xsi_extract_ranges(const char *xsi_path, const char *out_path,
     return -1;
   }
 
-  bcf_emit_t *e = bcf_emit_open(out_path, header_text, l_text, level);
+  bcf_emit_t *e = bcf_emit_open_segment(out_path, header_text, l_text,
+                                        level, write_header, write_eof);
   if (!e) {
     xsi_close(f);
     return -2;
@@ -151,6 +179,12 @@ int64_t xsi_extract_ranges(const char *xsi_path, const char *out_path,
       }
     }
     if ((rc = xsi_next_record(f)) != 1) break;
+
+    if (start_blk >= 0 || end_blk >= 0) {
+      int64_t blk = int64_t(uint32_t(xsi_record_bm(f)) >> 15);
+      if (start_blk >= 0 && blk < start_blk) continue;
+      if (end_blk >= 0 && blk >= end_blk) { rc = 0; break; }
+    }
 
     if (n_regions || n_targets) {
       uint32_t slen0 = 0;

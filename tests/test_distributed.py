@@ -168,6 +168,9 @@ _MULTIHOST_X_WORKER = r"""
 import sys
 sys.path.insert(0, "/root/repo")
 xsi_path, output_path, port, procid, nproc = sys.argv[1:6]
+if len(sys.argv) > 6 and sys.argv[6] == "native":
+    import os
+    os.environ.pop("XSI_DEVICE", None)   # enable the native segment path
 import jax
 jax.config.update("jax_platforms", "cpu")
 from xsqueezeit_tpu.parallel.distributed import decompress_file_multihost
@@ -314,3 +317,78 @@ def test_scaling_curve_tool(tmp_path):
                     "gather_s", "gather_mb", "varpass_cpu_s"):
             assert key in r
     assert out["curve"][0]["modeled_efficiency"] == 1.0
+
+
+def test_multihost_decompress_native_segments(tmp_path):
+    """The workers' native segment path (xsi_extract_segment: BM-block
+    window + headerless BGZF body in C) must concatenate into a BCF
+    record-identical to the single-process extraction."""
+    import socket
+    import subprocess
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=17,
+                              n_records=110, seed=36, p_multi=0.2)
+    xsi = str(tmp_path / "o.xsi")
+    compress_file(vcf, xsi, CompressorOptions(block_length=16))
+    single = str(tmp_path / "single.bcf")
+    from xsqueezeit_tpu.codec.decompressor import DecompressorOptions
+    Decompressor(xsi, DecompressorOptions(output_type="b")).decompress(single)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "xworker.py"
+    worker.write_text(_MULTIHOST_X_WORKER)
+    multi = str(tmp_path / "multi.bcf")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), xsi, multi, str(port), str(i),
+             "3", "native"],
+            cwd="/root/repo", stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(3)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o}"
+
+    from xsqueezeit_tpu.io.unified import GtInput
+    a = [(r.n_alleles, r.gt.tolist()) for r in GtInput(single)]
+    b = [(r.n_alleles, r.gt.tolist()) for r in GtInput(multi)]
+    assert a == b and len(a) == 110
+
+
+def test_native_segment_block_window_matches_python(tmp_path):
+    """xsi_extract_segment's BM block window must select exactly the
+    records the Python block_range path selects."""
+    import os
+
+    from xsqueezeit_tpu.codec.decompressor import DecompressorOptions
+    from xsqueezeit_tpu.interop.native import native_extract_segment
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=11,
+                              n_records=100, seed=37)
+    xsi = str(tmp_path / "o.xsi")
+    compress_file(vcf, xsi, CompressorOptions(block_length=16))
+
+    for rng in ((0, 2), (2, 5), (6, 7), (0, 7)):
+        d = Decompressor(xsi, DecompressorOptions(output_type="b"))
+        d.opts.block_range = rng
+        py = str(tmp_path / "py.bcf")
+        import io as _io
+        body = _io.BytesIO()
+        d._decompress_to_bcf(body, write_header=True, write_eof=True)
+        open(py, "wb").write(body.getvalue())
+
+        nt = str(tmp_path / "nt.bcf")
+        header = d.output_header()
+        gt_key = header.ensure_string(
+            "GT",
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+        text = header.to_text().encode() + b"\0"
+        native_extract_segment(xsi, nt, text, gt_key, 6, rng[0], rng[1],
+                               write_header=True, write_eof=True)
+        from xsqueezeit_tpu.io.unified import GtInput
+        a = [(r.n_alleles, r.gt.tolist()) for r in GtInput(py)]
+        b = [(r.n_alleles, r.gt.tolist()) for r in GtInput(nt)]
+        assert a == b, rng

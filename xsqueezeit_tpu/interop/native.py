@@ -394,3 +394,31 @@ def native_extract_ranges(xsi_path: str, out_path: str, header_text: bytes,
         raise OSError(f"native ranged extract failed ({n}): "
                       f"{lib.xsi_last_error().decode()}")
     return int(n)
+
+
+def native_extract_segment(xsi_path: str, out_path: str, header_text: bytes,
+                           gt_key: int, level: int,
+                           start_blk: int, end_blk: int,
+                           write_header: bool, write_eof: bool) -> int:
+    """BM-block-windowed native extract producing a BCF segment
+    (records-only body when write_header/write_eof are False) — the
+    multi-process decompress workers' fast path
+    (parallel/distributed.decompress_file_multihost)."""
+    lib = ctypes.CDLL(build_native())
+    lib.xsi_extract_segment.restype = ctypes.c_int64
+    lib.xsi_extract_segment.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_int32, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int]
+    lib.xsi_last_error.restype = ctypes.c_char_p
+    n = lib.xsi_extract_segment(
+        xsi_path.encode(), out_path.encode(), header_text, len(header_text),
+        gt_key, level, None, 0, None, 0, None, 0,
+        start_blk, end_blk, int(write_header), int(write_eof))
+    if n < 0:
+        raise OSError(f"native segment extract failed ({n}): "
+                      f"{lib.xsi_last_error().decode()}")
+    return int(n)

@@ -476,6 +476,43 @@ def compress_file_multihost(input_path: str, output_path: str,
     }
 
 
+def _native_segment_bytes(d, start_blk: int, end_blk: int,
+                          pidx: int) -> tuple[bytes, int] | None:
+    """This worker's BCF body segment through the native extract loop
+    (xsi_extract_segment: decode + frame + BGZF deflate in C), or None
+    when the native path is ineligible (sample subset, filters, explicit
+    codec selection, lib unavailable) — the Python driver then runs."""
+    import os as _os
+    import tempfile
+
+    o = d.opts
+    if (d._select is not None or o.regions or o.targets
+            or o.device != "auto"
+            or _os.environ.get("XSI_DEVICE") in ("numpy", "jax")
+            or _os.environ.get("XSI_NATIVE", "1") == "0"):
+        return None
+    try:
+        from ..interop.native import build_native, native_extract_segment
+        build_native()
+    except Exception:
+        return None
+    header = d.output_header()
+    gt_key = header.ensure_string(
+        "GT", '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+    text = header.to_text().encode() + b"\0"
+    fd, seg_path = tempfile.mkstemp(suffix=".bcfseg")
+    _os.close(fd)
+    try:
+        n = native_extract_segment(d.xsi_path, seg_path, text, gt_key, 6,
+                                   start_blk, end_blk,
+                                   write_header=(pidx == 0),
+                                   write_eof=False)
+        with open(seg_path, "rb") as f:
+            return f.read(), n
+    finally:
+        _os.remove(seg_path)
+
+
 def decompress_file_multihost(xsi_path: str, output_path: str,
                               opts=None,
                               coordinator: str | None = None,
@@ -512,16 +549,21 @@ def decompress_file_multihost(xsi_path: str, output_path: str,
     start_blk, end_blk = process_layout(max(n_blocks, 1), pidx, pcount)
     d.opts.block_range = (start_blk, end_blk)
 
-    body = _io.BytesIO()
-    stats = d._decompress_to_bcf(body, write_header=(pidx == 0),
-                                 write_eof=False)
+    native_seg = _native_segment_bytes(d, start_blk, end_blk, pidx)
+    if native_seg is not None:
+        data, n_rec = native_seg
+        stats = d._emit_stats(n_rec)
+    else:
+        body = _io.BytesIO()
+        stats = d._decompress_to_bcf(body, write_header=(pidx == 0),
+                                     write_eof=False)
+        data = body.getvalue()
+        del body
     # Gather in bounded ROUNDS: one 256 MB piece per process per round
     # (piece k of every process), streamed straight to per-process spill
     # files on process 0 and concatenated in process order -- peak memory
     # stays at P x 256 MB however large the bodies are, and the int32
     # length metadata of the gather never overflows.
-    data = body.getvalue()
-    del body
     chunk = 1 << 28
     n_pieces = max(-(-len(data) // chunk), 1)
     rounds = int(np.asarray(multihost_utils.process_allgather(
