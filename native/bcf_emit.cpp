@@ -173,6 +173,11 @@ int bcf_emit_records(bcf_emit_t *e, const uint8_t *shared,
   return 0;
 }
 
+uint64_t bcf_emit_tell(bcf_emit_t *e) {
+  if (!e || !e->fp) return 0;
+  return (uint64_t(ftell(e->fp)) << 16) | uint64_t(e->buf.size());
+}
+
 int bcf_emit_close(bcf_emit_t *e) {
   if (!e) return -1;
   int rc = 0;

@@ -48,6 +48,10 @@ int bcf_emit_records(bcf_emit_t *e, const uint8_t *shared,
                      int32_t n_rec, int32_t row_bytes);
 
 /* Flush, write the BGZF EOF marker and close.  Returns 0 on success. */
+/* BGZF virtual offset of the next byte to be written
+ * (compressed-file-offset << 16 | pending-uncompressed-bytes). */
+uint64_t bcf_emit_tell(bcf_emit_t *e);
+
 int bcf_emit_close(bcf_emit_t *e);
 
 #ifdef __cplusplus

@@ -10,7 +10,8 @@
 #include <stdlib.h>
 
 extern void *xsi_gtb_open(const char *path, uint64_t header_skip, int gt_key,
-                          int n_samples, int64_t skip_recs);
+                          int n_samples, int64_t skip_recs,
+                          unsigned long long start_voff);
 extern int xsi_gtb_batch(void *h, int max_recs, int32_t *gt, int64_t gt_cap,
                          int64_t *gt_off, uint8_t *shared, int64_t sh_cap,
                          int64_t *sh_off, int32_t *n_allele, int32_t *ploidy);
@@ -26,7 +27,7 @@ int main(int argc, char **argv) {
   int gt_key = atoi(argv[3]);
   int n_samples = atoi(argv[4]);
   if (n_samples < 0 || n_samples > (1 << 22)) return 4;
-  void *h = xsi_gtb_open(argv[1], skip, gt_key, n_samples, 0);
+  void *h = xsi_gtb_open(argv[1], skip, gt_key, n_samples, 0, 0);
   if (!h) {
     printf("open-error\n");
     return 3;

@@ -74,7 +74,7 @@ struct GtBatchReader {
 extern "C" {
 
 void *xsi_gtb_open(const char *path, uint64_t header_skip, int gt_key,
-                   int n_samples, int64_t skip_recs) {
+                   int n_samples, int64_t skip_recs, uint64_t start_voff) {
   auto *h = new GtBatchReader(path);
   if (!h->bgzf.ok()) {
     delete h;
@@ -82,6 +82,23 @@ void *xsi_gtb_open(const char *path, uint64_t header_skip, int gt_key,
   }
   h->gt_key = gt_key;
   h->n_samples = n_samples;
+  if (start_voff) {
+    // direct seek to a record boundary (multi-process slice starts come
+    // from the count scan's captured voffsets) — no prefix decompression;
+    // skip_recs then walks any residual records past the seek point
+    if (!h->bgzf.seek_virtual(start_voff)) {
+      delete h;
+      return nullptr;
+    }
+    std::vector<uint8_t> s2, i2;
+    for (int64_t i = 0; i < skip_recs; ++i) {
+      if (!h->fetch(s2, i2)) {
+        delete h;
+        return nullptr;
+      }
+    }
+    return h;
+  }
   // Skip magic + header text (Python already parsed them).
   std::vector<uint8_t> skip(64 * 1024);
   uint64_t left = header_skip;
@@ -182,5 +199,44 @@ int xsi_gtb_batch(void *hv, int max_recs, int32_t *gt, int64_t gt_cap,
 }
 
 void xsi_gtb_close(void *hv) { delete static_cast<GtBatchReader *>(hv); }
+
+}  // extern "C"
+
+extern "C" {
+
+/* Count records by walking the frame words (no field decode) — the
+ * reference's count_entries (xcf.cpp:318-340) over the native reader.
+ * Returns the record count, or -1 on a corrupt/truncated stream. */
+int64_t xsi_bcf_count_offsets(const char *path, uint64_t header_skip,
+                              int64_t every, uint64_t *voffs, int64_t cap) {
+  xsi_native::BgzfReader r(path);
+  if (!r.ok()) return -1;
+  std::vector<uint8_t> skip(64 * 1024);
+  uint64_t left = header_skip;
+  while (left) {
+    size_t take = left < skip.size() ? size_t(left) : skip.size();
+    if (r.read(skip.data(), take) != take) return -1;
+    left -= take;
+  }
+  std::vector<uint8_t> scratch;
+  int64_t n = 0;
+  for (;;) {
+    if (voffs && every > 0 && n % every == 0 && n / every < cap)
+      voffs[n / every] = r.tell_virtual();
+    uint32_t l_shared, l_indiv;
+    size_t got = r.read(&l_shared, 4);
+    if (got == 0) return r.error().empty() ? n : -1;
+    if (got != 4 || r.read(&l_indiv, 4) != 4) return -1;
+    if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30))
+      return -1;
+    scratch.resize(size_t(l_shared) + l_indiv);
+    if (r.read(scratch.data(), scratch.size()) != scratch.size()) return -1;
+    n++;
+  }
+}
+
+int64_t xsi_bcf_count(const char *path, uint64_t header_skip) {
+  return xsi_bcf_count_offsets(path, header_skip, 0, nullptr, 0);
+}
 
 }  // extern "C"

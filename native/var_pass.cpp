@@ -1,0 +1,168 @@
+/*
+ * Native variant-file pass: input BCF -> `_var.bcf` records + CSI tuples.
+ *
+ * The compressor's second output is the variant file: every input
+ * record's shared (site) block re-emitted with n_fmt=1/n_sample=1 and a
+ * single FORMAT/BM pseudo-genotype pointing into the GT binary matrix
+ * (reference: xcf.cpp replace_samples_by_pos_in_binary_matrix).  With
+ * the block encode native, this Python-side pass became the compress
+ * pipeline's serial bottleneck (profiled 0.62 s / 20k records: record
+ * walk + write_raw + per-record BM packing).  This loop walks the input
+ * record stream (shared BgzfReader, indiv skipped), writes the variant
+ * records through bcf_emit, and returns the per-record CSI tuples
+ * (rid, pos, rlen, vbeg, vend) for the Python CsiBuilder.
+ *
+ * BM layout: block = entry_index / block_length, offset accumulates
+ * n_alleles-1 per record within the block, BM = block << 15 | offset
+ * (format/constants.py BM_BLOCK_BITS; xcf.cpp:641).
+ */
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "bcf_emit.h"
+#include "bcf_typed.h"
+#include "bgzf_reader.h"
+
+namespace {
+constexpr int BM_BLOCK_BITS = 15;
+}
+
+extern "C" {
+
+/* Walk `in_path`'s records (starting after `header_skip` uncompressed
+ * bytes) and write the variant BCF to `out_path` (full header given).
+ * bm_prefix: the constant FORMAT/BM indiv prefix (typed BM key + int32
+ * type descriptor); each record's indiv is prefix + int32 BM.
+ *
+ * Outputs (caller-allocated, `cap` records): rid/pos/rlen int32, BM
+ * int32, vbeg/vend uint64 per record.  Returns the record count, or
+ * negative on error: -1 open/IO, -2 malformed record, -3 BM offset
+ * overflow (bm_offset needs > 15 bits), -5 cap too small.
+ */
+int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
+                     const char *out_path, const uint8_t *header_text,
+                     uint32_t l_text, int level, const uint8_t *bm_prefix,
+                     uint32_t prefix_len, int64_t block_length, int gt_key,
+                     int32_t *rid, int32_t *pos, int32_t *rlen, int32_t *bm,
+                     uint64_t *vbeg, uint64_t *vend, int64_t cap,
+                     int64_t *n_variants_out, int64_t *max_ploidy_out) {
+  xsi_native::BgzfReader r(in_path);
+  if (!r.ok()) return -1;
+  {
+    std::vector<uint8_t> skip(64 * 1024);
+    uint64_t left = header_skip;
+    while (left) {
+      size_t take = left < skip.size() ? size_t(left) : skip.size();
+      if (r.read(skip.data(), take) != take) return -1;
+      left -= take;
+    }
+  }
+  bcf_emit_t *e = bcf_emit_open(out_path, header_text, l_text, level);
+  if (!e) return -1;
+
+  std::vector<uint8_t> shared, scratch;
+  std::vector<uint8_t> indiv(prefix_len + 4);
+  memcpy(indiv.data(), bm_prefix, prefix_len);
+  int64_t n = 0, entry = 0, variants = 0;
+  int64_t bm_block = 0, bm_offset = 0;
+  int64_t max_ploidy = 0;
+  int64_t rc_final = 0;
+
+  for (;;) {
+    uint32_t l_shared, l_indiv;
+    size_t got = r.read(&l_shared, 4);
+    if (got == 0) {
+      if (!r.error().empty()) rc_final = -1;  // corrupt member, not EOF
+      break;
+    }
+    if (got != 4 || r.read(&l_indiv, 4) != 4) { rc_final = -1; break; }
+    if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30)) {
+      rc_final = -2;
+      break;
+    }
+    shared.resize(l_shared);
+    if (r.read(shared.data(), l_shared) != l_shared) { rc_final = -1; break; }
+    scratch.resize(l_indiv);
+    if (l_indiv && r.read(scratch.data(), l_indiv) != l_indiv) {
+      rc_final = -1;
+      break;
+    }
+    if (n >= cap) { rc_final = -5; break; }
+
+    // record ploidy from the GT descriptor (max goes into the header;
+    // -4 = ploidy > 2, the driver's unsupported-input error)
+    if (l_indiv) {
+      uint32_t ns_nf;
+      memcpy(&ns_nf, shared.data() + 20, 4);
+      int n_sample = int(ns_nf & 0xFFFFFF);
+      bool found = false;
+      int type = 0;
+      int64_t len = 0;
+      const uint8_t *data = nullptr;
+      if (!xsi_native::find_format_field(scratch.data(),
+                                         scratch.data() + scratch.size(),
+                                         n_sample, gt_key, &found, &type,
+                                         &len, &data)) {
+        rc_final = -2;
+        break;
+      }
+      if (found && type != 7 && len > 0) {
+        if (len > 2) { rc_final = -4; break; }
+        if (len > max_ploidy) max_ploidy = len;
+      }
+    }
+
+    // BM bookkeeping (compressor.py _compress_loop semantics)
+    if (entry && entry % block_length == 0) {
+      bm_block++;
+      bm_offset = 0;
+    }
+    if (bm_offset >> BM_BLOCK_BITS) { rc_final = -3; break; }
+    int64_t bm_v = (bm_block << BM_BLOCK_BITS) | bm_offset;
+
+    // patch n_fmt=1 / n_sample=1
+    uint32_t word = (1u << 24) | 1u;
+    memcpy(shared.data() + 20, &word, 4);
+
+    int32_t rid32, pos32, rlen32;
+    memcpy(&rid32, shared.data(), 4);
+    memcpy(&pos32, shared.data() + 4, 4);
+    memcpy(&rlen32, shared.data() + 8, 4);
+    uint32_t n_allele_info;
+    memcpy(&n_allele_info, shared.data() + 16, 4);
+    int64_t n_alts = int64_t(n_allele_info >> 16) - 1;
+    if (n_alts < 0) n_alts = 0;
+
+    int32_t bm32 = int32_t(bm_v);
+    memcpy(indiv.data() + prefix_len, &bm32, 4);
+
+    uint64_t vb = bcf_emit_tell(e);
+    const uint64_t off[2] = {0, l_shared};
+    // whole indiv rides as the batch prefix; zero row bytes (the dummy
+    // row pointer is never dereferenced at row_bytes=0)
+    if (bcf_emit_records(e, shared.data(), off, indiv.data(),
+                         uint32_t(indiv.size()), shared.data(), 1, 0) != 0) {
+      rc_final = -1;
+      break;
+    }
+    rid[n] = rid32;
+    pos[n] = pos32;
+    rlen[n] = rlen32;
+    bm[n] = bm32;
+    vbeg[n] = vb;
+    vend[n] = bcf_emit_tell(e);
+    bm_offset += n_alts;
+    variants += n_alts;
+    entry++;
+    n++;
+  }
+
+  if (bcf_emit_close(e) != 0 && rc_final == 0) rc_final = -1;
+  if (n_variants_out) *n_variants_out = variants;
+  if (max_ploidy_out) *max_ploidy_out = max_ploidy;
+  return rc_final != 0 ? rc_final : n;
+}
+
+}  // extern "C"

@@ -131,3 +131,54 @@ def test_compress_containers_identical_across_encoders(tmp_path):
         finally:
             os.environ.pop("XSI_NATIVE_ENCODE", None)
     assert sums["0"] == sums["1"]
+
+
+def test_native_variant_pass_matches_python(tmp_path, monkeypatch):
+    """variant_pass_native (var_pass.cpp): var.bcf records, CSI voffset
+    validity (region seek) and the .xsi must all match the Python pass."""
+    import hashlib
+
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    from xsqueezeit_tpu.cli import main as cli
+    from xsqueezeit_tpu.codec.compressor import (
+        CompressorOptions,
+        compress_file,
+    )
+    from xsqueezeit_tpu.io.bcf import BcfReader
+
+    inp = str(tmp_path / "in.bcf")
+    synth_bcf(inp, 1200, 60)
+    monkeypatch.delenv("XSI_DEVICE", raising=False)
+    for mode, sub in (("0", "py"), ("1", "nt")):
+        monkeypatch.setenv("XSI_NATIVE", mode)
+        d = tmp_path / sub
+        d.mkdir()
+        compress_file(inp, str(d / "o.xsi"),
+                      CompressorOptions(block_length=128, device="numpy"))
+
+    def var_recs(p):
+        r = BcfReader(p)
+        out = [(bytes(rec.shared), bytes(rec.indiv)) for rec in r]
+        r.close()
+        return out
+
+    a = var_recs(str(tmp_path / "py" / "o.xsi_var.bcf"))
+    b = var_recs(str(tmp_path / "nt" / "o.xsi_var.bcf"))
+    assert a == b and len(a) == 1200
+    ha = hashlib.sha256(open(tmp_path / "py" / "o.xsi", "rb").read())
+    hb = hashlib.sha256(open(tmp_path / "nt" / "o.xsi", "rb").read())
+    assert ha.digest() == hb.digest()
+
+    # region seek through the NATIVE-written CSI
+    monkeypatch.setenv("XSI_NATIVE", "1")
+    assert cli(["-x", "-f", str(tmp_path / "nt" / "o.xsi"),
+                "-o", str(tmp_path / "reg.bcf"), "-O", "b",
+                "-r", "20:62000-64000"]) == 0
+    monkeypatch.setenv("XSI_NATIVE", "0")
+    monkeypatch.setenv("XSI_DEVICE", "numpy")
+    assert cli(["-x", "-f", str(tmp_path / "py" / "o.xsi"),
+                "-o", str(tmp_path / "reg2.bcf"), "-O", "b",
+                "-r", "20:62000-64000"]) == 0
+    ra = var_recs(str(tmp_path / "reg.bcf"))
+    rb = var_recs(str(tmp_path / "reg2.bcf"))
+    assert ra == rb and len(ra) > 0

@@ -436,7 +436,11 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
                 input=inp, output=out, block_length=block_length,
                 coordinator=coord, nproc=n, procid=i,
                 perf_out=os.path.join(workdir, f"perf_{n}_{i}.json")))
-        env = dict(os.environ, XSI_DEVICE="numpy", JAX_PLATFORMS="cpu")
+        # opts.device="numpy" + jax_platforms=cpu already keep workers off
+            # the device codec; XSI_DEVICE is NOT forced so the native
+            # paths (var pass, parse, encode) run in production config
+            # when the parent env allows them.
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
         t0 = time.perf_counter()
         logf = open(os.path.join(workdir, f"workers_{n}.log"), "wb")
         children = [subprocess.Popen(
@@ -475,6 +479,35 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
         gather_bytes = sum(p.get("payload_bytes", 0)
                            for p in perfs if p["procid"] != 0)
         modeled = scan_max + span + gather_max + assemble
+
+        # SOLO pass: each worker's compute slice re-run alone (fresh
+        # process, no contention) — on this one-core sandbox even CPU
+        # times inflate 2-3x when N processes share the core (cache
+        # thrash), so the dedicated-host model must sample each slice
+        # uncontended.  p0's span is max(varpass, encode): on a real
+        # host they run on separate threads/cores.
+        solo_perfs = []
+        for i in range(n):
+            solo_cfg = dict(
+                input=inp, output=os.path.join(workdir, f"solo_{n}_{i}.xsi"),
+                block_length=block_length, nproc=n, procid=i,
+                n_samples=n_samples, mac_threshold=int(
+                    2 * n_samples * 0.001),
+                perf_out=os.path.join(workdir, f"solo_{n}_{i}.json"))
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; from xsqueezeit_tpu.bench.tools import "
+                 "_scaling_solo_worker; _scaling_solo_worker(sys.argv[1])",
+                 json.dumps(solo_cfg)], env=env, cwd=os.getcwd(),
+                capture_output=True, text=True)
+            if rc.returncode != 0:
+                raise RuntimeError(f"solo worker failed: {rc.stderr[-500:]}")
+            solo_perfs.append(json.load(open(solo_cfg["perf_out"])))
+        solo_scan = max(p["scan_s"] for p in solo_perfs)
+        solo_var0 = solo_perfs[0].get("varpass_s", 0.0)
+        solo_span = max(max(p["encode_s"] for p in solo_perfs), solo_var0)
+        solo_wall = solo_scan + solo_span + gather_max + assemble
+
         results.append(dict(
             procs=n, wall_s=round(wall, 2), scan_cpu_s=round(scan_max, 2),
             varpass_cpu_s=round(var0, 2),
@@ -482,16 +515,28 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
             gather_s=round(gather_max, 3),
             assemble_cpu_s=round(assemble, 3), gather_mb=round(
                 gather_bytes / 1e6, 3),
+            solo_scan_s=round(solo_scan, 2),
+            solo_varpass_s=round(solo_var0, 2),
+            solo_encode_max_s=round(
+                max(p["encode_s"] for p in solo_perfs), 2),
+            solo_wall_s=round(solo_wall, 2),
+            solo_compute_wall_s=round(solo_wall - gather_max, 2),
             modeled_wall_s=round(modeled, 2),
             compute_wall_s=round(modeled - gather_max, 2)))
 
     base = results[0]["modeled_wall_s"]
     base_c = results[0]["compute_wall_s"]
+    base_s = results[0]["solo_wall_s"]
+    base_sc = results[0]["solo_compute_wall_s"]
     for r in results:
         r["modeled_efficiency"] = round(base / (r["procs"]
                                                 * r["modeled_wall_s"]), 3)
         r["compute_efficiency"] = round(base_c / (r["procs"]
                                                   * r["compute_wall_s"]), 3)
+        r["solo_efficiency"] = round(base_s / (r["procs"]
+                                               * r["solo_wall_s"]), 3)
+        r["solo_compute_efficiency"] = round(
+            base_sc / (r["procs"] * r["solo_compute_wall_s"]), 3)
     if own:
         import shutil
         shutil.rmtree(workdir, ignore_errors=True)
@@ -560,3 +605,52 @@ def warmup(n_samples: int, block_length: int = 8192,
               f"encode {t_enc:.1f}s decode {t_dec:.1f}s", flush=True)
     return {"n_samples": n_samples, "n_haps": H, "block_length": block_length,
             "mac_threshold": thr, "shapes": shapes}
+
+
+def _scaling_solo_worker(cfg_json: str) -> None:
+    """One worker's COMPUTE slice run alone (no peers, no contention):
+    the dedicated-host wall-clock sample for the scaling model."""
+    import json
+    import os
+    import threading
+
+    cfg = json.loads(cfg_json)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..codec.compressor import CompressorOptions
+    from ..io.unified import GtInput, count_entries_offsets
+    from ..parallel.distributed import (
+        _encode_block_range,
+        _variant_pass,
+        plan_block_ranges,
+    )
+
+    opts = CompressorOptions(block_length=cfg["block_length"],
+                             device="numpy")
+    perf: dict = {}
+    t0 = time.perf_counter()
+    n_entries, block_voffs = count_entries_offsets(cfg["input"],
+                                                   cfg["block_length"])
+    perf["scan_s"] = time.perf_counter() - t0
+
+    n_blocks = -(-n_entries // opts.block_length)
+    rng = plan_block_ranges(max(n_blocks, 1), cfg["nproc"])[cfg["procid"]]
+
+    if cfg["procid"] == 0:
+        vin = GtInput(cfg["input"])
+        t0 = time.perf_counter()
+        _variant_pass(vin, opts, cfg["output"], 2)
+        perf["varpass_s"] = time.perf_counter() - t0
+        vin.close()
+
+    t0 = time.perf_counter()
+    payloads = _encode_block_range(
+        cfg["input"], rng, cfg["n_samples"], opts,
+        cfg["mac_threshold"], 1, __import__("numpy").uint16
+        if cfg["n_samples"] * 2 <= 0xFFFF else __import__("numpy").uint32,
+        2, block_voffs=block_voffs)
+    perf["encode_s"] = time.perf_counter() - t0
+    perf["payload_bytes"] = sum(len(p) for p in payloads)
+    with open(cfg["perf_out"], "w") as f:
+        json.dump(perf, f)

@@ -289,6 +289,59 @@ def make_variant_header(src: BcfHeader, xsi_basename: str) -> BcfHeader:
     return h
 
 
+def _native_var_pass_eligible(inp) -> bool:
+    """Gate shared by compress_file and the multihost variant pass: the
+    two must agree so single- and multi-process containers stay
+    byte-identical within one environment."""
+    if inp.format != "bcf":
+        return False
+    if os.environ.get("XSI_NATIVE", "1") in ("0", "off", "no"):
+        return False
+    if os.environ.get("XSI_DEVICE") in ("numpy", "jax"):
+        # explicit codec selection routes through the Python drivers
+        # (tests rely on exercising each path)
+        return False
+    try:
+        from ..interop.native import build_native
+        build_native()
+        return True
+    except Exception:
+        return False
+
+
+def variant_pass_native(inp, opts, output_path: str, sniffed_ploidy: int
+                        ) -> tuple[int, int, int] | None:
+    """The variant-file pass through native/var_pass.cpp: record walk +
+    `_var.bcf` write + BM packing in C++, CSI built here from the
+    returned tuples.  Returns (entries, variants, max_ploidy), or None
+    when ineligible (the Python loop runs instead)."""
+    if not _native_var_pass_eligible(inp):
+        return None
+    from ..interop.native import native_var_pass
+    from ..io.csi import CsiBuilder, depth_for_max_len
+    from ..io.sites import encode_bm_indiv
+
+    var_path = output_path + XSI_BCF_VAR_EXTENSION
+    var_header = make_variant_header(inp.header,
+                                     os.path.basename(output_path))
+    text = var_header.to_text().encode() + b"\0"
+    bm_prefix = encode_bm_indiv(var_header, 0)[:-4]
+    gt_key = inp.header.str2idx.get("GT", -1)
+    skip = 9 + inp._bcf.header_text_len
+    size_hint = max(os.path.getsize(inp.path) // 32, 1 << 16)
+    rid, pos, rlen, _bm, vbeg, vend, n_variants, max_ploidy = \
+        native_var_pass(inp.path, skip, var_path, text, 6, bm_prefix,
+                        opts.block_length, gt_key, cap_hint=size_hint)
+    csi = CsiBuilder(depth=depth_for_max_len(
+        max(var_header.contig_lengths.values(), default=0)))
+    rlen1 = np.maximum(rlen, 1)
+    for i in range(rid.shape[0]):
+        csi.add(int(rid[i]), int(pos[i]), int(pos[i]) + int(rlen1[i]),
+                int(vbeg[i]), int(vend[i]))
+    csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
+    return rid.shape[0], n_variants, max(sniffed_ploidy, max_ploidy)
+
+
 def compress_file(input_path: str, output_path: str,
                   opts: CompressorOptions | None = None) -> dict:
     """Compress `input_path` into `output_path` (+ `_var.bcf`).
@@ -332,12 +385,19 @@ def compress_file(input_path: str, output_path: str,
 
     var_path = output_path + XSI_BCF_VAR_EXTENSION
     var_header = make_variant_header(inp.header, os.path.basename(output_path))
-    var_writer = BcfWriter(var_path, var_header)
-    # reference parity: create_index_file, xcf.cpp:39-57; depth grows with the
-    # longest declared contig so >537 Mbp coordinates stay addressable
-    from ..io.csi import depth_for_max_len
-    csi = CsiBuilder(depth=depth_for_max_len(
-        max(var_header.contig_lengths.values(), default=0)))
+    native_var = _native_var_pass_eligible(inp)
+    if native_var:
+        # the native pass owns the variant outputs; it runs on a thread
+        # overlapped with the GT loop (_compress_loop_native_var)
+        var_writer = csi = None
+    else:
+        var_writer = BcfWriter(var_path, var_header)
+        # reference parity: create_index_file, xcf.cpp:39-57; depth grows
+        # with the longest declared contig so >537 Mbp coordinates stay
+        # addressable
+        from ..io.csi import depth_for_max_len
+        csi = CsiBuilder(depth=depth_for_max_len(
+            max(var_header.contig_lengths.values(), default=0)))
 
     force_device = (opts.device == "jax"
                     or os.environ.get("XSI_DEVICE") == "jax")
@@ -347,6 +407,9 @@ def compress_file(input_path: str, output_path: str,
         weirdness_strategy=ws, device_cls=_device_encoder_cls(opts.device),
         force_device=force_device)
     try:
+        if native_var:
+            return _compress_loop_native_var(inp, opts, xsi, block,
+                                             output_path, max_ploidy)
         return _compress_loop(inp, opts, xsi, var_writer, var_header, csi,
                               block, var_path, output_path, max_ploidy)
     except BaseException:
@@ -354,7 +417,8 @@ def compress_file(input_path: str, output_path: str,
         # leave half-written output behind (the zero-ALT ValueError surfaces
         # here through pending_block.result()).
         block.shutdown()
-        for f in (getattr(xsi, "f", None), getattr(var_writer, "_f", None)):
+        for f in (getattr(xsi, "f", None),
+                  getattr(var_writer, "_f", None) if var_writer else None):
             try:
                 if f is not None and not f.closed:
                     f.close()
@@ -369,6 +433,80 @@ def compress_file(input_path: str, output_path: str,
     finally:
         block.shutdown()  # successful runs must also release the worker
         inp.close()
+
+
+def _compress_loop_native_var(inp, opts, xsi, block, output_path,
+                              max_ploidy) -> dict:
+    """GT-only main loop with the variant pass on a native worker thread
+    (var_pass.cpp releases the GIL): the two passes read the input
+    independently, overlapping on multi-core hosts."""
+    import threading
+    from collections import deque
+
+    var_state: dict = {}
+
+    def run_var():
+        try:
+            var_state["result"] = variant_pass_native(
+                inp, opts, output_path, max_ploidy)
+        except BaseException as exc:
+            var_state["error"] = exc
+
+    var_thread = threading.Thread(target=run_var, name="xsi-variant-pass")
+    var_thread.start()
+    try:
+        entry_counter = 0
+        seen_max_ploidy = max_ploidy
+        pending_blocks: deque = deque()
+        for rec in inp:
+            if rec.gt is None:
+                raise ValueError("Record without GT data cannot be "
+                                 "compressed")
+            if rec.ploidy > 2:
+                raise ValueError("Ploidy higher than 2 is not yet supported")
+            seen_max_ploidy = max(seen_max_ploidy, rec.ploidy)
+            if block.full:
+                pending_blocks.append(block.submit())
+                while pending_blocks and pending_blocks[0].done():
+                    xsi.write_block(pending_blocks.popleft().result())
+                while len(pending_blocks) > block.inflight_target:
+                    if not pending_blocks[0].done():
+                        block.flush()
+                    xsi.write_block(pending_blocks.popleft().result())
+            block.encode_record(rec.gt, rec.n_alleles)
+            entry_counter += 1
+            if opts.verbose and entry_counter % 1000 == 0:
+                print(f"Handled {entry_counter} VCF entries (lines)")
+        block.flush()
+        while pending_blocks:
+            xsi.write_block(pending_blocks.popleft().result())
+        if block.bcf_lines:
+            xsi.write_block(block.serialize())
+    finally:
+        var_thread.join()
+    if "error" in var_state:
+        raise var_state["error"]
+    var_entries, variant_counter, var_max_ploidy = var_state["result"]
+    if var_entries != entry_counter:
+        raise RuntimeError(
+            f"variant pass saw {var_entries} records but the GT loop saw "
+            f"{entry_counter} — inconsistent input read")
+    xsi.finalize(num_variants=variant_counter, xcf_entries=entry_counter,
+                 max_ploidy=max(seen_max_ploidy, var_max_ploidy))
+    if opts.verbose:
+        sb = xsi.section_bytes
+        print(f"Sections: header {sb['header']} B, blocks {sb['blocks']} B "
+              f"({len(xsi.indices)} blocks), indices {sb['indices']} B, "
+              f"samples {sb['samples']} B, total {sb['total']} B "
+              f"(native variant pass)", file=__import__('sys').stderr)
+    var_path = output_path + XSI_BCF_VAR_EXTENSION
+    return {
+        "entries": entry_counter,
+        "variants": variant_counter,
+        "n_samples": len(inp.samples),
+        "xsi_bytes": os.path.getsize(output_path),
+        "variant_bytes": os.path.getsize(var_path),
+    }
 
 
 def _compress_loop(inp, opts, xsi, var_writer, var_header, csi, block,

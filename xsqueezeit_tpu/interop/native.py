@@ -194,12 +194,12 @@ class NativeGtBatchReader:
 
     def __init__(self, path: str, header_skip: int, gt_key: int,
                  n_samples: int, batch_recs: int = 1024,
-                 skip_recs: int = 0):
+                 skip_recs: int = 0, start_voff: int = 0):
         lib = ctypes.CDLL(build_native())
         lib.xsi_gtb_open.restype = ctypes.c_void_p
         lib.xsi_gtb_open.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                      ctypes.c_int, ctypes.c_int,
-                                     ctypes.c_int64]
+                                     ctypes.c_int64, ctypes.c_uint64]
         lib.xsi_gtb_batch.restype = ctypes.c_int
         lib.xsi_gtb_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int,
@@ -213,7 +213,7 @@ class NativeGtBatchReader:
         lib.xsi_gtb_close.argtypes = [ctypes.c_void_p]
         self._lib = lib
         self._h = lib.xsi_gtb_open(path.encode(), header_skip, gt_key,
-                                   n_samples, skip_recs)
+                                   n_samples, skip_recs, start_voff)
         if not self._h:
             raise OSError(f"native GT reader failed to open {path}")
         self.batch_recs = batch_recs
@@ -422,3 +422,61 @@ def native_extract_segment(xsi_path: str, out_path: str, header_text: bytes,
         raise OSError(f"native segment extract failed ({n}): "
                       f"{lib.xsi_last_error().decode()}")
     return int(n)
+
+
+def native_var_pass(in_path: str, header_skip: int, out_path: str,
+                    header_text: bytes, level: int, bm_prefix: bytes,
+                    block_length: int, gt_key: int, cap_hint: int = 0):
+    """Native variant-file pass (native/var_pass.cpp): walks the input
+    BCF's records, writes the `_var.bcf` (patched shared + FORMAT/BM),
+    and returns the CSI tuples + counters for the Python CsiBuilder.
+
+    Returns (rid, pos, rlen, bm, vbeg, vend arrays sliced to n,
+    n_variants, max_ploidy).  Raises ValueError on ploidy > 2 (driver
+    parity) and OSError on I/O or malformed input."""
+    lib = ctypes.CDLL(build_native())
+    lib.xsi_var_pass.restype = ctypes.c_int64
+    lib.xsi_var_pass.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64)]
+    cap = max(int(cap_hint), 1 << 16)
+    while True:
+        rid = np.empty(cap, np.int32)
+        pos = np.empty(cap, np.int32)
+        rlen = np.empty(cap, np.int32)
+        bm = np.empty(cap, np.int32)
+        vbeg = np.empty(cap, np.uint64)
+        vend = np.empty(cap, np.uint64)
+        nv = ctypes.c_int64(0)
+        mp = ctypes.c_int64(0)
+
+        def p32(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+        n = lib.xsi_var_pass(
+            in_path.encode(), header_skip, out_path.encode(), header_text,
+            len(header_text), level, bm_prefix, len(bm_prefix),
+            block_length, gt_key, p32(rid), p32(pos), p32(rlen), p32(bm),
+            p64(vbeg), p64(vend), cap, ctypes.byref(nv), ctypes.byref(mp))
+        if n == -5:
+            cap *= 4
+            continue
+        if n == -4:
+            raise ValueError("Ploidy higher than 2 is not yet supported")
+        if n == -3:
+            raise ValueError(
+                "BM offset cannot be represented on 15 bits")
+        if n < 0:
+            raise OSError(f"native variant pass failed ({n})")
+        n = int(n)
+        return (rid[:n], pos[:n], rlen[:n], bm[:n], vbeg[:n], vend[:n],
+                int(nv.value), int(mp.value))

@@ -75,9 +75,12 @@ class GtInput:
             # a partial prior iteration) are frame-skipped natively so both
             # parsers expose the same stream position semantics.
             skip = 9 + self._bcf.header_text_len
+            voff = getattr(self, "_seek_voff", 0)
+            base = getattr(self, "_seek_consumed", 0) if voff else 0
             return NativeGtBatchReader(self.path, skip, gt_key,
                                        len(self.samples),
-                                       skip_recs=self._consumed)
+                                       skip_recs=self._consumed - base,
+                                       start_voff=voff)
         except Exception:
             return None
 
@@ -134,14 +137,15 @@ class GtInput:
         if n <= 0:
             return 0
         if self.format == "bcf":
-            # a prior native iteration may have advanced past the Python
-            # reader's position — catch it up first so the skip lands on
-            # the right records whichever parser serves the next iteration
-            self._reconcile_py_position()
-            done = self._bcf.skip_records(n)
-            self._consumed += done
-            self._py_consumed += done
-            return done
+            # LAZY: only the consumed counter advances here.  Whichever
+            # parser serves the next iteration positions itself from it
+            # (the native reader frame-skips in C, the Python branch
+            # reconciles via _reconcile_py_position) — an eager Python
+            # skip would decompress the prefix a second time under the
+            # native parser (multi-process workers pay that per worker).
+            # A skip landing beyond EOF surfaces as an empty iteration.
+            self._consumed += n
+            return n
         done = 0
         for line in self._vcf._f:
             if line.strip():
@@ -149,6 +153,16 @@ class GtInput:
                 if done >= n:
                     break
         return done
+
+    def seek_fast(self, n_consumed: int, voffset: int) -> None:
+        """Position the stream at record `n_consumed` whose frame starts
+        at BGZF virtual offset `voffset` (from count_entries_offsets) —
+        O(1), no prefix decompression.  BCF only."""
+        self._consumed = n_consumed
+        self._py_consumed = n_consumed
+        self._seek_voff = voffset
+        self._seek_consumed = n_consumed
+        self._bcf.seek_virtual(voffset)
 
     def _reconcile_py_position(self) -> None:
         behind = self._consumed - self._py_consumed
@@ -164,6 +178,44 @@ class GtInput:
             self._bcf.close()
         else:
             self._vcf.close()
+
+
+def count_entries_offsets(path: str, every: int
+                          ) -> tuple[int, "np.ndarray | None"]:
+    """(record count, BGZF virtual offsets of records 0, every, 2*every..)
+    for a BCF — one native frame walk; the offsets let workers seek
+    straight to their block range (no prefix decompression).  Returns
+    (count, None) when the native walk is unavailable or the input is
+    VCF text."""
+    if sniff_format(path) != "bcf" or every <= 0:
+        return count_entries(path), None
+    if os.environ.get("XSI_NATIVE_PARSE", "1") in ("0", "off", "no"):
+        return count_entries(path), None
+    try:
+        import ctypes
+        import struct
+
+        from ..interop.native import build_native
+        lib = ctypes.CDLL(build_native())
+        lib.xsi_bcf_count_offsets.restype = ctypes.c_int64
+        lib.xsi_bcf_count_offsets.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
+        r0 = BgzfReader(path)
+        r0.read(5)
+        (l_text,) = struct.unpack("<I", r0.read(4))
+        r0.close()
+        cap = max(os.path.getsize(path) // 28 // every + 2, 16)
+        voffs = np.zeros(cap, np.uint64)
+        n = lib.xsi_bcf_count_offsets(
+            path.encode(), 9 + l_text, every,
+            voffs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), cap)
+        if n < 0:
+            return count_entries(path), None
+        n_marks = min((int(n) + every - 1) // every, cap)
+        return int(n), voffs[:n_marks]
+    except Exception:
+        return count_entries(path), None
 
 
 def sniff_default_phased(path: str, limit: int = 3) -> int:
@@ -206,6 +258,26 @@ def count_entries(path: str) -> int:
     if fmt == "bcf":
         import struct
         from .bgzf import BgzfReader
+        if os.environ.get("XSI_NATIVE_PARSE", "1") not in ("0", "off", "no"):
+            try:
+                import ctypes
+
+                from ..interop.native import build_native
+                lib = ctypes.CDLL(build_native())
+                lib.xsi_bcf_count.restype = ctypes.c_int64
+                lib.xsi_bcf_count.argtypes = [ctypes.c_char_p,
+                                              ctypes.c_uint64]
+                # the header length lives inside the BGZF stream; read it
+                # from the first member only
+                r0 = BgzfReader(path)
+                r0.read(5)
+                (l_text,) = struct.unpack("<I", r0.read(4))
+                r0.close()
+                got = lib.xsi_bcf_count(path.encode(), 9 + l_text)
+                if got >= 0:
+                    return int(got)
+            except Exception:
+                pass
         r = BgzfReader(path)
         r.read(5)
         (l_text,) = struct.unpack("<I", r.read(4))

@@ -155,11 +155,14 @@ def plan_block_ranges(n_blocks: int, n_parts: int) -> list[tuple[int, int]]:
 def _encode_block_range(input_path: str, block_range: tuple[int, int],
                         n_samples: int, opts: CompressorOptions,
                         mac_threshold: int, default_phased: int,
-                        aet_dtype, weirdness_strategy) -> list[bytes]:
+                        aet_dtype, weirdness_strategy,
+                        block_voffs=None) -> list[bytes]:
     """Worker body: encode the records of blocks [start, end) of the input.
 
     Streams the input, skipping records outside the window (block i covers
-    records [i*block_length, (i+1)*block_length)).
+    records [i*block_length, (i+1)*block_length)).  With `block_voffs`
+    (per-block virtual offsets from the count scan) the stream SEEKS to
+    the window instead of decompressing the prefix.
     """
     start_blk, end_blk = block_range
     if start_blk >= end_blk:
@@ -175,10 +178,10 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
                       or os.environ.get("XSI_DEVICE") == "jax"))
     payloads: list[bytes] = []
     inp = GtInput(input_path)
-    skipped = inp.skip_records(lo)
-    if skipped < lo:
-        inp.close()
-        return []                        # window starts beyond EOF
+    if block_voffs is not None and start_blk < len(block_voffs):
+        inp.seek_fast(lo, int(block_voffs[start_blk]))
+    else:
+        inp.skip_records(lo)   # lazy: a window beyond EOF iterates empty
     for i, rec in enumerate(inp, start=lo):
         if i >= hi:
             break
@@ -217,7 +220,13 @@ def _setup(input_path: str, opts: CompressorOptions):
 
 def _variant_pass(inp, opts, output_path, sniffed_ploidy):
     """Streaming pass over the input: writes the `_var.bcf` + CSI and
-    counts entries/variants (the worker-0 half of the pipeline)."""
+    counts entries/variants (the worker-0 half of the pipeline).
+    Same gate as the single-process driver so single- and multi-process
+    containers stay byte-identical within one environment."""
+    from ..codec.compressor import variant_pass_native
+    nat = variant_pass_native(inp, opts, output_path, sniffed_ploidy)
+    if nat is not None:
+        return nat
     var_path = output_path + XSI_BCF_VAR_EXTENSION
     var_header = make_variant_header(inp.header, os.path.basename(output_path))
     var_writer = BcfWriter(var_path, var_header)
@@ -363,8 +372,9 @@ def compress_file_multihost(input_path: str, output_path: str,
         # the whole pipeline).  Its results are only needed at assembly.
         t0 = time.perf_counter()
         c0 = time.process_time()
-        from ..io.unified import count_entries
-        entry_counter = count_entries(input_path)
+        from ..io.unified import count_entries_offsets
+        entry_counter, block_voffs = count_entries_offsets(
+            input_path, opts.block_length)
         inp.close()
         if perf is not None:
             perf["scan_s"] = time.perf_counter() - t0
@@ -412,7 +422,8 @@ def compress_file_multihost(input_path: str, output_path: str,
         start_blk, end_blk = process_layout(n_blocks, pidx, pcount)
         payloads = _encode_block_range(
             input_path, (start_blk, end_blk), n_samples, opts,
-            mac_threshold, default_phased, aet_dtype, ws)
+            mac_threshold, default_phased, aet_dtype, ws,
+            block_voffs=block_voffs)
         if perf is not None:
             perf["encode_s"] = time.perf_counter() - t0
             perf["encode_cpu_s"] = time.thread_time() - c0
