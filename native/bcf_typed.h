@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace xsi_native {
 
@@ -96,6 +97,38 @@ inline void decode_gt_values(int type, const uint8_t *data, int64_t total,
     }
     out[i] = v;
   }
+}
+
+/* Read one BCF record frame (l_shared/l_indiv word pair + bodies) off a
+ * BgzfReader-like stream.  Returns 1 = record, 0 = clean EOF, -1 =
+ * corrupt/truncated (reader.error() or the frame bounds).  Shared by the
+ * batch GT reader, the record counter and the variant pass. */
+template <class Reader>
+inline int read_bcf_frame(Reader &r, std::vector<uint8_t> *shared,
+                          std::vector<uint8_t> *indiv) {
+  uint32_t l_shared, l_indiv;
+  size_t got = r.read(&l_shared, 4);
+  if (got == 0) return r.error().empty() ? 0 : -1;
+  if (got != 4 || r.read(&l_indiv, 4) != 4) return -1;
+  if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30))
+    return -1;
+  shared->resize(l_shared);
+  if (r.read(shared->data(), l_shared) != l_shared) return -1;
+  indiv->resize(l_indiv);
+  if (l_indiv && r.read(indiv->data(), l_indiv) != l_indiv) return -1;
+  return 1;
+}
+
+/* Skip `n` uncompressed bytes (the BCF header the Python side parsed). */
+template <class Reader>
+inline bool skip_bytes(Reader &r, uint64_t n) {
+  std::vector<uint8_t> buf(64 * 1024);
+  while (n) {
+    size_t take = n < buf.size() ? size_t(n) : buf.size();
+    if (r.read(buf.data(), take) != take) return false;
+    n -= take;
+  }
+  return true;
 }
 
 }  // namespace xsi_native

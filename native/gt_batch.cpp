@@ -40,32 +40,15 @@ struct GtBatchReader {
   explicit GtBatchReader(const std::string &path) : bgzf(path) {}
 
   bool fetch(std::vector<uint8_t> &shared, std::vector<uint8_t> &indiv) {
-    uint32_t l_shared, l_indiv;
-    size_t got = bgzf.read(&l_shared, 4);
-    if (got == 0) {
-      if (!bgzf.error().empty()) {  // corrupt member, NOT a clean EOF
-        error = bgzf.error();
-        return false;
-      }
+    int rc = xsi_native::read_bcf_frame(bgzf, &shared, &indiv);
+    if (rc == 1) return true;
+    if (rc == 0) {
       eof = true;
-      return false;
+    } else {
+      error = bgzf.error().empty() ? "corrupt/truncated record frame"
+                                   : bgzf.error();
     }
-    if (got != 4 || bgzf.read(&l_indiv, 4) != 4) {
-      error = "truncated record frame";
-      return false;
-    }
-    if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30)) {
-      error = "malformed record lengths";
-      return false;
-    }
-    shared.resize(l_shared);
-    indiv.resize(l_indiv);
-    if (bgzf.read(shared.data(), l_shared) != l_shared ||
-        bgzf.read(indiv.data(), l_indiv) != l_indiv) {
-      error = "truncated record body";
-      return false;
-    }
-    return true;
+    return false;
   }
 };
 
@@ -100,15 +83,9 @@ void *xsi_gtb_open(const char *path, uint64_t header_skip, int gt_key,
     return h;
   }
   // Skip magic + header text (Python already parsed them).
-  std::vector<uint8_t> skip(64 * 1024);
-  uint64_t left = header_skip;
-  while (left) {
-    size_t take = left < skip.size() ? size_t(left) : skip.size();
-    if (h->bgzf.read(skip.data(), take) != take) {
-      delete h;
-      return nullptr;
-    }
-    left -= take;
+  if (!xsi_native::skip_bytes(h->bgzf, header_skip)) {
+    delete h;
+    return nullptr;
   }
   // Frame-skip records already consumed by the caller (GtInput
   // skip_records, e.g. a multi-process worker's slice start).
@@ -211,26 +188,15 @@ int64_t xsi_bcf_count_offsets(const char *path, uint64_t header_skip,
                               int64_t every, uint64_t *voffs, int64_t cap) {
   xsi_native::BgzfReader r(path);
   if (!r.ok()) return -1;
-  std::vector<uint8_t> skip(64 * 1024);
-  uint64_t left = header_skip;
-  while (left) {
-    size_t take = left < skip.size() ? size_t(left) : skip.size();
-    if (r.read(skip.data(), take) != take) return -1;
-    left -= take;
-  }
-  std::vector<uint8_t> scratch;
+  if (!xsi_native::skip_bytes(r, header_skip)) return -1;
+  std::vector<uint8_t> sh, iv;
   int64_t n = 0;
   for (;;) {
     if (voffs && every > 0 && n % every == 0 && n / every < cap)
       voffs[n / every] = r.tell_virtual();
-    uint32_t l_shared, l_indiv;
-    size_t got = r.read(&l_shared, 4);
-    if (got == 0) return r.error().empty() ? n : -1;
-    if (got != 4 || r.read(&l_indiv, 4) != 4) return -1;
-    if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30))
-      return -1;
-    scratch.resize(size_t(l_shared) + l_indiv);
-    if (r.read(scratch.data(), scratch.size()) != scratch.size()) return -1;
+    int rc = xsi_native::read_bcf_frame(r, &sh, &iv);
+    if (rc == 0) return n;
+    if (rc < 0) return -1;
     n++;
   }
 }

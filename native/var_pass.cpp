@@ -50,15 +50,7 @@ int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
                      int64_t *n_variants_out, int64_t *max_ploidy_out) {
   xsi_native::BgzfReader r(in_path);
   if (!r.ok()) return -1;
-  {
-    std::vector<uint8_t> skip(64 * 1024);
-    uint64_t left = header_skip;
-    while (left) {
-      size_t take = left < skip.size() ? size_t(left) : skip.size();
-      if (r.read(skip.data(), take) != take) return -1;
-      left -= take;
-    }
-  }
+  if (!xsi_native::skip_bytes(r, header_skip)) return -1;
   bcf_emit_t *e = bcf_emit_open(out_path, header_text, l_text, level);
   if (!e) return -1;
 
@@ -71,24 +63,12 @@ int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
   int64_t rc_final = 0;
 
   for (;;) {
-    uint32_t l_shared, l_indiv;
-    size_t got = r.read(&l_shared, 4);
-    if (got == 0) {
-      if (!r.error().empty()) rc_final = -1;  // corrupt member, not EOF
-      break;
-    }
-    if (got != 4 || r.read(&l_indiv, 4) != 4) { rc_final = -1; break; }
-    if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30)) {
-      rc_final = -2;
-      break;
-    }
-    shared.resize(l_shared);
-    if (r.read(shared.data(), l_shared) != l_shared) { rc_final = -1; break; }
-    scratch.resize(l_indiv);
-    if (l_indiv && r.read(scratch.data(), l_indiv) != l_indiv) {
-      rc_final = -1;
-      break;
-    }
+    int frc = xsi_native::read_bcf_frame(r, &shared, &scratch);
+    if (frc == 0) break;
+    if (frc < 0) { rc_final = -1; break; }
+    uint32_t l_shared = uint32_t(shared.size());
+    uint32_t l_indiv = uint32_t(scratch.size());
+    (void)l_shared;
     if (n >= cap) { rc_final = -5; break; }
 
     // record ploidy from the GT descriptor (max goes into the header;
@@ -108,7 +88,9 @@ int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
         rc_final = -2;
         break;
       }
-      if (found && type != 7 && len > 0) {
+      // ploidy = the typed length regardless of value type (Python
+      // gt_ploidy parity — char-typed GT still counts)
+      if (found && len > 0) {
         if (len > 2) { rc_final = -4; break; }
         if (len > max_ploidy) max_ploidy = len;
       }

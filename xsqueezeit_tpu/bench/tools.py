@@ -437,10 +437,10 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
                 coordinator=coord, nproc=n, procid=i,
                 perf_out=os.path.join(workdir, f"perf_{n}_{i}.json")))
         # opts.device="numpy" + jax_platforms=cpu already keep workers off
-            # the device codec; XSI_DEVICE is NOT forced so the native
-            # paths (var pass, parse, encode) run in production config
-            # when the parent env allows them.
-            env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # the device codec; XSI_DEVICE is NOT forced so the native paths
+        # (var pass, parse, encode) run in production config when the
+        # parent env allows them.
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
         t0 = time.perf_counter()
         logf = open(os.path.join(workdir, f"workers_{n}.log"), "wb")
         children = [subprocess.Popen(
@@ -628,6 +628,10 @@ def _scaling_solo_worker(cfg_json: str) -> None:
 
     opts = CompressorOptions(block_length=cfg["block_length"],
                              device="numpy")
+    from ..parallel.distributed import _setup
+    (s_inp, _samples, n_samples, default_phased, _max_ploidy, aet_dtype,
+     mac_threshold, ws) = _setup(cfg["input"], opts)
+    s_inp.close()
     perf: dict = {}
     t0 = time.perf_counter()
     n_entries, block_voffs = count_entries_offsets(cfg["input"],
@@ -640,16 +644,14 @@ def _scaling_solo_worker(cfg_json: str) -> None:
     if cfg["procid"] == 0:
         vin = GtInput(cfg["input"])
         t0 = time.perf_counter()
-        _variant_pass(vin, opts, cfg["output"], 2)
+        _variant_pass(vin, opts, cfg["output"], _max_ploidy)
         perf["varpass_s"] = time.perf_counter() - t0
         vin.close()
 
     t0 = time.perf_counter()
     payloads = _encode_block_range(
-        cfg["input"], rng, cfg["n_samples"], opts,
-        cfg["mac_threshold"], 1, __import__("numpy").uint16
-        if cfg["n_samples"] * 2 <= 0xFFFF else __import__("numpy").uint32,
-        2, block_voffs=block_voffs)
+        cfg["input"], rng, n_samples, opts, mac_threshold, default_phased,
+        aet_dtype, ws, block_voffs=block_voffs)
     perf["encode_s"] = time.perf_counter() - t0
     perf["payload_bytes"] = sum(len(p) for p in payloads)
     with open(cfg["perf_out"], "w") as f:

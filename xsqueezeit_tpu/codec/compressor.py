@@ -309,13 +309,16 @@ def _native_var_pass_eligible(inp) -> bool:
         return False
 
 
-def variant_pass_native(inp, opts, output_path: str, sniffed_ploidy: int
+def variant_pass_native(inp, opts, output_path: str, sniffed_ploidy: int,
+                        assume_eligible: bool = False
                         ) -> tuple[int, int, int] | None:
     """The variant-file pass through native/var_pass.cpp: record walk +
     `_var.bcf` write + BM packing in C++, CSI built here from the
     returned tuples.  Returns (entries, variants, max_ploidy), or None
-    when ineligible (the Python loop runs instead)."""
-    if not _native_var_pass_eligible(inp):
+    when ineligible (the Python loop runs instead).  assume_eligible
+    skips re-gating when the caller already decided (the decision must
+    be made ONCE — a mid-run disagreement would strand the GT loop)."""
+    if not assume_eligible and not _native_var_pass_eligible(inp):
         return None
     from ..interop.native import native_var_pass
     from ..io.csi import CsiBuilder, depth_for_max_len
@@ -328,10 +331,15 @@ def variant_pass_native(inp, opts, output_path: str, sniffed_ploidy: int
     bm_prefix = encode_bm_indiv(var_header, 0)[:-4]
     gt_key = inp.header.str2idx.get("GT", -1)
     skip = 9 + inp._bcf.header_text_len
-    size_hint = max(os.path.getsize(inp.path) // 32, 1 << 16)
+    # Exact output sizing: a compressed-size heuristic over-allocates by
+    # the compression ratio (tens of GB at biobank scale — the tuple
+    # arrays are 32 B/record); the native frame count is a cheap extra
+    # walk and bounds memory to what the records actually need.
+    from ..io.unified import count_entries_offsets
+    n_recs, _ = count_entries_offsets(inp.path, 0)
     rid, pos, rlen, _bm, vbeg, vend, n_variants, max_ploidy = \
         native_var_pass(inp.path, skip, var_path, text, 6, bm_prefix,
-                        opts.block_length, gt_key, cap_hint=size_hint)
+                        opts.block_length, gt_key, cap_hint=n_recs + 1)
     csi = CsiBuilder(depth=depth_for_max_len(
         max(var_header.contig_lengths.values(), default=0)))
     rlen1 = np.maximum(rlen, 1)
@@ -448,7 +456,7 @@ def _compress_loop_native_var(inp, opts, xsi, block, output_path,
     def run_var():
         try:
             var_state["result"] = variant_pass_native(
-                inp, opts, output_path, max_ploidy)
+                inp, opts, output_path, max_ploidy, assume_eligible=True)
         except BaseException as exc:
             var_state["error"] = exc
 

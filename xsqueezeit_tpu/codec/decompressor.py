@@ -464,7 +464,7 @@ class Decompressor:
             # device decode) must route through that path, not the native
             # loop — tests and benches rely on exercising each
             return False
-        if os.environ.get("XSI_NATIVE", "1") == "0":
+        if os.environ.get("XSI_NATIVE", "1") in ("0", "off", "no"):
             return False
         try:
             from ..interop.native import build_native

@@ -399,7 +399,8 @@ def native_extract_ranges(xsi_path: str, out_path: str, header_text: bytes,
 def native_extract_segment(xsi_path: str, out_path: str, header_text: bytes,
                            gt_key: int, level: int,
                            start_blk: int, end_blk: int,
-                           write_header: bool, write_eof: bool) -> int:
+                           write_header: bool, write_eof: bool,
+                           chunks=None) -> int:
     """BM-block-windowed native extract producing a BCF segment
     (records-only body when write_header/write_eof are False) — the
     multi-process decompress workers' fast path
@@ -414,9 +415,15 @@ def native_extract_segment(xsi_path: str, out_path: str, header_text: bytes,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int]
     lib.xsi_last_error.restype = ctypes.c_char_p
+    ch, n_ch = None, 0
+    if chunks:
+        ch = np.ascontiguousarray(np.asarray(chunks, np.uint64).reshape(-1))
+        n_ch = len(chunks)
     n = lib.xsi_extract_segment(
         xsi_path.encode(), out_path.encode(), header_text, len(header_text),
-        gt_key, level, None, 0, None, 0, None, 0,
+        gt_key, level,
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)) if n_ch else None,
+        n_ch, None, 0, None, 0,
         start_blk, end_blk, int(write_header), int(write_eof))
     if n < 0:
         raise OSError(f"native segment extract failed ({n}): "

@@ -131,9 +131,10 @@ class GtInput:
                 yield GtInputRecord(shared, None, rec.n_alleles, rec.ploidy)
 
     def skip_records(self, n: int) -> int:
-        """Fast-forward past n records without parsing site/genotype data
-        (BCF: frame words only; VCF: raw line reads).  Returns the number
-        actually skipped (short at EOF)."""
+        """Fast-forward past n records without parsing site/genotype data.
+        BCF: LAZY — returns n unconditionally (the skip is applied when
+        iteration positions the parser; beyond-EOF skips iterate empty).
+        VCF: raw line reads, short at EOF."""
         if n <= 0:
             return 0
         if self.format == "bcf":
@@ -187,10 +188,10 @@ def count_entries_offsets(path: str, every: int
     straight to their block range (no prefix decompression).  Returns
     (count, None) when the native walk is unavailable or the input is
     VCF text."""
-    if sniff_format(path) != "bcf" or every <= 0:
+    if sniff_format(path) != "bcf":
         return count_entries(path), None
     if os.environ.get("XSI_NATIVE_PARSE", "1") in ("0", "off", "no"):
-        return count_entries(path), None
+        return _count_entries_bcf_py(path), None
     try:
         import ctypes
         import struct
@@ -205,17 +206,133 @@ def count_entries_offsets(path: str, every: int
         r0.read(5)
         (l_text,) = struct.unpack("<I", r0.read(4))
         r0.close()
-        cap = max(os.path.getsize(path) // 28 // every + 2, 16)
-        voffs = np.zeros(cap, np.uint64)
-        n = lib.xsi_bcf_count_offsets(
-            path.encode(), 9 + l_text, every,
-            voffs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), cap)
+        if every > 0:
+            cap = max(os.path.getsize(path) // 28 // every + 2, 16)
+            voffs = np.zeros(cap, np.uint64)
+            vp = voffs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        else:
+            cap, voffs, vp = 0, None, None
+        n = lib.xsi_bcf_count_offsets(path.encode(), 9 + l_text, every,
+                                      vp, cap)
         if n < 0:
-            return count_entries(path), None
+            return _count_entries_bcf_py(path), None
+        if every <= 0:
+            return int(n), None
         n_marks = min((int(n) + every - 1) // every, cap)
         return int(n), voffs[:n_marks]
     except Exception:
+        return _count_entries_bcf_py(path), None
+
+
+def sniff_default_phased(path: str, limit: int = 3) -> int:
+    """Majority phasedness of the second allele over the first `limit` records
+    (reference: xcf.cpp seek_default_phased)."""
+    inp = GtInput(path)
+    counts = [0, 0]
+    n = 0
+    for rec in inp:
+        if rec.gt is None:
+            continue
+        if rec.ploidy == 1:
+            inp.close()
+            return 0
+        second = rec.gt.reshape(-1, rec.ploidy)[:, 1]
+        phased = int((second & 1).sum())
+        counts[1] += phased
+        counts[0] += second.shape[0] - phased
+        n += 1
+        if n >= limit:
+            break
+    inp.close()
+    return 1 if counts[1] >= counts[0] else 0
+
+
+def sniff_max_ploidy_first_entry(path: str) -> int:
+    inp = GtInput(path)
+    for rec in inp:
+        inp.close()
+        return rec.ploidy if rec.gt is not None else 0
+    inp.close()
+    return 0
+
+
+def count_entries(path: str) -> int:
+    """Number of variant records in a VCF/BCF (reference: count_entries,
+    xcf.cpp:318-340).  BCF records are skipped without decoding genotypes
+    (natively when the lib is available — count_entries_offsets)."""
+    fmt = sniff_format(path)
+    if fmt == "bcf":
+        n, _ = count_entries_offsets(path, 0)
+        return n
+    from .vcf import VcfReader
+    n = 0
+    v = VcfReader(path)
+    for _ in v:
+        n += 1
+    v.close()
+    return n
+
+
+def _count_entries_bcf_py(path: str) -> int:
+    import struct
+    from .bgzf import BgzfReader
+    r = BgzfReader(path)
+    r.read(5)
+    (l_text,) = struct.unpack("<I", r.read(4))
+    r.read(l_text)
+    n = 0
+    while True:
+        head = r.read(8)
+        if len(head) < 8:
+            break
+        l_shared, l_indiv = struct.unpack("<II", head)
+        r.read(l_shared + l_indiv)
+        n += 1
+    r.close()
+    return n
+
+
+def count_entries_offsets(path: str, every: int
+                          ) -> tuple[int, "np.ndarray | None"]:
+    """(record count, BGZF virtual offsets of records 0, every, 2*every..)
+    for a BCF — one native frame walk; the offsets let workers seek
+    straight to their block range (no prefix decompression).  Returns
+    (count, None) when the native walk is unavailable or the input is
+    VCF text."""
+    if sniff_format(path) != "bcf":
         return count_entries(path), None
+    if os.environ.get("XSI_NATIVE_PARSE", "1") in ("0", "off", "no"):
+        return _count_entries_bcf_py(path), None
+    try:
+        import ctypes
+        import struct
+
+        from ..interop.native import build_native
+        lib = ctypes.CDLL(build_native())
+        lib.xsi_bcf_count_offsets.restype = ctypes.c_int64
+        lib.xsi_bcf_count_offsets.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
+        r0 = BgzfReader(path)
+        r0.read(5)
+        (l_text,) = struct.unpack("<I", r0.read(4))
+        r0.close()
+        if every > 0:
+            cap = max(os.path.getsize(path) // 28 // every + 2, 16)
+            voffs = np.zeros(cap, np.uint64)
+            vp = voffs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+        else:
+            cap, voffs, vp = 0, None, None
+        n = lib.xsi_bcf_count_offsets(path.encode(), 9 + l_text, every,
+                                      vp, cap)
+        if n < 0:
+            return _count_entries_bcf_py(path), None
+        if every <= 0:
+            return int(n), None
+        n_marks = min((int(n) + every - 1) // every, cap)
+        return int(n), voffs[:n_marks]
+    except Exception:
+        return _count_entries_bcf_py(path), None
 
 
 def sniff_default_phased(path: str, limit: int = 3) -> int:

@@ -500,7 +500,7 @@ def _native_segment_bytes(d, start_blk: int, end_blk: int,
     if (d._select is not None or o.regions or o.targets
             or o.device != "auto"
             or _os.environ.get("XSI_DEVICE") in ("numpy", "jax")
-            or _os.environ.get("XSI_NATIVE", "1") == "0"):
+            or _os.environ.get("XSI_NATIVE", "1") in ("0", "off", "no")):
         return None
     try:
         from ..interop.native import build_native, native_extract_segment
@@ -511,13 +511,27 @@ def _native_segment_bytes(d, start_blk: int, end_blk: int,
     gt_key = header.ensure_string(
         "GT", '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
     text = header.to_text().encode() + b"\0"
+    # seek straight to this worker's var.bcf window: one cheap native
+    # frame walk captures per-block virtual offsets (the compress side's
+    # trick), so workers skip zero prefix records
+    chunks = None
+    try:
+        from ..io.unified import count_entries_offsets
+        block_len = d.xsi.header.ss_rate
+        n_recs, voffs = count_entries_offsets(d.var_path, block_len)
+        if voffs is not None and start_blk < len(voffs):
+            end_v = (int(voffs[end_blk]) if end_blk < len(voffs)
+                     else (1 << 62))
+            chunks = [(int(voffs[start_blk]), end_v)]
+    except Exception:
+        chunks = None
     fd, seg_path = tempfile.mkstemp(suffix=".bcfseg")
     _os.close(fd)
     try:
         n = native_extract_segment(d.xsi_path, seg_path, text, gt_key, 6,
                                    start_blk, end_blk,
                                    write_header=(pidx == 0),
-                                   write_eof=False)
+                                   write_eof=False, chunks=chunks)
         with open(seg_path, "rb") as f:
             return f.read(), n
     finally:
