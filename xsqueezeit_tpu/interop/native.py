@@ -250,15 +250,21 @@ class NativeGtBatchReader:
                 raise ValueError(
                     f"native BCF parse failed ({n}): "
                     f"{self._lib.xsi_gtb_error(self._h).decode()}")
-            # One copy per batch; rows are views into the copies (consumers
-            # may retain them across batches, e.g. the dispatcher's pending
-            # list — the reused ctypes buffers above get overwritten).
+            # Hand consumers views into THIS batch's gt buffer and grab a
+            # fresh one for the next fill (consumers may retain rows across
+            # batches, e.g. the dispatcher's pending list) — one memory
+            # pass instead of fill+copy.
             sh_bytes = self._sh[: self._sh_off[n]].tobytes()
-            gt_all = self._gt[: self._gt_off[n]].copy()
+            gt_all = self._gt
+            offs = self._gt_off[: n + 1].copy()
+            na = self._na[:n].copy()
+            pl = self._pl[:n].copy()
+            sh_offs = self._sh_off[: n + 1].copy()
+            self._gt = np.empty_like(self._gt)
             for r in range(n):
-                gt = gt_all[self._gt_off[r]:self._gt_off[r + 1]]
-                yield (sh_bytes[self._sh_off[r]:self._sh_off[r + 1]],
-                       gt, int(self._na[r]), int(self._pl[r]))
+                gt = gt_all[offs[r]:offs[r + 1]]
+                yield (sh_bytes[sh_offs[r]:sh_offs[r + 1]],
+                       gt, int(na[r]), int(pl[r]))
 
     def close(self) -> None:
         if self._h:
