@@ -102,10 +102,41 @@ struct GtEncoder {
   std::string error;
 
   std::vector<int32_t> a, a_weird, a_next;
+  std::vector<int32_t> ones_buf;  // scratch: fused partition's one-side
   std::vector<int16_t> alleles;  // scratch: current record's allele codes
   std::vector<uint8_t> bits;     // scratch
   std::vector<int64_t> acs;      // scratch: per-allele counts
   std::vector<uint32_t> idx;     // scratch: sparse index collector
+
+  // Streaming WAH run state for the fused encode pass (identical output
+  // to wah_encode_bits: fill runs saturate at 16383 words, literals
+  // flush).
+  uint16_t run_word_ = 0;
+  uint32_t run_len_ = 0;
+
+  void wah_run_reset() {
+    run_word_ = 0;
+    run_len_ = 0;
+  }
+
+  void wah_run_flush(std::vector<uint16_t> *out) {
+    if (!run_len_) return;
+    uint16_t w = WAH_HIGH_BIT | uint16_t(run_len_);
+    if (run_word_ == WAH_ALL_SET) w |= WAH_COUNT_1_BIT;
+    out->push_back(w);
+    run_len_ = 0;
+  }
+
+  void wah_run_word(uint16_t w, std::vector<uint16_t> *out) {
+    if (w == 0 || w == WAH_ALL_SET) {
+      if (run_len_ && run_word_ != w) wah_run_flush(out);
+      run_word_ = w;
+      if (++run_len_ == WAH_MAX_COUNTER) wah_run_flush(out);
+    } else {
+      wah_run_flush(out);
+      out->push_back(w);
+    }
+  }
   int bcf_lines = 0;
   int64_t binary_lines = 0;
   int max_vector_length = 1;
@@ -128,6 +159,7 @@ struct GtEncoder {
     a.resize(n_haps);
     a_weird.resize(n_haps);
     a_next.resize(n_haps);
+    ones_buf.reserve(n_haps);
     for (int i = 0; i < n_haps; ++i) a[i] = a_weird[i] = i;
   }
 
@@ -180,21 +212,42 @@ struct GtEncoder {
     alleles.resize(size_t(ngt));
     acs.assign(size_t(n_alleles > 0 ? n_alleles : 1), 0);
     bool has_missing = false, has_eov = false, has_nup = false;
-    for (int64_t i = 0; i < ngt; ++i) {
-      int32_t g = gt[i];
+    const int32_t n_ac = int32_t(acs.size());
+    // conversion + fused per-allele count; g >= 2 is the overwhelmingly
+    // common case (allele codes are (a+1)<<1 | phase; anything below 2 is
+    // missing/EOV/corrupt), so it takes a single-compare fast path
+    auto slow = [&](int32_t g) -> int16_t {
       int32_t al = (g >> 1) - 1;
       if ((g >> 1) == 0 || g == kMissing32) {
-        al = -1;
         has_missing = true;
-      } else if (g == kVectorEnd32) {
-        al = -2;
-        has_eov = true;
-      } else if (al < int32_t(acs.size())) {
-        acs[size_t(al)]++;  // fused per-allele count (one pass, not per ALT)
+        return -1;
       }
-      alleles[size_t(i)] = int16_t(al < -2 ? -3 : al);
-      // phase applies to non-first slots only, specials included
-      if (!haploid && (i & 1) && ((g & 1) != default_phasing)) has_nup = true;
+      if (g == kVectorEnd32) {
+        has_eov = true;
+        return -2;
+      }
+      return int16_t(al < -2 ? -3 : al);
+    };
+    auto convert = [&](int32_t g) -> int16_t {
+      if (g >= 2) {
+        int32_t al = (g >> 1) - 1;
+        if (al < n_ac) acs[size_t(al)]++;
+        return int16_t(al);
+      }
+      return slow(g);
+    };
+    if (haploid) {
+      for (int64_t i = 0; i < ngt; ++i) alleles[size_t(i)] = convert(gt[i]);
+    } else {
+      uint32_t nup_acc = 0;
+      for (int64_t i = 0; i < ngt; i += 2) {
+        alleles[size_t(i)] = convert(gt[i]);
+        int32_t g1 = gt[i + 1];
+        alleles[size_t(i) + 1] = convert(g1);
+        // phase applies to non-first slots only, specials included
+        nup_acc |= uint32_t(g1 & 1) ^ uint32_t(default_phasing);
+      }
+      has_nup = nup_acc != 0;
     }
 
     if (n_alleles <= 1) {
@@ -242,15 +295,30 @@ struct GtEncoder {
             if (alleles[size_t(a[j] >> 1)] == alt) a_next[lo++] = a[j];
           a.swap(a_next);
         } else {
-          bits.resize(size_t(n_haps));
-          for (int j = 0; j < n_haps; ++j)
-            bits[size_t(j)] = alleles[size_t(a[j])] == alt;
-          wah_encode_bits(bits.data(), n_haps, &wah_words);
+          // Fused single pass through the arrangement: gather the key,
+          // accumulate the packed WAH word, and two-way partition in the
+          // same loop (was 3 separate gathers of alleles[a[j]]).
+          ones_buf.clear();
           int lo = 0;
-          for (int j = 0; j < n_haps; ++j)
-            if (!bits[size_t(j)]) a_next[lo++] = a[j];
-          for (int j = 0; j < n_haps; ++j)
-            if (bits[size_t(j)]) a_next[lo++] = a[j];
+          uint16_t w = 0;
+          int wbit = 0;
+          wah_run_reset();
+          for (int j = 0; j < n_haps; ++j) {
+            int32_t hap = a[j];
+            uint16_t key = alleles[size_t(hap)] == alt;
+            w |= uint16_t(key << wbit);
+            if (++wbit == WAH_BITS) {
+              wah_run_word(w, &wah_words);
+              w = 0;
+              wbit = 0;
+            }
+            if (key) ones_buf.push_back(hap);
+            else a_next[lo++] = hap;
+          }
+          if (wbit) wah_run_word(w, &wah_words);  // zero-padded tail word
+          wah_run_flush(&wah_words);
+          memcpy(a_next.data() + lo, ones_buf.data(),
+                 ones_buf.size() * sizeof(int32_t));
           a.swap(a_next);
         }
       } else {
