@@ -242,3 +242,51 @@ def test_gtb_wrong_geometry(gtb_fuzz_bin, gtb_bcf):
                  (p, skip, key, 1)):
         r = _run_gtb(gtb_fuzz_bin, *args)
         _check_clean(r, f"gtb geometry {args[1:]}")
+
+
+# -------------------------------------------------------- encoder/var pass
+@pytest.fixture(scope="module")
+def enc_fuzz_bin():
+    subprocess.run(["make", "-C", _NATIVE_DIR, "fuzz_enc_asan"],
+                   check=True, capture_output=True)
+    return os.path.join(_NATIVE_DIR, "fuzz_enc_asan")
+
+
+def test_enc_adversarial_values_sanitized(enc_fuzz_bin):
+    """Random gt arrays with sentinel/huge/corrupt values through every
+    weirdness strategy of the native block encoder."""
+    for seed in (1, 2, 3, 4):
+        r = subprocess.run(
+            [enc_fuzz_bin, "enc", str(seed), str(17 + seed * 13), "300"],
+            env=_ASAN_ENV, capture_output=True, text=True, timeout=120)
+        _check_clean(r, f"enc seed {seed}")
+
+
+def test_var_pass_corrupt_inputs_sanitized(enc_fuzz_bin, gtb_bcf, tmp_path):
+    """xsi_var_pass over intact, truncated and bit-flipped BCFs, and with
+    wrong skip/gt_key geometry."""
+    import numpy as np
+
+    p, skip, key, _n = gtb_bcf
+    data = bytearray(open(p, "rb").read())
+
+    def run(path, s, k):
+        return subprocess.run(
+            [enc_fuzz_bin, "var", path, str(s), str(k)],
+            env=_ASAN_ENV, capture_output=True, text=True, timeout=120)
+
+    _check_clean(run(p, skip, key), "var intact")
+    _check_clean(run(p, 0, key), "var bad skip")
+    _check_clean(run(p, skip + 7, key + 3), "var off geometry")
+    for frac in (0.3, 0.95):
+        cut = str(tmp_path / f"vcut{int(frac*100)}.bcf")
+        open(cut, "wb").write(bytes(data[: int(len(data) * frac)]))
+        _check_clean(run(cut, skip, key), f"var truncated {frac}")
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        mut = bytearray(data)
+        for posn in rng.integers(0, len(mut), 16):
+            mut[posn] ^= 1 << int(rng.integers(0, 8))
+        f = str(tmp_path / f"vflip{trial}.bcf")
+        open(f, "wb").write(bytes(mut))
+        _check_clean(run(f, skip, key), f"var flip {trial}")
