@@ -131,9 +131,16 @@ class Decompressor:
 
     @property
     def output_samples(self) -> list[str]:
-        if self._select is None:
-            return self.xsi.samples
-        return [self.xsi.samples[i] for i in self._select]
+        # cached: emit paths read this per record (it was the TOP cost of
+        # a subsetting extract before caching — 24k list rebuilds)
+        out = getattr(self, "_output_samples", None)
+        if out is None:
+            if self._select is None:
+                out = self.xsi.samples
+            else:
+                out = [self.xsi.samples[i] for i in self._select]
+            self._output_samples = out
+        return out
 
     # ------------------------------------------------------------- decode
     def _decoder_for(self, block_id: int) -> GtBlockDecoder:

@@ -56,10 +56,20 @@ def pack_words(bits: np.ndarray) -> np.ndarray:
 
 
 def unpack_words(words: np.ndarray, n_bits: int) -> np.ndarray:
-    """Inverse of pack_words (literal words only)."""
-    words = np.asarray(words, dtype=np.uint16)
-    bits = ((words[..., :, None] >> np.arange(WAH_BITS, dtype=np.uint16)) & 1)
-    return bits.reshape(bits.shape[:-2] + (-1,))[..., :n_bits].astype(np.uint8)
+    """Inverse of pack_words (literal words only).
+
+    np.unpackbits over the little-endian byte view (drop bit 15 of each
+    word) — ~10x faster than the shift-broadcast form; this feeds the
+    host decoder's whole-block WAH bit cache."""
+    words = np.ascontiguousarray(words, dtype="<u2")
+    lead = words.shape[:-1]
+    w = words.shape[-1]
+    if w == 0:
+        return np.zeros(lead + (0,), np.uint8)
+    by = words.reshape(-1, w).view(np.uint8)          # [rows, 2w]
+    bits16 = np.unpackbits(by, axis=-1, bitorder="little")
+    bits = bits16.reshape(-1, w, 16)[:, :, :WAH_BITS]
+    return bits.reshape(lead + (w * WAH_BITS,))[..., :n_bits]
 
 
 def wah_encode(bits: np.ndarray) -> np.ndarray:
