@@ -210,3 +210,44 @@ def test_native_region_target_extract_matches_python(tmp_path, monkeypatch):
                     "-O", "b", flag, spec]) == 0
         a, b = recs(str(tmp_path / "py.bcf")), recs(str(tmp_path / "nt.bcf"))
         assert a == b, (flag, spec, len(a), len(b))
+
+
+def test_python_driver_decode_via_native_accessor(tmp_path, monkeypatch):
+    """The Python-driver extract paths (-O v, -s) route per-record decode
+    through the native accessor when the env allows; output must equal
+    the pure-Python decoder's byte for byte."""
+    from tests import fixtures
+    from xsqueezeit_tpu.cli import main as cli
+    from xsqueezeit_tpu.codec.decompressor import (
+        Decompressor,
+        DecompressorOptions,
+    )
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=23,
+                              n_records=150, seed=8, p_multi=0.2)
+    xsi = str(tmp_path / "f.xsi")
+    assert cli(["-c", "-f", vcf, "-o", xsi,
+                "--variant-block-length", "32"]) == 0
+
+    outs = {}
+    for tag, env in (("nat", None), ("py", "numpy")):
+        if env:
+            monkeypatch.setenv("XSI_DEVICE", env)
+        else:
+            monkeypatch.delenv("XSI_DEVICE", raising=False)
+        d = Decompressor(xsi, DecompressorOptions(output_type="v",
+                                                  device="numpy"))
+        out = str(tmp_path / f"{tag}.vcf")
+        d.decompress(out)
+        if not env:
+            assert d._native_accessor() is not False, \
+                "native accessor should have engaged"
+        outs[tag] = open(out).read()
+        s = str(tmp_path / f"{tag}.s.vcf")
+        from xsqueezeit_tpu.format.container import XsiReader
+        subset = ",".join(XsiReader(xsi).samples[1:6])
+        Decompressor(xsi, DecompressorOptions(
+            output_type="v", samples=subset, device="numpy")).decompress(s)
+        outs[tag + "-s"] = open(s).read()
+    assert outs["nat"] == outs["py"]
+    assert outs["nat-s"] == outs["py-s"]

@@ -153,7 +153,37 @@ class Decompressor:
             self._decoders[block_id] = dec
         return dec
 
+    def _native_accessor(self):
+        """BM-keyed native decode (native/xsi_accessor.cpp) for the
+        Python-driver paths (-O v/z, -s, regions): ~9x the per-record
+        NumPy decode.  False = probed and unavailable."""
+        acc = getattr(self, "_nat_acc", None)
+        if acc is None:
+            acc = False
+            # env-only gate: opts.device selects the DEVICE codec, while
+            # this is the host decode engine — device="numpy" callers
+            # (avoiding a chip) still want it.  Tests pin the pure-Python
+            # decoder via the env (conftest XSI_DEVICE=numpy).
+            if (os.environ.get("XSI_NATIVE", "1") not in ("0", "off", "no")
+                    and os.environ.get("XSI_DEVICE") not in ("numpy", "jax")):
+                try:
+                    from ..interop.native import NativeAccessor
+                    acc = NativeAccessor(self.xsi_path)
+                except Exception:
+                    acc = False
+            self._nat_acc = acc
+        return acc
+
     def decode_bm(self, bm: int, n_alleles: int) -> np.ndarray:
+        acc = self._native_accessor()
+        if acc is not False:
+            try:
+                return acc.fill_genotypes_bm(bm, n_alleles)
+            except Exception:
+                # unsupported block class (e.g. WS_PBWT_WAH) or old
+                # container: fall back to the NumPy decoder for good
+                acc.close()
+                self._nat_acc = False
         block_id = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS
         offset = bm & ((1 << BM_BLOCK_BITS) - 1)
         dec = self._decoder_for(block_id)
