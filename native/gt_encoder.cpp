@@ -55,36 +55,48 @@ constexpr uint32_t DICT_SIZE_SYMBOL = 0xFFFFFFFFu;
 
 enum Ws { WS_PBWT_WAH = 0, WS_WAH = 1, WS_SPARSE = 2 };
 
-/* WAH2-encode a 0/1 bit vector (LSB-first 15-bit words, counter runs
- * saturating at 16383 words; wah_np.wah_encode semantics). */
-void wah_encode_bits(const uint8_t *bits, int64_t n,
-                     std::vector<uint16_t> *out) {
-  int64_t n_words = (n + WAH_BITS - 1) / WAH_BITS;
-  uint16_t run_word = 0;  // current fill word value (0 or WAH_ALL_SET)
+/* Streaming WAH2 run encoder: feed packed 15-bit words, get the encoded
+ * stream (fill runs saturate at 16383 words, literals flush;
+ * wah_np.wah_encode semantics).  ONE implementation shared by the
+ * word-at-a-time fused encode pass and the bit-vector helper below. */
+struct WahRun {
+  uint16_t run_word = 0;
   uint32_t run_len = 0;
-  auto flush = [&]() {
+
+  void flush(std::vector<uint16_t> *out) {
     if (!run_len) return;
     uint16_t w = WAH_HIGH_BIT | uint16_t(run_len);
     if (run_word == WAH_ALL_SET) w |= WAH_COUNT_1_BIT;
     out->push_back(w);
     run_len = 0;
-  };
+  }
+
+  void word(uint16_t w, std::vector<uint16_t> *out) {
+    if (w == 0 || w == WAH_ALL_SET) {
+      if (run_len && run_word != w) flush(out);
+      run_word = w;
+      if (++run_len == WAH_MAX_COUNTER) flush(out);
+    } else {
+      flush(out);
+      out->push_back(w);
+    }
+  }
+};
+
+/* WAH2-encode a 0/1 bit vector (LSB-first 15-bit words). */
+void wah_encode_bits(const uint8_t *bits, int64_t n,
+                     std::vector<uint16_t> *out) {
+  int64_t n_words = (n + WAH_BITS - 1) / WAH_BITS;
+  WahRun run;
   for (int64_t wi = 0; wi < n_words; ++wi) {
     uint16_t w = 0;
     int64_t base = wi * WAH_BITS;
     int64_t lim = base + WAH_BITS < n ? WAH_BITS : n - base;
     for (int64_t j = 0; j < lim; ++j)
       w |= uint16_t(bits[base + j] != 0) << j;
-    if (w == 0 || w == WAH_ALL_SET) {
-      if (run_len && run_word != w) flush();
-      run_word = w;
-      if (++run_len == WAH_MAX_COUNTER) flush();
-    } else {
-      flush();
-      out->push_back(w);
-    }
+    run.word(w, out);
   }
-  flush();
+  run.flush(out);
 }
 
 void wah_encode_flags(const std::vector<uint8_t> &flags,
@@ -108,35 +120,7 @@ struct GtEncoder {
   std::vector<int64_t> acs;      // scratch: per-allele counts
   std::vector<uint32_t> idx;     // scratch: sparse index collector
 
-  // Streaming WAH run state for the fused encode pass (identical output
-  // to wah_encode_bits: fill runs saturate at 16383 words, literals
-  // flush).
-  uint16_t run_word_ = 0;
-  uint32_t run_len_ = 0;
-
-  void wah_run_reset() {
-    run_word_ = 0;
-    run_len_ = 0;
-  }
-
-  void wah_run_flush(std::vector<uint16_t> *out) {
-    if (!run_len_) return;
-    uint16_t w = WAH_HIGH_BIT | uint16_t(run_len_);
-    if (run_word_ == WAH_ALL_SET) w |= WAH_COUNT_1_BIT;
-    out->push_back(w);
-    run_len_ = 0;
-  }
-
-  void wah_run_word(uint16_t w, std::vector<uint16_t> *out) {
-    if (w == 0 || w == WAH_ALL_SET) {
-      if (run_len_ && run_word_ != w) wah_run_flush(out);
-      run_word_ = w;
-      if (++run_len_ == WAH_MAX_COUNTER) wah_run_flush(out);
-    } else {
-      wah_run_flush(out);
-      out->push_back(w);
-    }
-  }
+  WahRun wah_run_;  // streaming run state for the fused encode pass
   int bcf_lines = 0;
   int64_t binary_lines = 0;
   int max_vector_length = 1;
@@ -302,21 +286,21 @@ struct GtEncoder {
           int lo = 0;
           uint16_t w = 0;
           int wbit = 0;
-          wah_run_reset();
+          wah_run_ = WahRun();
           for (int j = 0; j < n_haps; ++j) {
             int32_t hap = a[j];
             uint16_t key = alleles[size_t(hap)] == alt;
             w |= uint16_t(key << wbit);
             if (++wbit == WAH_BITS) {
-              wah_run_word(w, &wah_words);
+              wah_run_.word(w, &wah_words);
               w = 0;
               wbit = 0;
             }
             if (key) ones_buf.push_back(hap);
             else a_next[lo++] = hap;
           }
-          if (wbit) wah_run_word(w, &wah_words);  // zero-padded tail word
-          wah_run_flush(&wah_words);
+          if (wbit) wah_run_.word(w, &wah_words);  // zero-padded tail
+          wah_run_.flush(&wah_words);
           memcpy(a_next.data() + lo, ones_buf.data(),
                  ones_buf.size() * sizeof(int32_t));
           a.swap(a_next);

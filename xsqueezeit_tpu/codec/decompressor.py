@@ -174,14 +174,30 @@ class Decompressor:
             self._nat_acc = acc
         return acc
 
+    def close(self) -> None:
+        acc = getattr(self, "_nat_acc", None)
+        if acc not in (None, False):
+            acc.close()
+        self._nat_acc = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def decode_bm(self, bm: int, n_alleles: int) -> np.ndarray:
         acc = self._native_accessor()
         if acc is not False:
             try:
                 return acc.fill_genotypes_bm(bm, n_alleles)
-            except Exception:
+            except Exception as exc:
                 # unsupported block class (e.g. WS_PBWT_WAH) or old
-                # container: fall back to the NumPy decoder for good
+                # container: fall back to the NumPy decoder for good —
+                # say so, a silent 9x slowdown is undebuggable
+                import sys
+                print(f"xsi: native decode fell back to NumPy: {exc}",
+                      file=sys.stderr)
                 acc.close()
                 self._nat_acc = False
         block_id = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS

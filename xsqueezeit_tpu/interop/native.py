@@ -250,17 +250,22 @@ class NativeGtBatchReader:
                 raise ValueError(
                     f"native BCF parse failed ({n}): "
                     f"{self._lib.xsi_gtb_error(self._h).decode()}")
-            # Hand consumers views into THIS batch's gt buffer and grab a
-            # fresh one for the next fill (consumers may retain rows across
-            # batches, e.g. the dispatcher's pending list) — one memory
-            # pass instead of fill+copy.
+            # Full batches: hand consumers views into THIS batch's gt
+            # buffer and grab a fresh one for the next fill (consumers may
+            # retain rows, e.g. the dispatcher's pending list) — one memory
+            # pass instead of fill+copy.  Short batches (final/carry) copy
+            # the used region instead: a retained view would otherwise pin
+            # the whole capacity allocation (~266 MB at HRC width).
             sh_bytes = self._sh[: self._sh_off[n]].tobytes()
-            gt_all = self._gt
             offs = self._gt_off[: n + 1].copy()
             na = self._na[:n].copy()
             pl = self._pl[:n].copy()
             sh_offs = self._sh_off[: n + 1].copy()
-            self._gt = np.empty_like(self._gt)
+            if n >= self.batch_recs:
+                gt_all = self._gt
+                self._gt = np.empty_like(self._gt)
+            else:
+                gt_all = self._gt[: offs[n]].copy()
             for r in range(n):
                 gt = gt_all[offs[r]:offs[r + 1]]
                 yield (sh_bytes[sh_offs[r]:sh_offs[r + 1]],
