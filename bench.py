@@ -126,7 +126,13 @@ def main():
         wah_rows_p[:n_wah] = wah_rows
         sorts_w = np.zeros(lw, bool)
         sorts_w[:n_wah] = True
-        return is_wah, negated, wah_rows_p, sorts_w
+        sparse_rows = np.flatnonzero(~is_wah)
+        ls = bucket(max(sparse_rows.shape[0], 1))
+        sparse_rows_p = np.zeros(ls, np.int32)
+        sparse_rows_p[:sparse_rows.shape[0]] = sparse_rows
+        negated_s = np.zeros(ls, bool)
+        negated_s[:sparse_rows.shape[0]] = negated[sparse_rows]
+        return is_wah, negated, wah_rows_p, sorts_w, sparse_rows_p, negated_s
 
     staged_cls = [jax.device_put(jnp.asarray(x), dev)
                   for x in line_classes()]

@@ -43,19 +43,26 @@ def test_sharded_encoder_matches_single_device():
     Lw = L  # tiny grids: no bucketing needed in the test
     wah_rows = np.zeros((B, Lw), np.int32)
     sorts_w = np.zeros((B, Lw), bool)
+    sparse_rows = np.zeros((B, Lw), np.int32)
+    negated_s = np.zeros((B, Lw), bool)
     for b in range(B):
         wr = np.flatnonzero(is_wah[b])
         wah_rows[b, : wr.shape[0]] = wr
         sorts_w[b, : wr.shape[0]] = True
+        sr = np.flatnonzero(~is_wah[b])
+        sparse_rows[b, : sr.shape[0]] = sr
+        negated_s[b, : sr.shape[0]] = negated[b][sr]
 
     out = make_sharded_encoder(mesh, sparse_cap=4)(
         jnp.asarray(alleles), jnp.asarray(alts), jnp.asarray(is_wah),
-        jnp.asarray(negated), jnp.asarray(wah_rows), jnp.asarray(sorts_w))
+        jnp.asarray(negated), jnp.asarray(wah_rows), jnp.asarray(sorts_w),
+        jnp.asarray(sparse_rows), jnp.asarray(negated_s))
     for b in range(B):
         single = _encode_block_device_compact(
             jnp.asarray(alleles[b]), jnp.asarray(alts[b]),
             jnp.asarray(is_wah[b]), jnp.asarray(negated[b]),
-            jnp.asarray(wah_rows[b]), jnp.asarray(sorts_w[b]), 4)
+            jnp.asarray(wah_rows[b]), jnp.asarray(sorts_w[b]),
+            jnp.asarray(sparse_rows[b]), jnp.asarray(negated_s[b]), 4)
         np.testing.assert_array_equal(np.asarray(out["wah_words"][b]),
                                       np.asarray(single["wah_words"]))
         np.testing.assert_array_equal(np.asarray(out["wah_len"][b]),

@@ -214,6 +214,23 @@ class BlockEncoderBase:
         wah_rows_p[:n_wah] = wah_rows
         sorts_w = np.zeros(Lw_pad, bool)
         sorts_w[:n_wah] = True
+
+        # Sparse rows compact the same way (the carrier extraction used to
+        # scan the WAH rows too, half the traffic on a chr20-like mix).
+        sparse_rows = np.flatnonzero(~is_wah)
+        n_sparse = sparse_rows.shape[0]
+        if not pad:
+            Ls_pad = max(n_sparse, 1)
+        elif H > 16384:
+            q = max(L_pad // 4, 256)
+            Ls_pad = min(-(-max(n_sparse, 1) // q) * q, L_pad)
+        else:
+            Ls_pad = bucket(max(n_sparse, 1))
+        sparse_rows_p = np.zeros(Ls_pad, np.int32)
+        sparse_rows_p[:n_sparse] = sparse_rows
+        # padding rows replicate row 0 harmlessly; negated mask padded False
+        negated_s = np.zeros(Ls_pad, bool)
+        negated_s[:n_sparse] = negated[sparse_rows]
         alleles_p = alleles
         alts_p = np.asarray(alt_of_line, np.int32)
         hap_line_p = hap_line
@@ -237,7 +254,9 @@ class BlockEncoderBase:
                     alleles_p=alleles_p, alts_p=alts_p,
                     is_wah=is_wah, negated=negated,
                     is_wah_p=is_wah_p, negated_p=negated_p,
-                    wah_rows_p=wah_rows_p, sorts_w=sorts_w, n_wah=n_wah)
+                    wah_rows_p=wah_rows_p, sorts_w=sorts_w, n_wah=n_wah,
+                    sparse_rows_p=sparse_rows_p, negated_s=negated_s,
+                    n_sparse=n_sparse)
 
     def assemble(self, out: dict, prep: dict) -> bytes:
         """Payload assembly from the core outputs (sliced to [:L]).
@@ -356,6 +375,11 @@ class BlockEncoderBase:
         if "sparse_csr" in out:
             payload.extend(self._assemble_sparse_csr(
                 out["sparse_csr"], out["sparse_len"], negated[~is_wah]))
+        elif out.get("sparse_compact"):
+            # compacted grid: rows are the sparse lines in line order
+            payload.extend(self._assemble_sparse(
+                out["sparse_idx"], out["sparse_len"], negated[~is_wah],
+                np.ones(out["sparse_idx"].shape[0], bool)))
         else:
             sparse_idx = out["sparse_idx"]
             if hap_line is not None and hap_line.any():

@@ -99,7 +99,8 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
 
 
 def encode_block_core_compact(alleles, alts, is_wah, negated, wah_rows,
-                              sorts_w, sparse_cap):
+                              sorts_w, sparse_cap, sparse_rows=None,
+                              negated_s=None):
     """Device encode body with host-known line classes — the production
     fast path.
 
@@ -130,11 +131,28 @@ def encode_block_core_compact(alleles, alts, is_wah, negated, wah_rows,
     words = wah_jax.pack_bits(ys)
     wah_words, wah_len = wah_jax.wah_compress_words(words)
 
-    mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
+    # Sparse extraction over the gathered SPARSE rows only (same
+    # compaction trick as the chain: the old full-grid form scanned the
+    # WAH rows just to zero them).  Falls back to the full grid when the
+    # caller has no row list (legacy mesh/test paths).
+    if sparse_rows is not None:
+        sp = jnp.take(alleles, sparse_rows, axis=0)
+        sp_alts = jnp.take(alts, sparse_rows, axis=0)
+        sp_allele = jnp.where(negated_s, 0, sp_alts)
+        mask = sp.astype(jnp.int32) == sp_allele[:, None]
+        Lr = sp.shape[0]
+        zero_wah = None     # rows are sparse by construction
+    else:
+        sparse_allele = jnp.where(negated, 0, alts)
+        mask = alleles.astype(jnp.int32) == sparse_allele[:, None]
+        Lr = L
+        zero_wah = is_wah
     sparse_len = jnp.sum(mask, axis=1)
     iota = jnp.arange(H, dtype=jnp.int32)
     if sparse_cap <= 32:
-        m8 = jnp.where(is_wah[:, None], 0, mask.astype(jnp.int8))
+        m8 = mask.astype(jnp.int8)
+        if zero_wah is not None:
+            m8 = jnp.where(zero_wah[:, None], 0, m8)
         code = jnp.cumsum(m8, axis=1)
         code = jnp.where(m8 != 0, code, 0)
         sparse_idx = jnp.stack(
@@ -142,7 +160,7 @@ def encode_block_core_compact(alleles, alts, is_wah, negated, wah_rows,
                      axis=1) for k in range(sparse_cap)], axis=1)
     else:
         hb = pbwt_jax._hap_bits(H)
-        idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (L, H))
+        idx = jnp.broadcast_to(jnp.arange(H, dtype=jnp.uint32), (Lr, H))
         sparse_key = jnp.where(mask, idx, idx | jnp.uint32(1 << hb))
         s = jax.lax.sort(sparse_key, dimension=1,
                          is_stable=False)[:, :sparse_cap]
@@ -158,9 +176,12 @@ def encode_block_core_compact(alleles, alts, is_wah, negated, wah_rows,
 
 @functools.partial(jax.jit, static_argnames=("sparse_cap",))
 def _encode_block_device_compact(alleles, alts, is_wah, negated, wah_rows,
-                                 sorts_w, sparse_cap):
+                                 sorts_w, sparse_rows, negated_s,
+                                 sparse_cap):
     return encode_block_core_compact(alleles, alts, is_wah, negated,
-                                     wah_rows, sorts_w, sparse_cap)
+                                     wah_rows, sorts_w, sparse_cap,
+                                     sparse_rows=sparse_rows,
+                                     negated_s=negated_s)
 
 
 def encode_block_core_mixed(alleles, alts, hap_line, mac_threshold,
@@ -309,16 +330,18 @@ class DeviceBlockEncoder(BlockEncoderBase):
                 jnp.asarray(prep["alleles_p"]), jnp.asarray(prep["alts_p"]),
                 jnp.asarray(prep["is_wah_p"]), jnp.asarray(prep["negated_p"]),
                 jnp.asarray(prep["wah_rows_p"]), jnp.asarray(prep["sorts_w"]),
-                sparse_cap)
-            n_wah = prep["n_wah"]
+                jnp.asarray(prep["sparse_rows_p"]),
+                jnp.asarray(prep["negated_s"]), sparse_cap)
+            n_wah, n_sparse = prep["n_wah"], prep["n_sparse"]
             out = {
                 "is_wah": prep["is_wah"],
                 "negated": prep["negated"],
                 "wah_compact": True,
+                "sparse_compact": True,
                 "wah_words": np.asarray(out["wah_words"])[:n_wah],
                 "wah_len": np.asarray(out["wah_len"])[:n_wah],
-                "sparse_idx": np.asarray(out["sparse_idx"])[:L],
-                "sparse_len": np.asarray(out["sparse_len"])[:L],
+                "sparse_idx": np.asarray(out["sparse_idx"])[:n_sparse],
+                "sparse_len": np.asarray(out["sparse_len"])[:n_sparse],
             }
         return self.assemble(out, prep)
 

@@ -53,24 +53,31 @@ def make_sharded_encoder(mesh: Mesh, axis: str = "blocks",
 
     Returned fn: (alleles int8[B, L, H], alts int32[B, L],
                   is_wah bool[B, L], negated bool[B, L],
-                  wah_rows int32[B, Lw], sorts_w bool[B, Lw]) ->
+                  wah_rows int32[B, Lw], sorts_w bool[B, Lw],
+                  sparse_rows int32[B, Ls], negated_s bool[B, Ls]) ->
         dict of per-block outputs gathered in block order +
         "total_bytes" (psum over all devices).
     """
     from ..codec.encoder_jax import encode_block_core_compact
 
-    def one(al, at, iw, ng, wr, sw):
-        out = encode_block_core_compact(al, at, iw, ng, wr, sw, sparse_cap)
+    def one(al, at, iw, ng, wr, sw, sr, ns):
+        out = encode_block_core_compact(al, at, iw, ng, wr, sw, sparse_cap,
+                                        sparse_rows=sr, negated_s=ns)
         # sparse entries serialize in A_T units: 2 B while n_haps fits u16
         aet_bytes = 2 if al.shape[1] <= 0xFFFF else 4
+        # valid sparse rows are front-packed; padding block lines carry
+        # alts = -100, so the true count excludes them
+        n_sp = jnp.sum((~iw & (at >= 0)).astype(jnp.int32))
         out["n_bytes"] = (jnp.sum(jnp.where(sw, out["wah_len"], 0)) * 2
-                          + jnp.sum(jnp.where(iw, 0, out["sparse_len"] + 1))
-                          * aet_bytes)
+                          + jnp.sum(jnp.where(
+                              jnp.arange(ns.shape[0]) < n_sp,
+                              out["sparse_len"] + 1, 0)) * aet_bytes)
         return out
 
-    def per_shard(alleles, alts, is_wah, negated, wah_rows, sorts_w):
+    def per_shard(alleles, alts, is_wah, negated, wah_rows, sorts_w,
+                  sparse_rows, negated_s):
         out = jax.vmap(one)(alleles, alts, is_wah, negated, wah_rows,
-                            sorts_w)
+                            sorts_w, sparse_rows, negated_s)
         local_bytes = jnp.sum(out.pop("n_bytes"))
         out["total_bytes"] = jax.lax.psum(local_bytes, axis)
         return out
@@ -80,7 +87,8 @@ def make_sharded_encoder(mesh: Mesh, axis: str = "blocks",
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None), P(axis, None),
-                  P(axis, None), P(axis, None), P(axis, None)),
+                  P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None)),
         out_specs={
             "wah_words": P(axis, None, None),
             "wah_len": P(axis, None),
@@ -140,6 +148,7 @@ class MeshBlockEncoder:
                     zip(encoders, preps)]
         L_pad = max(p["alleles_p"].shape[0] for p in preps)
         Lw_pad = max(p["wah_rows_p"].shape[0] for p in preps)
+        Ls_pad = max(p["sparse_rows_p"].shape[0] for p in preps)
         B = len(preps)
         B_pad = -(-B // self.n_dev) * self.n_dev
         alleles = np.full((B_pad, L_pad, H), -3, np.int16)
@@ -148,30 +157,37 @@ class MeshBlockEncoder:
         negated = np.zeros((B_pad, L_pad), bool)
         wah_rows = np.zeros((B_pad, Lw_pad), np.int32)
         sorts_w = np.zeros((B_pad, Lw_pad), bool)
+        sparse_rows = np.zeros((B_pad, Ls_pad), np.int32)
+        negated_s = np.zeros((B_pad, Ls_pad), bool)
         for i, p in enumerate(preps):
             lp = p["alleles_p"].shape[0]
             lw = p["wah_rows_p"].shape[0]
+            ls = p["sparse_rows_p"].shape[0]
             alleles[i, :lp] = p["alleles_p"]
             alts[i, :lp] = p["alts_p"]
             is_wah[i, :lp] = p["is_wah_p"]
             negated[i, :lp] = p["negated_p"]
             wah_rows[i, :lw] = p["wah_rows_p"]
             sorts_w[i, :lw] = p["sorts_w"]
+            sparse_rows[i, :ls] = p["sparse_rows_p"]
+            negated_s[i, :ls] = p["negated_s"]
         out = self._fn(jnp.asarray(alleles), jnp.asarray(alts),
                        jnp.asarray(is_wah), jnp.asarray(negated),
-                       jnp.asarray(wah_rows), jnp.asarray(sorts_w))
+                       jnp.asarray(wah_rows), jnp.asarray(sorts_w),
+                       jnp.asarray(sparse_rows), jnp.asarray(negated_s))
         out = {k: np.asarray(v) for k, v in out.items() if k != "total_bytes"}
         payloads = []
         for i, (e, p) in enumerate(zip(encoders, preps)):
-            nw, L = p["n_wah"], p["L"]
+            nw, ns = p["n_wah"], p["n_sparse"]
             block_out = {
                 "is_wah": p["is_wah"],
                 "negated": p["negated"],
                 "wah_compact": True,
+                "sparse_compact": True,
                 "wah_words": out["wah_words"][i][:nw],
                 "wah_len": out["wah_len"][i][:nw],
-                "sparse_idx": out["sparse_idx"][i][:L],
-                "sparse_len": out["sparse_len"][i][:L],
+                "sparse_idx": out["sparse_idx"][i][:ns],
+                "sparse_len": out["sparse_len"][i][:ns],
             }
             payloads.append(e.assemble(block_out, p))
         return payloads
