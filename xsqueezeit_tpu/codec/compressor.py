@@ -91,8 +91,10 @@ def _device_encoder_cls(device: str):
 
 
 class BlockEncodeDispatcher:
-    """Buffers one block of records and picks the device or NumPy encoder
-    at flush time (device requires a uniformly diploid block).
+    """Buffers one block of records and picks the device or native/NumPy
+    host encoder at flush time (the device path covers uniform AND
+    mixed-ploidy blocks; only tiny blocks and ploidy-2+ oddities stay on
+    the host).
 
     With more than one local device, eligible blocks batch through a
     shard_map'd encode over a block-axis Mesh (parallel/shard.py

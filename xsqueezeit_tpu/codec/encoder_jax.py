@@ -8,12 +8,15 @@ Encodes a whole block of diploid records in one fused device pipeline:
 
 The host then assembles the byte-exact GT block payload (identical to
 GtBlockEncoder.serialize()).  Exception tracks (missing / end-of-vector /
-non-uniform phasing) are detected on device via per-line flags but encoded
-host-side -- they are rare by construction and sit outside the hot loop.
+non-uniform phasing) batch through one device dispatch when enough records
+are flagged, else encode with vectorized numpy (rare by construction).
 
-Eligibility: every record in the block is ploidy-2 (the reference's own
-fast-path assumption); blocks containing haploid lines fall back to the
-NumPy encoder.
+The production path is encode_block_core_compact: line classes are
+host-known (parse-time carrier counts), so the PBWT chain runs over the
+gathered WAH rows and the carrier compaction over the gathered sparse
+rows.  Uniformly-haploid blocks run the same kernels at H = n_samples;
+MIXED-ploidy blocks take the parity-carrying core
+(encode_block_core_mixed).  Only ploidy > 2 is rejected.
 """
 from __future__ import annotations
 
