@@ -178,7 +178,10 @@ class Decompressor:
         acc = getattr(self, "_nat_acc", None)
         if acc not in (None, False):
             acc.close()
-        self._nat_acc = None
+            # None = may probe again; a sticky False (fallback after a
+            # decode failure) must stay False or close() would retrigger
+            # the probe/fail/log cycle
+            self._nat_acc = None
 
     def __del__(self):
         try:
