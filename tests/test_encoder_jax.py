@@ -195,3 +195,35 @@ def test_hrc_width_wah_bucket_quarters():
         # L=512 records -> L_pad=512, quarter q=max(512//4,256)=256
         assert prep["wah_rows_p"].shape[0] == want, \
             (n_common, prep["wah_rows_p"].shape[0])
+
+
+def test_large_threshold_sort_branch():
+    """mac_threshold > 32 routes the compact kernel's carrier extraction
+    through the batched-sort branch (the HRC regime: threshold = 64) —
+    byte-identity + decode round trip on both index widths."""
+    from xsqueezeit_tpu.codec.gt_block_decoder import GtBlockDecoder
+
+    rng = np.random.default_rng(21)
+    n_samples = 120  # H=240, thr=40 -> plenty of sparse lines below 40
+    records = []
+    for i in range(40):
+        p = [0.01, 0.12, 0.5, 0.99][i % 4]
+        records.append(make_record(rng, n_samples, p_alt=p,
+                                   p_missing=0.02 if i % 5 == 0 else 0.0))
+    for aet in (np.uint16, np.uint32):
+        kw = dict(block_bcf_lines=100, mac_threshold=40, default_phasing=1,
+                  aet_dtype=aet)
+        ref = GtBlockEncoder(n_samples, **kw)
+        dev = DeviceBlockEncoder(n_samples, **kw)
+        for gt, na in records:
+            ref.encode_record(gt, na)
+            dev.encode_record(gt, na)
+        a, b = ref.serialize(), dev.serialize()
+        assert a == b, f"aet={np.dtype(aet).name}: {len(a)} vs {len(b)}"
+        dec = GtBlockDecoder(b, n_samples, 2 * n_samples, aet_dtype=aet)
+        pos = 0
+        for gt, na in records:
+            dec.seek(pos)
+            np.testing.assert_array_equal(
+                dec.fill_genotype_array_advance(na), gt)
+            pos += na - 1
