@@ -254,3 +254,35 @@ def test_wah_expand_wide_regime_routes_to_rows_kernel():
     got = np.asarray(wah_expand_pallas(jnp.asarray(stream), L, W,
                                        interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_full_encoder_serialize_interpret_mode(monkeypatch):
+    """The production serialize (compact cores incl. gathered WAH/sparse
+    rows) through the Pallas branch in interpreter mode must stay
+    byte-identical to the per-record oracle."""
+    from xsqueezeit_tpu.codec.encoder_jax import DeviceBlockEncoder
+    from xsqueezeit_tpu.codec.gt_block import GtBlockEncoder
+    from xsqueezeit_tpu.ops import pbwt_jax as pj
+    from tests.gt_synth import make_record
+
+    monkeypatch.setenv("XSI_PALLAS", "interpret")
+    pj._use_pallas.cache_clear()
+    pj._pallas_interpret.cache_clear()
+    try:
+        rng = np.random.default_rng(66)
+        records = []
+        for i in range(30):
+            p = [0.01, 0.3, 0.6, 0.99][i % 4]
+            records.append(make_record(rng, 70, p_alt=p,
+                                       p_missing=0.02 if i % 6 == 0 else 0))
+        kw = dict(block_bcf_lines=100, mac_threshold=3, default_phasing=1,
+                  aet_dtype=np.uint16)
+        ref = GtBlockEncoder(70, **kw)
+        dev = DeviceBlockEncoder(70, **kw)
+        for gt, na in records:
+            ref.encode_record(gt, na)
+            dev.encode_record(gt, na)
+        assert ref.serialize() == dev.serialize()
+    finally:
+        pj._use_pallas.cache_clear()
+        pj._pallas_interpret.cache_clear()
