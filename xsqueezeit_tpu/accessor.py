@@ -14,7 +14,6 @@ Typical third-party integration (the SHAPEIT4 pattern):
 """
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import numpy as np

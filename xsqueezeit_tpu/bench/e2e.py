@@ -16,7 +16,6 @@ alone overstates user-visible speed.  This tool measures what a user sees:
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 

@@ -15,7 +15,6 @@ import time
 import numpy as np
 
 from ..accessor import Accessor
-from ..format.constants import XSI_BCF_VAR_EXTENSION
 from ..io.bcf import BcfReader
 from ..io.unified import GtInput
 from ..ops import wah_np
@@ -26,7 +25,6 @@ def _is_xsi(path: str) -> bool:
         return True
     try:
         with open(path, "rb") as f:
-            import struct
             head = f.read(8)
             return len(head) == 8 and head[4:8] == bytes.fromhex("6717edfe")
     except OSError:

@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..format.constants import GTDict, INT32_VECTOR_END, WeirdnessStrategy
-from ..format.dictionary import read_dictionary
+from ..format.constants import INT32_VECTOR_END, WeirdnessStrategy
 from ..ops import pbwt_jax, wah_jax, wah_np
 from .gt_block_decoder import GtBlockDecoder
 from ..utils.jaxcache import ensure_compilation_cache

@@ -21,7 +21,7 @@ from ..format.constants import (
 from ..format.container import XsiReader
 from ..io.bcf import BcfHeader, BcfReader, BcfWriter, patch_shared_sample_counts
 from ..io.sites import encode_gt_indiv, render_vcf_cols
-from ..io.vcf import VcfWriter, format_gt
+from ..io.vcf import VcfWriter
 from .gt_block_decoder import GtBlockDecoder
 
 

@@ -20,8 +20,6 @@ optionally wrapped (when the zstd flag is set) as
 """
 from __future__ import annotations
 
-import io
-import os
 from dataclasses import dataclass, field
 
 import numpy as np

@@ -17,13 +17,11 @@ from __future__ import annotations
 
 import gzip
 import io
-import os
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..format.constants import INT32_VECTOR_END
-from .bgzf import BgzfReader, is_gzip
 
 
 @dataclass

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .wah_jax import ALL_SET, HIGH, MAXC, ONE, WAH_BITS, n_words_for
+from .wah_jax import ALL_SET, HIGH, MAXC, ONE
 
 LANE = 128
 

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import pbwt_jax, wah_jax
 from ..utils.jaxcache import ensure_compilation_cache

@@ -25,11 +25,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..format.constants import INT32_MISSING, INT32_VECTOR_END
+from ..format.constants import INT32_VECTOR_END
 from ..io.bcf import BcfRecord, BcfWriter, patch_shared_sample_counts
 from ..io.sites import encode_gt_indiv, render_vcf_cols
 from ..io.unified import GtInput
-from ..io.vcf import VcfWriter, format_gt
+from ..io.vcf import VcfWriter
 
 
 class _RecordWriter:
