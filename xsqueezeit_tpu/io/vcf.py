@@ -264,8 +264,13 @@ class VcfWriter:
             self._f = sys.stdout
             self._close = False
         elif compress:
+            import os as _os
+
             from .bgzf import BgzfWriter
-            self._raw = BgzfWriter(path)
+            # text deflate dominates -O z; parallel BGZF members on
+            # multi-core hosts (same pool the BCF writers use)
+            self._raw = BgzfWriter(path,
+                                   threads=min(4, _os.cpu_count() or 1))
             self._f = io.TextIOWrapper(self._raw)
             self._close = True
         else:
