@@ -89,3 +89,41 @@ def test_compressor_writes_csi_and_region_path_matches(tmp_path):
     body = lambda p: [l for l in open(p) if not l.startswith("#")]
     assert body(out_idx) == body(out_lin)
     assert len(body(out_idx)) > 0
+
+
+def test_add_many_matches_scalar_adds(tmp_path):
+    """CsiBuilder.add_many (vectorized bulk path used by the native
+    variant pass) must write a byte-identical .csi to per-record add()."""
+    import numpy as np
+
+    from xsqueezeit_tpu.io.csi import CsiBuilder
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    # two contigs, position-sorted, variable record lengths incl. spanning
+    rid = np.sort(rng.integers(0, 2, n))
+    pos = np.zeros(n, np.int64)
+    for r in (0, 1):
+        m = rid == r
+        pos[m] = np.sort(rng.integers(0, 5_000_000, int(m.sum())))
+    rlen = rng.choice([1, 1, 1, 50, 40000], size=n)
+    end = pos + rlen
+    # ascending fake voffsets, contiguous for most records (chunk merging)
+    sizes = rng.integers(30, 90, n).astype(np.uint64)
+    vend = np.cumsum(sizes) << np.uint64(16)
+    vbeg = np.concatenate([[0], vend[:-1]]).astype(np.uint64)
+    # inject gaps so not everything merges into one chunk
+    gap = rng.random(n) < 0.05
+    vbeg[gap] += np.uint64(1 << 16)
+
+    a = CsiBuilder()
+    for i in range(n):
+        a.add(int(rid[i]), int(pos[i]), int(end[i]), int(vbeg[i]),
+              int(vend[i]))
+    b = CsiBuilder()
+    b.add_many(rid, pos, end, vbeg, vend)
+    pa, pb = str(tmp_path / "a.csi"), str(tmp_path / "b.csi")
+    a.write(pa, n_ref=2)
+    b.write(pb, n_ref=2)
+    from xsqueezeit_tpu.io.bgzf import BgzfReader
+    assert BgzfReader(pa).read() == BgzfReader(pb).read()

@@ -345,9 +345,7 @@ def variant_pass_native(inp, opts, output_path: str, sniffed_ploidy: int,
     csi = CsiBuilder(depth=depth_for_max_len(
         max(var_header.contig_lengths.values(), default=0)))
     rlen1 = np.maximum(rlen, 1)
-    for i in range(rid.shape[0]):
-        csi.add(int(rid[i]), int(pos[i]), int(pos[i]) + int(rlen1[i]),
-                int(vbeg[i]), int(vend[i]))
+    csi.add_many(rid, pos, pos.astype(np.int64) + rlen1, vbeg, vend)
     csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
     return rid.shape[0], n_variants, max(sniffed_ploidy, max_ploidy)
 

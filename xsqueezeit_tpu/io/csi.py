@@ -85,6 +85,24 @@ class _RefIndex:
     n_mapped: int = 0
 
 
+def _reg2bin_vec(beg, end, min_shift: int, depth: int):
+    """Vectorized reg2bin over int64 arrays (0-based half-open)."""
+    import numpy as np
+
+    e = end - 1
+    out = np.zeros(beg.shape[0], np.int64)
+    done = np.zeros(beg.shape[0], bool)
+    s = min_shift
+    t = ((1 << depth * 3) - 1) // 7
+    for level in range(depth, 0, -1):
+        hit = ~done & ((beg >> s) == (e >> s))
+        out[hit] = t + (beg[hit] >> s)
+        done |= hit
+        s += 3
+        t -= 1 << (3 * (level - 1))
+    return out
+
+
 class CsiBuilder:
     """Accumulates (rid, beg, end, voffsets) and writes a .csi file.
 
@@ -125,6 +143,88 @@ class CsiBuilder:
             ref.off_beg = voff_beg
         ref.off_end = voff_end
         ref.n_mapped += 1
+
+    def add_many(self, rid, beg, end, voff_beg, voff_end) -> None:
+        """Vectorized bulk `add` over position-sorted record arrays — the
+        per-record loop caps at ~300k adds/s (minutes at chromosome scale
+        now that everything around it is native).  Byte-identical .csi to
+        the scalar path (pinned by tests/test_csi.py)."""
+        import numpy as np
+
+        rid = np.asarray(rid, np.int64)
+        beg = np.asarray(beg, np.int64)
+        end = np.maximum(np.asarray(end, np.int64), beg + 1)
+        vb = np.asarray(voff_beg, np.uint64)
+        ve = np.asarray(voff_end, np.uint64)
+        n = rid.shape[0]
+        if n == 0:
+            return
+        limit = 1 << (self.min_shift + 3 * self.depth)
+        if int(end.max()) > limit:
+            bad = int(end.max())
+            raise ValueError(
+                f"record at [?, {bad}) exceeds the CSI addressable range "
+                f"2^{self.min_shift + 3 * self.depth} for min_shift="
+                f"{self.min_shift} depth={self.depth}; the contig is longer "
+                f"than its ##contig length= declared")
+        bins = _reg2bin_vec(beg, end, self.min_shift, self.depth)
+
+        # process per rid (records are rid-grouped in a sorted BCF)
+        change = np.flatnonzero(np.diff(rid)) + 1
+        starts = np.concatenate([[0], change, [n]])
+        for si in range(starts.shape[0] - 1):
+            lo, hi = int(starts[si]), int(starts[si + 1])
+            if lo == hi:
+                continue
+            r = int(rid[lo])
+            ref = self.refs.setdefault(r, _RefIndex())
+            b = bins[lo:hi]
+            vbr, ver = vb[lo:hi], ve[lo:hi]
+            # chunk building: stable-sort records by bin, keeping file
+            # order within each bin; a new chunk starts when the bin
+            # changes or the voffsets aren't contiguous
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            vbs, ves = vbr[order], ver[order]
+            newbin = np.empty(bs.shape[0], bool)
+            newbin[0] = True
+            newbin[1:] = bs[1:] != bs[:-1]
+            split = newbin.copy()
+            split[1:] |= vbs[1:] != ves[:-1]
+            seg = np.cumsum(split) - 1
+            seg_starts = np.flatnonzero(split)
+            seg_ends = np.concatenate([seg_starts[1:] - 1,
+                                       [bs.shape[0] - 1]])
+            for k in range(seg_starts.shape[0]):
+                a, z = int(seg_starts[k]), int(seg_ends[k])
+                chunks = ref.bins.setdefault(int(bs[a]), [])
+                if chunks and chunks[-1][1] == int(vbs[a]):
+                    chunks[-1][1] = int(ves[z])
+                else:
+                    chunks.append([int(vbs[a]), int(ves[z])])
+            # linear index: first (= minimum, records are file-ordered)
+            # voffset per overlapped leaf window
+            w_lo = beg[lo:hi] >> self.min_shift
+            w_hi = (end[lo:hi] - 1) >> self.min_shift
+            spans = (w_hi - w_lo + 1).astype(np.int64)
+            reps = np.repeat(np.arange(hi - lo), spans)
+            offs = np.arange(reps.shape[0]) - np.repeat(
+                np.cumsum(spans) - spans, spans)
+            windows = w_lo[reps] + offs
+            voffs = vbr[reps]
+            # first occurrence wins (voffsets ascend in file order)
+            wvals, first_idx = np.unique(windows, return_index=True)
+            wvoffs = voffs[first_idx]
+            if ref.lidx:
+                for w, v in zip(wvals.tolist(), wvoffs.tolist()):
+                    if w not in ref.lidx or ref.lidx[w] > v:
+                        ref.lidx[w] = v
+            else:
+                ref.lidx = dict(zip(wvals.tolist(), wvoffs.tolist()))
+            if ref.off_beg < 0:
+                ref.off_beg = int(vbr[0])
+            ref.off_end = int(ver[-1])
+            ref.n_mapped += hi - lo
 
     def write(self, path: str, n_ref: int | None = None) -> None:
         if n_ref is None:
