@@ -186,12 +186,9 @@ class CsiBuilder:
             order = np.argsort(b, kind="stable")
             bs = b[order]
             vbs, ves = vbr[order], ver[order]
-            newbin = np.empty(bs.shape[0], bool)
-            newbin[0] = True
-            newbin[1:] = bs[1:] != bs[:-1]
-            split = newbin.copy()
-            split[1:] |= vbs[1:] != ves[:-1]
-            seg = np.cumsum(split) - 1
+            split = np.empty(bs.shape[0], bool)
+            split[0] = True
+            split[1:] = (bs[1:] != bs[:-1]) | (vbs[1:] != ves[:-1])
             seg_starts = np.flatnonzero(split)
             seg_ends = np.concatenate([seg_starts[1:] - 1,
                                        [bs.shape[0] - 1]])
@@ -206,14 +203,28 @@ class CsiBuilder:
             # voffset per overlapped leaf window
             w_lo = beg[lo:hi] >> self.min_shift
             w_hi = (end[lo:hi] - 1) >> self.min_shift
-            spans = (w_hi - w_lo + 1).astype(np.int64)
-            reps = np.repeat(np.arange(hi - lo), spans)
-            offs = np.arange(reps.shape[0]) - np.repeat(
-                np.cumsum(spans) - spans, spans)
-            windows = w_lo[reps] + offs
-            voffs = vbr[reps]
-            # first occurrence wins (voffsets ascend in file order)
-            wvals, first_idx = np.unique(windows, return_index=True)
+            if bool((w_hi == w_lo).all()):
+                # no spanning records: w_lo is non-decreasing (positions
+                # sorted), so the first occurrence per window is a
+                # boundary scan, not a sort
+                windows, voffs = w_lo, vbr
+                first = np.empty(windows.shape[0], bool)
+                first[0] = True
+                first[1:] = windows[1:] != windows[:-1]
+                first_idx = np.flatnonzero(first)
+            else:
+                # a spanning record's trailing windows can exceed the
+                # NEXT record's start window, so the expanded stream is
+                # not monotone -- take first occurrence per unique value
+                # (voffsets ascend in file order, so first == minimum)
+                spans = (w_hi - w_lo + 1).astype(np.int64)
+                reps = np.repeat(np.arange(hi - lo), spans)
+                offs = np.arange(reps.shape[0]) - np.repeat(
+                    np.cumsum(spans) - spans, spans)
+                windows = w_lo[reps] + offs
+                voffs = vbr[reps]
+                _, first_idx = np.unique(windows, return_index=True)
+            wvals = windows[first_idx]
             wvoffs = voffs[first_idx]
             if ref.lidx:
                 for w, v in zip(wvals.tolist(), wvoffs.tolist()):
