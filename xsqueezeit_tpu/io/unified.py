@@ -292,125 +292,3 @@ def _count_entries_bcf_py(path: str) -> int:
     return n
 
 
-def count_entries_offsets(path: str, every: int
-                          ) -> tuple[int, "np.ndarray | None"]:
-    """(record count, BGZF virtual offsets of records 0, every, 2*every..)
-    for a BCF — one native frame walk; the offsets let workers seek
-    straight to their block range (no prefix decompression).  Returns
-    (count, None) when the native walk is unavailable or the input is
-    VCF text."""
-    if sniff_format(path) != "bcf":
-        return count_entries(path), None
-    if os.environ.get("XSI_NATIVE_PARSE", "1") in ("0", "off", "no"):
-        return _count_entries_bcf_py(path), None
-    try:
-        import ctypes
-        import struct
-
-        from ..interop.native import build_native
-        lib = ctypes.CDLL(build_native())
-        lib.xsi_bcf_count_offsets.restype = ctypes.c_int64
-        lib.xsi_bcf_count_offsets.argtypes = [
-            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64]
-        r0 = BgzfReader(path)
-        r0.read(5)
-        (l_text,) = struct.unpack("<I", r0.read(4))
-        r0.close()
-        if every > 0:
-            cap = max(os.path.getsize(path) // 28 // every + 2, 16)
-            voffs = np.zeros(cap, np.uint64)
-            vp = voffs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
-        else:
-            cap, voffs, vp = 0, None, None
-        n = lib.xsi_bcf_count_offsets(path.encode(), 9 + l_text, every,
-                                      vp, cap)
-        if n < 0:
-            return _count_entries_bcf_py(path), None
-        if every <= 0:
-            return int(n), None
-        n_marks = min((int(n) + every - 1) // every, cap)
-        return int(n), voffs[:n_marks]
-    except Exception:
-        return _count_entries_bcf_py(path), None
-
-
-def sniff_default_phased(path: str, limit: int = 3) -> int:
-    """Majority phasedness of the second allele over the first `limit` records
-    (reference: xcf.cpp seek_default_phased)."""
-    inp = GtInput(path)
-    counts = [0, 0]
-    n = 0
-    for rec in inp:
-        if rec.gt is None:
-            continue
-        if rec.ploidy == 1:
-            inp.close()
-            return 0
-        second = rec.gt.reshape(-1, rec.ploidy)[:, 1]
-        phased = int((second & 1).sum())
-        counts[1] += phased
-        counts[0] += second.shape[0] - phased
-        n += 1
-        if n >= limit:
-            break
-    inp.close()
-    return 1 if counts[1] >= counts[0] else 0
-
-
-def sniff_max_ploidy_first_entry(path: str) -> int:
-    inp = GtInput(path)
-    for rec in inp:
-        inp.close()
-        return rec.ploidy if rec.gt is not None else 0
-    inp.close()
-    return 0
-
-
-def count_entries(path: str) -> int:
-    """Number of variant records in a VCF/BCF (reference: count_entries,
-    xcf.cpp:318-340).  BCF records are skipped without decoding genotypes."""
-    fmt = sniff_format(path)
-    n = 0
-    if fmt == "bcf":
-        import struct
-        from .bgzf import BgzfReader
-        if os.environ.get("XSI_NATIVE_PARSE", "1") not in ("0", "off", "no"):
-            try:
-                import ctypes
-
-                from ..interop.native import build_native
-                lib = ctypes.CDLL(build_native())
-                lib.xsi_bcf_count.restype = ctypes.c_int64
-                lib.xsi_bcf_count.argtypes = [ctypes.c_char_p,
-                                              ctypes.c_uint64]
-                # the header length lives inside the BGZF stream; read it
-                # from the first member only
-                r0 = BgzfReader(path)
-                r0.read(5)
-                (l_text,) = struct.unpack("<I", r0.read(4))
-                r0.close()
-                got = lib.xsi_bcf_count(path.encode(), 9 + l_text)
-                if got >= 0:
-                    return int(got)
-            except Exception:
-                pass
-        r = BgzfReader(path)
-        r.read(5)
-        (l_text,) = struct.unpack("<I", r.read(4))
-        r.read(l_text)
-        while True:
-            head = r.read(8)
-            if len(head) < 8:
-                break
-            l_shared, l_indiv = struct.unpack("<II", head)
-            r.read(l_shared + l_indiv)
-            n += 1
-        r.close()
-        return n
-    from .vcf import VcfReader
-    v = VcfReader(path)
-    for _ in v:
-        n += 1
-    v.close()
-    return n
