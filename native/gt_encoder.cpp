@@ -155,23 +155,21 @@ struct GtEncoder {
       return false;
     }
     uint64_t head = uint64_t(idx.size()) | (negated ? flag : 0);
+    size_t off = dst->size();
     if (aet_bytes == 2) {
+      dst->resize(off + 2 + 2 * idx.size());
       uint16_t h16 = uint16_t(head);
-      dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&h16),
-                  reinterpret_cast<uint8_t *>(&h16) + 2);
-      for (uint32_t v : idx) {
-        uint16_t v16 = uint16_t(v);
-        dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&v16),
-                    reinterpret_cast<uint8_t *>(&v16) + 2);
+      memcpy(dst->data() + off, &h16, 2);
+      uint8_t *out = dst->data() + off + 2;  // may be odd: memcpy stores
+      for (size_t i = 0; i < idx.size(); ++i) {
+        uint16_t v16 = uint16_t(idx[i]);
+        memcpy(out + 2 * i, &v16, 2);
       }
     } else {
+      dst->resize(off + 4 + 4 * idx.size());
       uint32_t h32 = uint32_t(head);
-      dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&h32),
-                  reinterpret_cast<uint8_t *>(&h32) + 4);
-      for (uint32_t v : idx) {
-        dst->insert(dst->end(), reinterpret_cast<uint8_t *>(&v),
-                    reinterpret_cast<uint8_t *>(&v) + 4);
-      }
+      memcpy(dst->data() + off, &h32, 4);
+      memcpy(dst->data() + off + 4, idx.data(), 4 * idx.size());
     }
     return true;
   }
@@ -496,6 +494,27 @@ void *xsi_enc_open(int n_samples, int block_bcf_lines, int mac_threshold,
 int xsi_enc_record(void *hv, const int32_t *gt, int64_t ngt, int n_alleles) {
   if (!hv || !gt) return -1;
   return static_cast<GtEncoder *>(hv)->encode_record(gt, ngt, n_alleles);
+}
+
+/* Batched encode: records i in [0, n) live at gt_all[offs[i]:offs[i+1]]
+ * with n_alleles[i] ALTs+REF.  One library call per block instead of one
+ * per record (the per-record ctypes crossing dominates sparse blocks).
+ * Returns 0, or the failing encode_record rc; `done` (optional) receives
+ * the count of records successfully encoded before a failure. */
+int xsi_enc_records(void *hv, const int32_t *gt_all, const int64_t *offs,
+                    const int32_t *n_alleles, int n, int *done) {
+  if (!hv || !gt_all || !offs || !n_alleles || n < 0) return -1;
+  GtEncoder *enc = static_cast<GtEncoder *>(hv);
+  for (int i = 0; i < n; ++i) {
+    int rc = enc->encode_record(gt_all + offs[i], offs[i + 1] - offs[i],
+                                n_alleles[i]);
+    if (rc != 0) {
+      if (done) *done = i;
+      return rc;
+    }
+  }
+  if (done) *done = n;
+  return 0;
 }
 
 int64_t xsi_enc_serialize(void *hv, uint8_t *out, int64_t cap) {

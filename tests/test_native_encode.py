@@ -182,3 +182,131 @@ def test_native_variant_pass_matches_python(tmp_path, monkeypatch):
     ra = var_recs(str(tmp_path / "reg.bcf"))
     rb = var_recs(str(tmp_path / "reg2.bcf"))
     assert ra == rb and len(ra) > 0
+
+
+def test_batched_gt_loop_byte_identical(tmp_path, monkeypatch):
+    """The batched GT main loop (GtInput.iter_gt_batches + segment blocks
+    + xsi_enc_records) must produce byte-identical containers to the
+    per-record loop on a kitchen-sink input: mixed ploidy, multi-allelic,
+    missing, EOV, non-uniform phasing, blocks that split parse batches
+    and batches that span blocks."""
+    import hashlib
+
+    from xsqueezeit_tpu.codec.compressor import (
+        CompressorOptions,
+        compress_file,
+    )
+    from xsqueezeit_tpu.io.bcf import BcfHeader, BcfWriter
+    from xsqueezeit_tpu.io.sites import (
+        encode_gt_indiv,
+        encode_shared_from_vcf_cols,
+    )
+    from xsqueezeit_tpu.io.unified import GtInput
+    from tests.gt_synth import make_record
+
+    rng = np.random.default_rng(99)
+    ns = 61
+    h = BcfHeader.from_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=20,length=63025520>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"S{i}" for i in range(ns)))
+    inp = str(tmp_path / "ks.bcf")
+    w = BcfWriter(inp, h)
+    pos = 60000
+    for i in range(700):
+        if i % 11 == 0:
+            gt, na = make_record(rng, ns, haploid=True, p_alt=0.4)
+        elif i % 7 == 0:
+            gt, na = make_record(rng, ns, n_alts=3, p_alt=0.3,
+                                 p_missing=0.05, p_phase_flip=0.1)
+        elif i % 3 == 0:
+            gt, na = make_record(rng, ns, p_alt=0.004)
+        else:
+            gt, na = make_record(rng, ns, p_alt=0.35, p_missing=0.02,
+                                 p_eov=0.03)
+        alt = ",".join("ACGT"[j % 4] for j in range(1, na))
+        shared = encode_shared_from_vcf_cols(
+            h, ["20", str(pos), f"rs{i}", "G", alt, ".", "PASS", "."],
+            n_fmt=1, n_sample=ns)
+        ploidy = 1 if gt.shape[0] == ns else 2
+        w.write_raw(shared, encode_gt_indiv(h, gt, ploidy, ns))
+        pos += 13
+    w.close()
+
+    monkeypatch.delenv("XSI_DEVICE", raising=False)
+    sums = {}
+    real = GtInput.iter_gt_batches
+    # block_length 96 forces batches (1024) to span many blocks; a second
+    # config with block_length 512 covers blocks larger than the tail
+    for bl in (96, 512):
+        for mode in ("batched", "perrec"):
+            monkeypatch.setattr(
+                GtInput, "iter_gt_batches",
+                real if mode == "batched" else (lambda self: None))
+            d = tmp_path / f"{mode}{bl}"
+            d.mkdir()
+            # same basename: the _var.bcf header embeds ##XSI=<basename>
+            out = str(d / "o.xsi")
+            compress_file(inp, out, CompressorOptions(block_length=bl,
+                                                      device="numpy"))
+            sums[(mode, bl)] = tuple(
+                hashlib.sha256(open(out + s, "rb").read()).hexdigest()
+                for s in ("", "_var.bcf", "_var.bcf.csi"))
+        assert sums[("batched", bl)] == sums[("perrec", bl)], bl
+
+    # round trip sanity on the batched container
+    from xsqueezeit_tpu.codec.decompressor import (
+        Decompressor,
+        DecompressorOptions,
+    )
+    back = str(tmp_path / "back.bcf")
+    monkeypatch.setenv("XSI_DEVICE", "numpy")
+    Decompressor(str(tmp_path / "batched96" / "o.xsi"),
+                 DecompressorOptions(output_type="b")).decompress(back)
+    monkeypatch.delenv("XSI_DEVICE", raising=False)
+    a, b = GtInput(inp), GtInput(back)
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(ra.gt, rb.gt, err_msg=f"record {i}")
+    a.close()
+    b.close()
+
+
+def test_batched_gt_loop_no_gt_record_raises(tmp_path, monkeypatch):
+    """A record without usable GT data must fail the batched loop with the
+    same error as the per-record loop."""
+    from xsqueezeit_tpu.codec.compressor import (
+        CompressorOptions,
+        compress_file,
+    )
+    from xsqueezeit_tpu.io.bcf import BcfHeader, BcfWriter
+    from xsqueezeit_tpu.io.sites import (
+        encode_gt_indiv,
+        encode_shared_from_vcf_cols,
+    )
+    from tests.gt_synth import make_record
+
+    rng = np.random.default_rng(3)
+    ns = 7
+    h = BcfHeader.from_text(
+        "##fileformat=VCFv4.2\n"
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "##contig=<ID=20,length=63025520>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"S{i}" for i in range(ns)))
+    inp = str(tmp_path / "nogt.bcf")
+    w = BcfWriter(inp, h)
+    for i in range(3):
+        gt, na = make_record(rng, ns, p_alt=0.3)
+        shared = encode_shared_from_vcf_cols(
+            h, ["20", str(60000 + i), f"rs{i}", "G", "A", ".", "PASS", "."],
+            n_fmt=1 if i != 1 else 0, n_sample=ns)
+        # record 1 carries no FORMAT fields at all
+        w.write_raw(shared, b"" if i == 1
+                    else encode_gt_indiv(h, gt, 2, ns))
+    w.close()
+    monkeypatch.delenv("XSI_DEVICE", raising=False)
+    with pytest.raises(ValueError, match="without GT data"):
+        compress_file(inp, str(tmp_path / "o.xsi"),
+                      CompressorOptions(device="numpy"))

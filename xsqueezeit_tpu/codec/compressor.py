@@ -90,6 +90,33 @@ def _device_encoder_cls(device: str):
         return None
 
 
+class _SegmentBlock:
+    """One block's records as zero-copy slices of parse batches.
+
+    A segment (gt_all, offs, na, lo, hi) references records [lo, hi) of
+    one batch whose gt buffer the reader handed over (ownership transfer,
+    interop.native.NativeGtBatchReader.iter_batches); a block holds the
+    references until its encode completes, then drops them.  No per-record
+    Python objects and no copying — the batched GT loop's whole point."""
+
+    __slots__ = ("segs", "n")
+
+    def __init__(self):
+        self.segs: list = []
+        self.n = 0
+
+    def append(self, gt_all: np.ndarray, offs: np.ndarray, na: np.ndarray,
+               lo: int, hi: int) -> None:
+        self.segs.append((gt_all, offs, na, lo, hi))
+        self.n += hi - lo
+
+    def rows(self):
+        """Iterate (gt_view, n_alleles) across the segments."""
+        for gt_all, offs, na, lo, hi in self.segs:
+            for i in range(lo, hi):
+                yield gt_all[offs[i]:offs[i + 1]], int(na[i])
+
+
 class BlockEncodeDispatcher:
     """Buffers one block of records and picks the device or native/NumPy
     host encoder at flush time (the device path covers uniform AND
@@ -115,6 +142,7 @@ class BlockEncodeDispatcher:
         self.device_cls = device_cls
         self.force_device = force_device
         self.pending: list[tuple[np.ndarray, int]] = []
+        self._buf: _SegmentBlock | None = None  # batch mode current block
         self._executor = None
         self._mesh = None           # lazy: probed on first eligible block
         self._mesh_probed = False
@@ -141,20 +169,57 @@ class BlockEncodeDispatcher:
 
     @property
     def full(self) -> bool:
-        return len(self.pending) >= self.block_length
+        return self.bcf_lines >= self.block_length
 
     @property
     def bcf_lines(self) -> int:
+        if self._buf is not None:
+            return self._buf.n
         return len(self.pending)
+
+    @property
+    def room(self) -> int:
+        return self.block_length - self.bcf_lines
 
     def encode_record(self, gt: np.ndarray, n_alleles: int) -> None:
         self.pending.append((gt, n_alleles))
 
-    def _encode(self, records) -> bytes:
-        from .gt_block import GtBlockEncoder
+    # ------------------------------------------------------------ batch mode
+    def encode_records(self, gt_all: np.ndarray, offs: np.ndarray,
+                       na: np.ndarray, lo: int, hi: int) -> None:
+        """Reference records [lo, hi) of a parse batch in the current
+        block (zero-copy).  A run uses either this or encode_record,
+        never both (the batched GT loop vs the per-record loops)."""
+        assert not self.pending, "mixed per-record and batch dispatch"
+        if self._buf is None:
+            self._buf = _SegmentBlock()
+        self._buf.append(gt_all, offs, na, lo, hi)
 
+    def _take_block(self):
+        """Detach the filled block (segments or per-record list)."""
+        if self._buf is not None:
+            buf, self._buf = self._buf, None
+            return buf
+        records, self.pending = self.pending, []
+        return records
+
+    @staticmethod
+    def _row_lengths(records) -> set[int]:
+        if isinstance(records, _SegmentBlock):
+            out: set[int] = set()
+            for _, offs, _, lo, hi in records.segs:
+                out.update(np.unique(np.diff(offs[lo:hi + 1])).tolist())
+            return out
+        return {g.shape[0] for g, _ in records}
+
+    @staticmethod
+    def _n_records(records) -> int:
+        return (records.n if isinstance(records, _SegmentBlock)
+                else len(records))
+
+    def _encode(self, records) -> bytes:
         n_samples = self.n_haps // 2
-        lengths = {g.shape[0] for g, _ in records}
+        lengths = self._row_lengths(records)
         # Uniform blocks take the chunked device pipeline; mixed-ploidy
         # blocks (haploid + diploid interleaved) take the parity-carrying
         # device path (encoder_jax.encode_block_core_mixed).  Anything
@@ -164,7 +229,8 @@ class BlockEncodeDispatcher:
         # latency (seconds over a tunneled chip) dwarfs the compute.
         # device="jax" (option or env) forces the device path regardless.
         big_enough = (self.force_device
-                      or len(records) * self.n_haps >= _device_min_cells())
+                      or self._n_records(records) * self.n_haps
+                      >= _device_min_cells())
         # Host blocks use the per-record encoder — native C++ when the lib
         # builds (gt_encoder.cpp, byte-identical, ~10x), else the Python
         # oracle.  (A vectorized whole-block host encoder was built and
@@ -176,21 +242,31 @@ class BlockEncodeDispatcher:
         else:
             cls = _host_encoder_cls()
         enc = cls(**self._kw)
-        for gt, na in records:
-            enc.encode_record(gt, na)
+        if (isinstance(records, _SegmentBlock)
+                and hasattr(enc, "encode_records")):
+            # one library call per parse-batch segment (native encoder):
+            # a handful of ctypes crossings per block instead of one per
+            # record, no per-record Python at all
+            for gt_all, offs, na, lo, hi in records.segs:
+                enc.encode_records(gt_all, offs, na, lo, hi)
+        else:
+            rows = (records.rows() if isinstance(records, _SegmentBlock)
+                    else records)
+            for gt, na in rows:
+                enc.encode_record(gt, na)
         return enc.serialize()
 
     def serialize(self) -> bytes:
-        records, self.pending = self.pending, []
-        return self._encode(records)
+        return self._encode(self._take_block())
 
     # ------------------------------------------------------- mesh batching
     def _device_eligible(self, records) -> bool:
-        lengths = {g.shape[0] for g, _ in records}
+        lengths = self._row_lengths(records)
         n_samples = self.n_haps // 2
         uniform = lengths in ({self.n_haps}, {n_samples})
         big_enough = (self.force_device
-                      or len(records) * self.n_haps >= _device_min_cells())
+                      or self._n_records(records) * self.n_haps
+                      >= _device_min_cells())
         return self.device_cls is not None and uniform and big_enough
 
     def _probe_mesh(self):
@@ -247,11 +323,13 @@ class BlockEncodeDispatcher:
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(
                 max_workers=self.encode_workers)
-        records, self.pending = self.pending, []
+        records = self._take_block()
         if self._device_eligible(records) and self._probe_mesh() is not None:
             from concurrent.futures import Future
             enc = self.device_cls(**self._kw)
-            for gt, na in records:
+            rows = (records.rows() if isinstance(records, _SegmentBlock)
+                    else records)
+            for gt, na in rows:
                 enc.encode_record(gt, na)
             fut = Future()
             self._batch.append((enc, fut))
@@ -443,6 +521,36 @@ def compress_file(input_path: str, output_path: str,
         inp.close()
 
 
+def _gt_loop_batched(batches, block, opts, seen_max_ploidy,
+                     drain_after_submit) -> tuple[int, int]:
+    """The GT main loop over whole parse batches: validation is vectorized
+    and records land in the dispatcher's pooled block buffers (no
+    per-record Python, no per-record ctypes crossing, no fresh-memory
+    churn).  Same block boundaries and payload bytes as the per-record
+    loop."""
+    entry_counter = 0
+    for gt_all, offs, na, pl, n in batches:
+        pmax = int(pl.max()) if n else 0
+        if pmax > 2:
+            raise ValueError("Ploidy higher than 2 is not yet supported")
+        if n and int(pl.min()) <= 0:
+            raise ValueError("Record without GT data cannot be compressed")
+        seen_max_ploidy = max(seen_max_ploidy, pmax)
+        lo = 0
+        while lo < n:
+            if block.full:
+                drain_after_submit()
+            take = min(n - lo, block.room)
+            block.encode_records(gt_all, offs, na, lo, lo + take)
+            lo += take
+        entry_counter += n
+        if opts.verbose:
+            done = (entry_counter // 1000) * 1000
+            if done > entry_counter - n:
+                print(f"Handled {done} VCF entries (lines)")
+    return entry_counter, seen_max_ploidy
+
+
 def _compress_loop_native_var(inp, opts, xsi, block, output_path,
                               max_ploidy) -> dict:
     """GT-only main loop with the variant pass on a native worker thread
@@ -463,28 +571,38 @@ def _compress_loop_native_var(inp, opts, xsi, block, output_path,
     var_thread = threading.Thread(target=run_var, name="xsi-variant-pass")
     var_thread.start()
     try:
-        entry_counter = 0
         seen_max_ploidy = max_ploidy
         pending_blocks: deque = deque()
-        for rec in inp:
-            if rec.gt is None:
-                raise ValueError("Record without GT data cannot be "
-                                 "compressed")
-            if rec.ploidy > 2:
-                raise ValueError("Ploidy higher than 2 is not yet supported")
-            seen_max_ploidy = max(seen_max_ploidy, rec.ploidy)
-            if block.full:
-                pending_blocks.append(block.submit())
-                while pending_blocks and pending_blocks[0].done():
-                    xsi.write_block(pending_blocks.popleft().result())
-                while len(pending_blocks) > block.inflight_target:
-                    if not pending_blocks[0].done():
-                        block.flush()
-                    xsi.write_block(pending_blocks.popleft().result())
-            block.encode_record(rec.gt, rec.n_alleles)
-            entry_counter += 1
-            if opts.verbose and entry_counter % 1000 == 0:
-                print(f"Handled {entry_counter} VCF entries (lines)")
+
+        def drain_after_submit():
+            pending_blocks.append(block.submit())
+            while pending_blocks and pending_blocks[0].done():
+                xsi.write_block(pending_blocks.popleft().result())
+            while len(pending_blocks) > block.inflight_target:
+                if not pending_blocks[0].done():
+                    block.flush()
+                xsi.write_block(pending_blocks.popleft().result())
+
+        batches = inp.iter_gt_batches()
+        if batches is not None:
+            entry_counter, seen_max_ploidy = _gt_loop_batched(
+                batches, block, opts, seen_max_ploidy, drain_after_submit)
+        else:
+            entry_counter = 0
+            for rec in inp:
+                if rec.gt is None:
+                    raise ValueError("Record without GT data cannot be "
+                                     "compressed")
+                if rec.ploidy > 2:
+                    raise ValueError(
+                        "Ploidy higher than 2 is not yet supported")
+                seen_max_ploidy = max(seen_max_ploidy, rec.ploidy)
+                if block.full:
+                    drain_after_submit()
+                block.encode_record(rec.gt, rec.n_alleles)
+                entry_counter += 1
+                if opts.verbose and entry_counter % 1000 == 0:
+                    print(f"Handled {entry_counter} VCF entries (lines)")
         block.flush()
         while pending_blocks:
             xsi.write_block(pending_blocks.popleft().result())

@@ -228,7 +228,9 @@ class NativeGtBatchReader:
         self._na = np.empty(self.batch_recs, np.int32)
         self._pl = np.empty(self.batch_recs, np.int32)
 
-    def __iter__(self):
+    def _next_batch(self) -> int:
+        """Fill the internal buffers with the next batch; returns the
+        record count (0 at EOF), growing the buffers on -5."""
         while True:
             n = self._lib.xsi_gtb_batch(
                 self._h, self.batch_recs,
@@ -240,8 +242,6 @@ class NativeGtBatchReader:
                 self._sh_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 self._na.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 self._pl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-            if n == 0:
-                return
             if n == -5:
                 # one record larger than the buffers: double and retry
                 self._alloc(self._gt.shape[0] * 2, self._sh.shape[0] * 2)
@@ -250,6 +250,34 @@ class NativeGtBatchReader:
                 raise ValueError(
                     f"native BCF parse failed ({n}): "
                     f"{self._lib.xsi_gtb_error(self._h).decode()}")
+            return n
+
+    def iter_batches(self):
+        """Batch iteration for the compress hot loop: yields
+        (gt_all, offs, na, pl, n) with OWNERSHIP of gt_all transferred to
+        the consumer (the reader swaps in a fresh buffer for the next
+        fill, exactly like the per-record __iter__; short batches copy the
+        used region so a retained reference never pins the capacity
+        allocation).  offs/na/pl are small copies.  Consumers may hold the
+        arrays as long as they like — the dispatcher's block segments do,
+        until the block's encode completes."""
+        while True:
+            n = self._next_batch()
+            if n == 0:
+                return
+            offs = self._gt_off[:n + 1].copy()
+            if n >= self.batch_recs:
+                gt_all = self._gt
+                self._gt = np.empty_like(self._gt)
+            else:
+                gt_all = self._gt[: offs[n]].copy()
+            yield (gt_all, offs, self._na[:n].copy(), self._pl[:n].copy(), n)
+
+    def __iter__(self):
+        while True:
+            n = self._next_batch()
+            if n == 0:
+                return
             # Full batches: hand consumers views into THIS batch's gt
             # buffer and grab a fresh one for the next fill (consumers may
             # retain rows, e.g. the dispatcher's pending list) — one memory
@@ -299,6 +327,11 @@ class NativeBlockEncoder:
         lib.xsi_enc_record.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64, ctypes.c_int]
+        lib.xsi_enc_records.restype = ctypes.c_int
+        lib.xsi_enc_records.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
         lib.xsi_enc_serialize.restype = ctypes.c_int64
         lib.xsi_enc_serialize.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
@@ -336,6 +369,30 @@ class NativeBlockEncoder:
         if rc != 0:
             raise ValueError(self._lib.xsi_enc_error(self._h).decode())
         self._lines += 1
+
+    def encode_records(self, gt_all: np.ndarray, offs: np.ndarray,
+                       na: np.ndarray, lo: int, hi: int) -> None:
+        """Batched encode_record over records [lo, hi): record i occupies
+        gt_all[offs[i]:offs[i+1]] with na[i] alleles.  One ctypes crossing
+        for the whole range (the per-record crossing dominates sparse
+        blocks).  Payload bytes identical to per-record calls."""
+        if not self._h:
+            raise RuntimeError("encoder already serialized/closed")
+        n = int(hi) - int(lo)
+        if n <= 0:
+            return
+        assert gt_all.dtype == np.int32 and gt_all.flags.c_contiguous
+        o = np.ascontiguousarray(offs[lo:hi + 1], np.int64)
+        a = np.ascontiguousarray(na[lo:hi], np.int32)
+        done = ctypes.c_int(0)
+        rc = self._lib.xsi_enc_records(
+            self._h, gt_all.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, ctypes.byref(done))
+        self._lines += int(done.value)
+        if rc != 0:
+            raise ValueError(self._lib.xsi_enc_error(self._h).decode())
 
     def serialize(self) -> bytes:
         if not self._h:

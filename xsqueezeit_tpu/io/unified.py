@@ -114,6 +114,29 @@ class GtInput:
                     self.header, rec.fixed, 0, 0)
                 yield GtInputRecord(shared, rec.gt, rec.n_alleles, rec.ploidy)
 
+    def iter_gt_batches(self):
+        """Batch GT iteration for the compress hot loop: a generator of
+        (gt_all, offs, na, pl, n) views into the native reader's internal
+        buffers, valid only until the next batch (consumers copy what they
+        keep — the dispatcher's pooled block buffers).  Returns None when
+        the native batch reader is unavailable (VCF text, XSI_NATIVE_PARSE
+        off, no GT key); callers fall back to per-record iteration."""
+        if self.format != "bcf":
+            return None
+        native = self._native_reader()
+        if native is None:
+            return None
+
+        def gen():
+            try:
+                for batch in native.iter_batches():
+                    self._consumed += batch[4]
+                    yield batch
+            finally:
+                native.close()
+
+        return gen()
+
     def iter_sites(self):
         """Sites-only iteration: GtInputRecord with gt=None but real
         n_alleles/ploidy, skipping genotype value decode (BCF reads only
