@@ -99,6 +99,24 @@ void wah_encode_bits(const uint8_t *bits, int64_t n,
   run.flush(out);
 }
 
+/* Collect the indices where alleles[i] == code.  The outer pass is a
+ * vectorizable OR-reduction per 256-element chunk; only chunks that
+ * contain a hit take the scalar scan — sparse lines (the reason this
+ * runs at all) hit a handful of chunks out of dozens. */
+void collect_idx(const int16_t *al, int64_t n, int16_t code,
+                 std::vector<uint32_t> *out) {
+  out->clear();
+  constexpr int64_t C = 256;
+  for (int64_t base = 0; base < n; base += C) {
+    int64_t lim = base + C < n ? base + C : n;
+    int16_t any = 0;
+    for (int64_t i = base; i < lim; ++i) any |= int16_t(al[i] == code);
+    if (!any) continue;
+    for (int64_t i = base; i < lim; ++i)
+      if (al[i] == code) out->push_back(uint32_t(i));
+  }
+}
+
 void wah_encode_flags(const std::vector<uint8_t> &flags,
                       std::vector<uint8_t> *payload) {
   std::vector<uint16_t> words;
@@ -195,41 +213,58 @@ struct GtEncoder {
     acs.assign(size_t(n_alleles > 0 ? n_alleles : 1), 0);
     bool has_missing = false, has_eov = false, has_nup = false;
     const int32_t n_ac = int32_t(acs.size());
-    // conversion + fused per-allele count; g >= 2 is the overwhelmingly
-    // common case (allele codes are (a+1)<<1 | phase; anything below 2 is
-    // missing/EOV/corrupt), so it takes a single-compare fast path
-    auto slow = [&](int32_t g) -> int16_t {
-      int32_t al = (g >> 1) - 1;
-      if ((g >> 1) == 0 || g == kMissing32) {
-        has_missing = true;
-        return -1;
-      }
-      if (g == kVectorEnd32) {
-        has_eov = true;
-        return -2;
-      }
-      return int16_t(al < -2 ? -3 : al);
-    };
-    auto convert = [&](int32_t g) -> int16_t {
-      if (g >= 2) {
-        int32_t al = (g >> 1) - 1;
-        if (al < n_ac) acs[size_t(al)]++;
-        return int16_t(al);
-      }
-      return slow(g);
-    };
-    if (haploid) {
-      for (int64_t i = 0; i < ngt; ++i) alleles[size_t(i)] = convert(gt[i]);
-    } else {
+    // Prescan (branch-free, auto-vectorized): the minimum detects any
+    // special code (allele codes are (a+1)<<1 | phase, so anything below
+    // 2 is missing/EOV/corrupt) and the OR accumulates phase anomalies
+    // over the non-first slots, specials included (matches the per-value
+    // loop's semantics).
+    int32_t mn = INT32_MAX;
+    for (int64_t i = 0; i < ngt; ++i) mn = gt[i] < mn ? gt[i] : mn;
+    if (!haploid) {
       uint32_t nup_acc = 0;
-      for (int64_t i = 0; i < ngt; i += 2) {
-        alleles[size_t(i)] = convert(gt[i]);
-        int32_t g1 = gt[i + 1];
-        alleles[size_t(i) + 1] = convert(g1);
-        // phase applies to non-first slots only, specials included
-        nup_acc |= uint32_t(g1 & 1) ^ uint32_t(default_phasing);
-      }
+      for (int64_t i = 1; i < ngt; i += 2)
+        nup_acc |= uint32_t(gt[i] & 1) ^ uint32_t(default_phasing);
       has_nup = nup_acc != 0;
+    }
+    if (mn >= 2) {
+      // no specials: pure shift conversion, vectorized counting
+      if (n_ac == 2) {
+        int64_t c0 = 0, c1 = 0;
+        for (int64_t i = 0; i < ngt; ++i) {
+          int32_t al = (gt[i] >> 1) - 1;
+          alleles[size_t(i)] = int16_t(al);
+          c0 += al == 0;
+          c1 += al == 1;
+        }
+        acs[0] = c0;
+        acs[1] = c1;
+      } else {
+        for (int64_t i = 0; i < ngt; ++i) {
+          int32_t al = (gt[i] >> 1) - 1;
+          alleles[size_t(i)] = int16_t(al);
+          if (al < n_ac) acs[size_t(al)]++;
+        }
+      }
+    } else {
+      // specials present: per-value classification
+      auto convert = [&](int32_t g) -> int16_t {
+        if (g >= 2) {
+          int32_t al = (g >> 1) - 1;
+          if (al < n_ac) acs[size_t(al)]++;
+          return int16_t(al);
+        }
+        int32_t al = (g >> 1) - 1;
+        if ((g >> 1) == 0 || g == kMissing32) {
+          has_missing = true;
+          return -1;
+        }
+        if (g == kVectorEnd32) {
+          has_eov = true;
+          return -2;
+        }
+        return int16_t(al < -2 ? -3 : al);
+      };
+      for (int64_t i = 0; i < ngt; ++i) alleles[size_t(i)] = convert(gt[i]);
     }
 
     if (n_alleles <= 1) {
@@ -306,9 +341,7 @@ struct GtEncoder {
       } else {
         line_is_wah.push_back(0);
         int sparse_allele = ac == mac ? alt : 0;
-        idx.clear();
-        for (int64_t i = 0; i < ngt; ++i)
-          if (alleles[size_t(i)] == sparse_allele) idx.push_back(uint32_t(i));
+        collect_idx(alleles.data(), ngt, int16_t(sparse_allele), &idx);
         if (!sparse_append(idx, sparse_allele == 0, &sparse_bytes)) return -3;
       }
       binary_lines++;
@@ -318,15 +351,11 @@ struct GtEncoder {
     bool wah_weird = ws == WS_WAH || ws == WS_PBWT_WAH;
     if (ws == WS_SPARSE) {
       if (has_missing) {
-        idx.clear();
-        for (int64_t i = 0; i < ngt; ++i)
-          if (alleles[size_t(i)] == -1) idx.push_back(uint32_t(i));
+        collect_idx(alleles.data(), ngt, -1, &idx);
         if (!sparse_append(idx, false, &miss_track)) return -3;
       }
       if (has_eov) {
-        idx.clear();
-        for (int64_t i = 0; i < ngt; ++i)
-          if (alleles[size_t(i)] == -2) idx.push_back(uint32_t(i));
+        collect_idx(alleles.data(), ngt, -2, &idx);
         if (!sparse_append(idx, false, &eov_track)) return -3;
       }
     } else if (wah_weird) {
