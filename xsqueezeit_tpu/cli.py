@@ -12,6 +12,7 @@ Flags mirror the reference CLI (/root/reference/include/xsqueezeit.hpp:36-93):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .format.constants import (
@@ -79,6 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     from .utils.malltune import tune_glibc_malloc
     tune_glibc_malloc()
+
+    # XSI_JAX_PLATFORM=cpu pins the jax backend before any device use
+    # (some launchers clobber JAX_PLATFORMS; jax.config is authoritative).
+    # Operationally useful for CPU-only multi-process runs and accelerator
+    # outages — the codec paths are backend-agnostic.
+    platform = os.environ.get("XSI_JAX_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
 
     args = build_parser().parse_args(argv)
 

@@ -182,14 +182,38 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
         inp.seek_fast(lo, int(block_voffs[start_blk]))
     else:
         inp.skip_records(lo)   # lazy: a window beyond EOF iterates empty
-    for i, rec in enumerate(inp, start=lo):
-        if i >= hi:
-            break
-        if rec.gt is None:
-            raise ValueError("Record without GT data cannot be compressed")
-        if disp.full:
-            payloads.append(disp.serialize())
-        disp.encode_record(rec.gt, rec.n_alleles)
+    batches = inp.iter_gt_batches()
+    if batches is not None:
+        # batch fast path (same segments + xsi_enc_records as the
+        # single-process loop; byte-identical by the shared encoder)
+        remaining = hi - lo
+        for gt_all, offs, na, pl, n in batches:
+            take = min(n, remaining)
+            if take <= 0:
+                break
+            if int(pl[:take].min()) <= 0:
+                raise ValueError("Record without GT data cannot be "
+                                 "compressed")
+            j = 0
+            while j < take:
+                if disp.full:
+                    payloads.append(disp.serialize())
+                t = min(take - j, disp.room)
+                disp.encode_records(gt_all, offs, na, j, j + t)
+                j += t
+            remaining -= take
+            if remaining == 0:
+                break
+    else:
+        for i, rec in enumerate(inp, start=lo):
+            if i >= hi:
+                break
+            if rec.gt is None:
+                raise ValueError("Record without GT data cannot be "
+                                 "compressed")
+            if disp.full:
+                payloads.append(disp.serialize())
+            disp.encode_record(rec.gt, rec.n_alleles)
     inp.close()
     if disp.bcf_lines:
         payloads.append(disp.serialize())
