@@ -187,7 +187,8 @@ struct GtEncoder {
       dst->resize(off + 4 + 4 * idx.size());
       uint32_t h32 = uint32_t(head);
       memcpy(dst->data() + off, &h32, 4);
-      memcpy(dst->data() + off + 4, idx.data(), 4 * idx.size());
+      if (!idx.empty())  // memcpy(_, nullptr, 0) is UB
+        memcpy(dst->data() + off + 4, idx.data(), 4 * idx.size());
     }
     return true;
   }

@@ -521,34 +521,46 @@ def compress_file(input_path: str, output_path: str,
         inp.close()
 
 
-def _gt_loop_batched(batches, block, opts, seen_max_ploidy,
-                     drain_after_submit) -> tuple[int, int]:
+def _gt_loop_batched(batches, block, drain_full_block, max_records=None,
+                     verbose=False) -> tuple[int, int]:
     """The GT main loop over whole parse batches: validation is vectorized
-    and records land in the dispatcher's pooled block buffers (no
-    per-record Python, no per-record ctypes crossing, no fresh-memory
-    churn).  Same block boundaries and payload bytes as the per-record
-    loop."""
+    and records land in the dispatcher's zero-copy segment blocks (no
+    per-record Python, no per-record ctypes crossing).  Same block
+    boundaries and payload bytes as the per-record loop.  Shared by the
+    single-process loop and the multihost workers (`max_records` bounds a
+    worker's record window; validation applies to consumed records only).
+    `drain_full_block` is called whenever the dispatcher is full, before
+    more records land.  Returns (records consumed, max ploidy seen)."""
     entry_counter = 0
+    max_ploidy = 0
+    remaining = max_records
     for gt_all, offs, na, pl, n in batches:
-        pmax = int(pl.max()) if n else 0
+        take = n if remaining is None else min(n, remaining)
+        if take <= 0:
+            break
+        pmax = int(pl[:take].max())
         if pmax > 2:
             raise ValueError("Ploidy higher than 2 is not yet supported")
-        if n and int(pl.min()) <= 0:
+        if int(pl[:take].min()) <= 0:
             raise ValueError("Record without GT data cannot be compressed")
-        seen_max_ploidy = max(seen_max_ploidy, pmax)
+        max_ploidy = max(max_ploidy, pmax)
         lo = 0
-        while lo < n:
+        while lo < take:
             if block.full:
-                drain_after_submit()
-            take = min(n - lo, block.room)
-            block.encode_records(gt_all, offs, na, lo, lo + take)
-            lo += take
-        entry_counter += n
-        if opts.verbose:
+                drain_full_block()
+            t = min(take - lo, block.room)
+            block.encode_records(gt_all, offs, na, lo, lo + t)
+            lo += t
+        entry_counter += take
+        if verbose:
             done = (entry_counter // 1000) * 1000
-            if done > entry_counter - n:
+            if done > entry_counter - take:
                 print(f"Handled {done} VCF entries (lines)")
-    return entry_counter, seen_max_ploidy
+        if remaining is not None:
+            remaining -= take
+            if remaining == 0:
+                break
+    return entry_counter, max_ploidy
 
 
 def _compress_loop_native_var(inp, opts, xsi, block, output_path,
@@ -585,8 +597,9 @@ def _compress_loop_native_var(inp, opts, xsi, block, output_path,
 
         batches = inp.iter_gt_batches()
         if batches is not None:
-            entry_counter, seen_max_ploidy = _gt_loop_batched(
-                batches, block, opts, seen_max_ploidy, drain_after_submit)
+            entry_counter, batch_pmax = _gt_loop_batched(
+                batches, block, drain_after_submit, verbose=opts.verbose)
+            seen_max_ploidy = max(seen_max_ploidy, batch_pmax)
         else:
             entry_counter = 0
             for rec in inp:

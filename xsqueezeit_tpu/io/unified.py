@@ -116,16 +116,21 @@ class GtInput:
 
     def iter_gt_batches(self):
         """Batch GT iteration for the compress hot loop: a generator of
-        (gt_all, offs, na, pl, n) views into the native reader's internal
-        buffers, valid only until the next batch (consumers copy what they
-        keep — the dispatcher's pooled block buffers).  Returns None when
-        the native batch reader is unavailable (VCF text, XSI_NATIVE_PARSE
-        off, no GT key); callers fall back to per-record iteration."""
+        (gt_all, offs, na, pl, n) with gt_all OWNERSHIP transferred to the
+        consumer (interop.native.NativeGtBatchReader.iter_batches swaps in
+        a fresh buffer per full batch), so consumers may hold references
+        across async block encodes without copying — the dispatcher's
+        segment blocks do.  Returns None when the native batch reader is
+        unavailable (VCF text, XSI_NATIVE_PARSE off, no GT key); callers
+        fall back to per-record iteration."""
         if self.format != "bcf":
             return None
         native = self._native_reader()
         if native is None:
             return None
+        # registered like __iter__'s reader so close() reaches a partially
+        # consumed stream (error paths break/raise before exhaustion)
+        self._native = native
 
         def gen():
             try:
@@ -134,6 +139,8 @@ class GtInput:
                     yield batch
             finally:
                 native.close()
+                if getattr(self, "_native", None) is native:
+                    self._native = None
 
         return gen()
 

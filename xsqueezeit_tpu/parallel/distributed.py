@@ -184,26 +184,13 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
         inp.skip_records(lo)   # lazy: a window beyond EOF iterates empty
     batches = inp.iter_gt_batches()
     if batches is not None:
-        # batch fast path (same segments + xsi_enc_records as the
-        # single-process loop; byte-identical by the shared encoder)
-        remaining = hi - lo
-        for gt_all, offs, na, pl, n in batches:
-            take = min(n, remaining)
-            if take <= 0:
-                break
-            if int(pl[:take].min()) <= 0:
-                raise ValueError("Record without GT data cannot be "
-                                 "compressed")
-            j = 0
-            while j < take:
-                if disp.full:
-                    payloads.append(disp.serialize())
-                t = min(take - j, disp.room)
-                disp.encode_records(gt_all, offs, na, j, j + t)
-                j += t
-            remaining -= take
-            if remaining == 0:
-                break
+        # the single-process batch loop with this worker's record window
+        # (same segments + xsi_enc_records; byte-identical by the shared
+        # chunking and encoder)
+        from ..codec.compressor import _gt_loop_batched
+        _gt_loop_batched(batches, disp,
+                         lambda: payloads.append(disp.serialize()),
+                         max_records=hi - lo)
     else:
         for i, rec in enumerate(inp, start=lo):
             if i >= hi:
