@@ -195,3 +195,61 @@ int bcf_emit_close(bcf_emit_t *e) {
 }
 
 }  /* extern "C" */
+
+/* ------------------------------------------------------------------ */
+/* VCF text GT-region renderer: the -O v/-O z per-record hot spot.
+ *
+ * Renders the tab-separated genotype region of one record from the
+ * htslib-style int32 array — "a|b\ta/b\t..." with '.' for missing
+ * (allele < 0), END_OF_VECTOR truncating a sample's alleles, and a bare
+ * "." for a fully-EOV sample.  Exact semantics of the Python renderer
+ * io/vcf.py format_gt (the oracle; equality pinned by tests).
+ * Returns bytes written, or -1 if `cap` is too small (caller doubles).  */
+extern "C" int64_t xsi_format_gt_region(const int32_t *gt, int32_t ploidy,
+                                        int32_t n_samples, uint8_t *out,
+                                        int64_t cap) {
+  static const int32_t kEov = INT32_MIN + 1;  /* bcf_int32_vector_end */
+  if (!gt || !out || ploidy <= 0 || n_samples < 0) return -2;
+  int64_t p = 0;
+  /* every sample writes a TRAILING tab; the last byte is dropped at
+   * return (keeps the fast and general branches composable) */
+  for (int32_t i = 0; i < n_samples; ++i) {
+    /* worst case per allele: '|' + 11 digits; +2 slack per sample */
+    if (p + int64_t(ploidy) * 12 + 2 > cap) return -1;
+    if (ploidy == 2) {
+      /* common diploid cell "a|b\t" with single-digit or missing
+       * alleles: codes ((a+1)<<1)|ph for a in [-1, 9] all fall in
+       * [0, 21] unsigned (EOV/corrupt values are far outside) —
+       * four direct stores, no inner loop */
+      int32_t v0 = gt[2 * int64_t(i)], v1 = gt[2 * int64_t(i) + 1];
+      if (uint32_t(v0) < 22u && uint32_t(v1) < 22u) {
+        out[p] = v0 >= 2 ? uint8_t('0' + (v0 >> 1) - 1) : uint8_t('.');
+        out[p + 1] = (v1 & 1) ? '|' : '/';
+        out[p + 2] = v1 >= 2 ? uint8_t('0' + (v1 >> 1) - 1) : uint8_t('.');
+        out[p + 3] = '\t';
+        p += 4;
+        continue;
+      }
+    }
+    int64_t sample_start = p;
+    for (int32_t j = 0; j < ploidy; ++j) {
+      int32_t v = gt[int64_t(i) * ploidy + j];
+      if (v == kEov) break;
+      if (j) out[p++] = (v & 1) ? '|' : '/';
+      int32_t allele = (v >> 1) - 1;
+      if (allele < 0) {
+        out[p++] = '.';
+      } else if (allele < 10) {
+        out[p++] = uint8_t('0' + allele);
+      } else {
+        char tmp[12];
+        int k = 0;
+        while (allele > 0) { tmp[k++] = char('0' + allele % 10); allele /= 10; }
+        while (k) out[p++] = uint8_t(tmp[--k]);
+      }
+    }
+    if (p == sample_start) out[p++] = '.';  /* all-EOV sample */
+    out[p++] = '\t';
+  }
+  return p > 0 ? p - 1 : 0;  /* drop the trailing tab */
+}

@@ -421,6 +421,46 @@ class NativeBlockEncoder:
             pass
 
 
+_fmt_state: dict = {}
+
+
+def format_gt_region_bytes_native(gt: np.ndarray, ploidy: int,
+                                  n_samples: int) -> bytes:
+    """Tab-separated VCF genotype region of one record via the native
+    renderer (bcf_emit.cpp xsi_format_gt_region) — semantics identical to
+    io/vcf.py format_gt (the oracle; pinned by tests/test_vcf_fast.py).
+    Returns ASCII bytes (the binary VcfWriter consumes them directly).
+    Not thread-safe (shared scratch buffer); record emission is
+    single-threaded."""
+    if not _fmt_state:
+        lib = ctypes.CDLL(build_native())
+        lib.xsi_format_gt_region.restype = ctypes.c_int64
+        lib.xsi_format_gt_region.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        _fmt_state["lib"] = lib
+        _fmt_state["buf"] = np.empty(1 << 16, np.uint8)
+    lib = _fmt_state["lib"]
+    gt = np.ascontiguousarray(gt, np.int32)
+    while True:
+        buf = _fmt_state["buf"]
+        n = lib.xsi_format_gt_region(
+            gt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ploidy, n_samples,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.shape[0])
+        if n >= 0:
+            return buf[:n].tobytes()
+        if n != -1:
+            raise ValueError(f"xsi_format_gt_region failed ({n})")
+        _fmt_state["buf"] = np.empty(buf.shape[0] * 2, np.uint8)
+
+
+def format_gt_region_native(gt: np.ndarray, ploidy: int,
+                            n_samples: int) -> str:
+    return format_gt_region_bytes_native(gt, ploidy, n_samples).decode()
+
+
 def native_extract_ranges(xsi_path: str, out_path: str, header_text: bytes,
                           gt_key: int, level: int = 6,
                           chunks=None, regions=None, targets=None) -> int:

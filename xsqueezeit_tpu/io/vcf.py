@@ -211,11 +211,46 @@ class VcfReader:
         self._f.close()
 
 
+_native_gt_formatter = None  # resolved lazily; False = unavailable
+
+
+def _gt_formatter_native():
+    global _native_gt_formatter
+    if _native_gt_formatter is None:
+        try:
+            from ..interop.native import format_gt_region_bytes_native
+            _native_gt_formatter = format_gt_region_bytes_native
+        except Exception:
+            _native_gt_formatter = False
+    return _native_gt_formatter or None
+
+
+def format_gt_region_bytes(gt: np.ndarray, ploidy: int,
+                           n_samples: int) -> bytes:
+    """Tab-separated genotype region of one record as ASCII bytes.
+
+    Native C renderer when available (bcf_emit.cpp xsi_format_gt_region:
+    the -O v/-O z per-record hot spot — the numpy formulation in
+    format_gt_region costs ~70 us/record at 2504 samples in small-array
+    overhead alone); the Python paths are the oracle (equality pinned by
+    tests) and the fallback.  Gate semantics match the other native
+    paths: XSI_NATIVE=0 or an explicit XSI_DEVICE selection pins the
+    Python renderer."""
+    import os
+    if (os.environ.get("XSI_NATIVE", "1") not in ("0", "off", "no")
+            and os.environ.get("XSI_DEVICE") not in ("numpy", "jax")):
+        fn = _gt_formatter_native()
+        if fn is not None:
+            return fn(gt, ploidy, n_samples)
+    return format_gt_region(gt, ploidy, n_samples).encode()
+
+
 def format_gt_region(gt: np.ndarray, ploidy: int, n_samples: int) -> str:
     """Render the whole tab-separated genotype region of one record.
 
-    Vectorized fast path for uniform diploid rows with single-digit alleles
-    (bulk of cohort data); falls back to the per-cell renderer otherwise.
+    Vectorized fast path for uniform diploid rows with single-digit
+    alleles (bulk of cohort data); falls back to the per-cell renderer
+    otherwise.  The native hot path lives in format_gt_region_bytes.
     """
     if ploidy == 2 and gt.shape[0] == 2 * n_samples:
         allele = (gt >> 1) - 1
@@ -254,14 +289,18 @@ def format_gt(gt: np.ndarray, ploidy: int, n_samples: int) -> list[str]:
 
 
 class VcfWriter:
-    """Writes VCF text (optionally bgzip)."""
+    """Writes VCF text (optionally bgzip).
+
+    Operates on a BINARY stream: the genotype region (95%+ of every
+    line's bytes) comes from the renderer as ASCII bytes, so no
+    str<->bytes round trips of ~20 KB/record happen on the hot path."""
 
     def __init__(self, path: str, header_lines: list[str], samples: list[str],
                  compress: bool = False, no_header: bool = False):
         self.samples = samples
         if path == "-":
             import sys
-            self._f = sys.stdout
+            self._f = sys.stdout.buffer
             self._close = False
         elif compress:
             import os as _os
@@ -269,29 +308,34 @@ class VcfWriter:
             from .bgzf import BgzfWriter
             # text deflate dominates -O z; parallel BGZF members on
             # multi-core hosts (same pool the BCF writers use)
-            self._raw = BgzfWriter(path,
-                                   threads=min(4, _os.cpu_count() or 1))
-            self._f = io.TextIOWrapper(self._raw)
+            self._f = BgzfWriter(path,
+                                 threads=min(4, _os.cpu_count() or 1))
             self._close = True
         else:
-            self._f = open(path, "wt")
+            self._f = open(path, "wb")
             self._close = True
         if not no_header:
             for line in header_lines:
-                self._f.write(line + "\n")
+                self._f.write(line.encode() + b"\n")
             cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
                     "INFO"]
             if samples:
                 cols += ["FORMAT"] + list(samples)
-            self._f.write("\t".join(cols) + "\n")
+            self._f.write("\t".join(cols).encode() + b"\n")
 
     def write_record(self, fixed: list[str], gt: np.ndarray | None,
                      ploidy: int) -> None:
+        head = "\t".join(fixed).encode()
         if gt is None or not self.samples:
-            self._f.write("\t".join(fixed) + "\n")
+            self._f.write(head + b"\n")
             return
-        region = format_gt_region(gt, ploidy, len(self.samples))
-        self._f.write("\t".join(fixed) + "\tGT\t" + region + "\n")
+        region = format_gt_region_bytes(gt, ploidy, len(self.samples))
+        # separate writes: concatenating would copy the ~20 KB region again
+        w = self._f.write
+        w(head)
+        w(b"\tGT\t")
+        w(region)
+        w(b"\n")
 
     def close(self):
         if self._close:
