@@ -15,9 +15,13 @@
 #include <libdeflate.h>
 #endif
 
+#include <condition_variable>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -29,6 +33,97 @@ const uint8_t BGZF_EOF_MARKER[28] = {
     0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
     0x00, 0x00, 0x00, 0x00};
 
+/* One BGZF member's async-compression job: `in` is the uncompressed
+ * chunk, `out` the fully framed member (header + payload + trailer),
+ * byte-identical to the synchronous writer's output. */
+struct EmitJob {
+  std::vector<uint8_t> in;
+  std::vector<uint8_t> out;
+  bool done = false;
+  bool ok = false;
+};
+
+}  // namespace
+
+namespace {
+
+bool raw_deflate_into(const uint8_t *data, size_t n, int level,
+#ifdef USE_LIBDEFLATE
+                      libdeflate_compressor *ld,
+#else
+                      void *,
+#endif
+                      std::vector<uint8_t> *comp, size_t *clen_out) {
+#ifdef USE_LIBDEFLATE
+  if (ld) {
+    comp->resize(libdeflate_deflate_compress_bound(ld, n));
+    size_t clen = libdeflate_deflate_compress(ld, data, n, comp->data(),
+                                              comp->size());
+    if (clen == 0) return false;
+    *clen_out = clen;
+    return true;
+  }
+#endif
+  // raw deflate at `level` (zlib window -15), same as Python's
+  // compressobj(level, DEFLATED, -15)
+  uLong bound = compressBound(uLong(n)) + 64;
+  comp->resize(bound);
+  z_stream zs{};
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK)
+    return false;
+  zs.next_in = const_cast<Bytef *>(data);
+  zs.avail_in = uInt(n);
+  zs.next_out = comp->data();
+  zs.avail_out = uInt(comp->size());
+  int rc = deflate(&zs, Z_FINISH);
+  *clen_out = comp->size() - zs.avail_out;
+  deflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
+bool use_zlib_env() {
+  const char *z = getenv("XSI_EMIT_ZLIB");
+  return z && z[0] == '1';
+}
+
+/* Build one complete framed BGZF member (header + raw-deflate payload +
+ * crc/isize trailer) into `out`.  Deterministic for a given compressor
+ * backend and level, so the threaded and synchronous writers produce
+ * byte-identical files. */
+bool frame_member(const uint8_t *data, size_t n, int level,
+#ifdef USE_LIBDEFLATE
+                  libdeflate_compressor *ld,
+#else
+                  void *ld,
+#endif
+                  std::vector<uint8_t> *scratch, std::vector<uint8_t> *out) {
+  size_t clen = 0;
+  if (!raw_deflate_into(data, n, level, ld, scratch, &clen)) return false;
+  size_t bsize = clen + 25 + 1;  // header(18) + payload + crc(4) + isize(4)
+  if (bsize - 1 > 0xFFFF) return false;
+  out->resize(18 + clen + 8);
+  uint8_t *p = out->data();
+  const uint8_t hdr[18] = {
+      0x1f, 0x8b, 0x08, 0x04,          // magic, deflate, FEXTRA
+      0,    0,    0,    0,             // mtime
+      0,    0xff,                      // xfl, os
+      0x06, 0x00,                      // xlen = 6
+      0x42, 0x43, 0x02, 0x00,          // 'B','C', slen = 2
+      uint8_t((bsize - 1) & 0xff), uint8_t(((bsize - 1) >> 8) & 0xff)};
+  memcpy(p, hdr, 18);
+  memcpy(p + 18, scratch->data(), clen);
+  uint32_t crc = uint32_t(crc32(0L, data, uInt(n)));
+  uint32_t isize = uint32_t(n);
+  uint8_t tail[8] = {
+      uint8_t(crc & 0xff),          uint8_t((crc >> 8) & 0xff),
+      uint8_t((crc >> 16) & 0xff),  uint8_t((crc >> 24) & 0xff),
+      uint8_t(isize & 0xff),        uint8_t((isize >> 8) & 0xff),
+      uint8_t((isize >> 16) & 0xff), uint8_t((isize >> 24) & 0xff)};
+  memcpy(p + 18 + clen, tail, 8);
+  return true;
+}
+
 }  // namespace
 
 struct bcf_emit {
@@ -38,6 +133,7 @@ struct bcf_emit {
   std::vector<uint8_t> buf;        // pending uncompressed bytes (< MAX_BLOCK
                                    // after every write call)
   std::vector<uint8_t> comp;       // scratch for one compressed member
+  std::vector<uint8_t> framed;     // scratch for one framed member
   bool failed = false;
 #ifdef USE_LIBDEFLATE
   // libdeflate is ~2-3x faster than zlib at equal ratio and is what htslib
@@ -45,65 +141,125 @@ struct bcf_emit {
   // path (whose bytes are identical to Python's zlib writer, for the
   // byte-identity tests — content is identical either way).
   libdeflate_compressor *ld = nullptr;
-  ~bcf_emit() {
-    if (ld) libdeflate_free_compressor(ld);
-  }
 #endif
 
-  bool raw_deflate(const uint8_t *data, size_t n, size_t *clen_out) {
+  // ---- ordered deflate worker pool (bcf_emit_set_threads) ----
+  // Members compress on worker threads and are written strictly in file
+  // order, so the output is byte-identical to the synchronous writer.
+  // Only the extract loop enables this: bcf_emit_tell callers (the
+  // variant pass needs per-record virtual offsets) must stay synchronous.
+  int n_threads = 0;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::deque<EmitJob *> order;   // members in file order (owned)
+  std::deque<EmitJob *> todo;    // subset not yet compressed (borrowed)
+  std::vector<EmitJob *> freelist;
+  bool stop_workers = false;
+
+  ~bcf_emit() {
+    stop_pool();
+    for (EmitJob *j : order) delete j;
+    for (EmitJob *j : freelist) delete j;
 #ifdef USE_LIBDEFLATE
-    if (!getenv("XSI_EMIT_ZLIB") || getenv("XSI_EMIT_ZLIB")[0] != '1') {
-      if (!ld) ld = libdeflate_alloc_compressor(level);
-      if (!ld) return false;
-      comp.resize(libdeflate_deflate_compress_bound(ld, n));
-      size_t clen = libdeflate_deflate_compress(ld, data, n, comp.data(),
-                                                comp.size());
-      if (clen == 0) return false;
-      *clen_out = clen;
-      return true;
-    }
+    if (ld) libdeflate_free_compressor(ld);
 #endif
-    // raw deflate at `level` (zlib window -15), same as Python's
-    // compressobj(level, DEFLATED, -15)
-    uLong bound = compressBound(uLong(n)) + 64;
-    comp.resize(bound);
-    z_stream zs{};
-    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
-                     Z_DEFAULT_STRATEGY) != Z_OK)
-      return false;
-    zs.next_in = const_cast<Bytef *>(data);
-    zs.avail_in = uInt(n);
-    zs.next_out = comp.data();
-    zs.avail_out = uInt(comp.size());
-    int rc = deflate(&zs, Z_FINISH);
-    *clen_out = comp.size() - zs.avail_out;
-    deflateEnd(&zs);
-    return rc == Z_STREAM_END;
+  }
+
+  void stop_pool() {
+    if (workers.empty()) return;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop_workers = true;
+    }
+    cv_work.notify_all();
+    for (auto &t : workers) t.join();
+    workers.clear();
+  }
+
+  void worker_main() {
+#ifdef USE_LIBDEFLATE
+    libdeflate_compressor *wld =
+        use_zlib_env() ? nullptr : libdeflate_alloc_compressor(level);
+#else
+    void *wld = nullptr;
+#endif
+    std::vector<uint8_t> scratch;
+    std::unique_lock<std::mutex> lk(mu);
+    while (true) {
+      cv_work.wait(lk, [&] { return stop_workers || !todo.empty(); });
+      if (todo.empty()) {
+        if (stop_workers) break;
+        continue;
+      }
+      EmitJob *j = todo.front();
+      todo.pop_front();
+      lk.unlock();
+      bool ok = frame_member(j->in.data(), j->in.size(), level, wld,
+                             &scratch, &j->out);
+      lk.lock();
+      j->ok = ok;
+      j->done = true;
+      cv_done.notify_all();
+    }
+    lk.unlock();
+#ifdef USE_LIBDEFLATE
+    if (wld) libdeflate_free_compressor(wld);
+#endif
+  }
+
+  /* Write the oldest members' framed bytes in order; `all` drains the
+   * whole queue, else just keeps the in-flight window bounded. */
+  bool drain(bool all) {
+    size_t limit = all ? 0 : size_t(4 * n_threads);
+    std::unique_lock<std::mutex> lk(mu);
+    while (order.size() > limit) {
+      EmitJob *j = order.front();
+      cv_done.wait(lk, [&] { return j->done; });
+      order.pop_front();
+      lk.unlock();
+      bool ok = j->ok && fwrite(j->out.data(), 1, j->out.size(), fp) ==
+                             j->out.size();
+      j->done = j->ok = false;
+      j->in.clear();
+      lk.lock();
+      freelist.push_back(j);
+      if (!ok) return false;
+    }
+    return true;
+  }
+
+  bool flush_member_async(const uint8_t *data, size_t n) {
+    EmitJob *j;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      if (freelist.empty()) {
+        j = new EmitJob();
+      } else {
+        j = freelist.back();
+        freelist.pop_back();
+      }
+    }
+    j->in.assign(data, data + n);
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      order.push_back(j);
+      todo.push_back(j);
+    }
+    cv_work.notify_one();
+    return drain(false);
   }
 
   bool flush_member(const uint8_t *data, size_t n) {
-    size_t clen = 0;
-    if (!raw_deflate(data, n, &clen)) return false;
-
-    size_t bsize = clen + 25 + 1;  // header(18) + payload + crc(4) + isize(4)
-    if (bsize - 1 > 0xFFFF) return false;
-    uint8_t hdr[18] = {
-        0x1f, 0x8b, 0x08, 0x04,          // magic, deflate, FEXTRA
-        0,    0,    0,    0,             // mtime
-        0,    0xff,                      // xfl, os
-        0x06, 0x00,                      // xlen = 6
-        0x42, 0x43, 0x02, 0x00,          // 'B','C', slen = 2
-        uint8_t((bsize - 1) & 0xff), uint8_t(((bsize - 1) >> 8) & 0xff)};
-    uint32_t crc = uint32_t(crc32(0L, data, uInt(n)));
-    uint32_t isize = uint32_t(n);
-    uint8_t tail[8] = {
-        uint8_t(crc & 0xff),          uint8_t((crc >> 8) & 0xff),
-        uint8_t((crc >> 16) & 0xff),  uint8_t((crc >> 24) & 0xff),
-        uint8_t(isize & 0xff),        uint8_t((isize >> 8) & 0xff),
-        uint8_t((isize >> 16) & 0xff), uint8_t((isize >> 24) & 0xff)};
-    return fwrite(hdr, 1, 18, fp) == 18 &&
-           fwrite(comp.data(), 1, clen, fp) == clen &&
-           fwrite(tail, 1, 8, fp) == 8;
+    if (n_threads > 0) return flush_member_async(data, n);
+#ifdef USE_LIBDEFLATE
+    if (!ld && !use_zlib_env()) ld = libdeflate_alloc_compressor(level);
+    auto *sld = use_zlib_env() ? nullptr : ld;
+#else
+    void *sld = nullptr;
+#endif
+    if (!frame_member(data, n, level, sld, &comp, &framed)) return false;
+    return fwrite(framed.data(), 1, framed.size(), fp) == framed.size();
   }
 
   void write(const uint8_t *data, size_t n) {
@@ -178,6 +334,21 @@ uint64_t bcf_emit_tell(bcf_emit_t *e) {
   return (uint64_t(ftell(e->fp)) << 16) | uint64_t(e->buf.size());
 }
 
+/* Enable the ordered deflate worker pool on an emitter that will never
+ * call bcf_emit_tell (virtual offsets require synchronous writes): the
+ * extract loop's BGZF deflate is its wall-clock ceiling on multi-core
+ * hosts.  Output bytes are identical at any thread count.  Call once,
+ * right after open; n <= 0 keeps the synchronous writer. */
+int bcf_emit_set_threads(bcf_emit_t *e, int n) {
+  if (!e || e->failed) return -1;
+  if (!e->workers.empty()) return -2;  // already enabled
+  if (n <= 0) return 0;
+  e->n_threads = n;
+  for (int i = 0; i < n; ++i)
+    e->workers.emplace_back([e] { e->worker_main(); });
+  return 0;
+}
+
 int bcf_emit_close(bcf_emit_t *e) {
   if (!e) return -1;
   int rc = 0;
@@ -185,6 +356,7 @@ int bcf_emit_close(bcf_emit_t *e) {
     if (!e->flush_member(e->buf.data(), e->buf.size())) e->failed = true;
     e->buf.clear();
   }
+  if (!e->failed && e->n_threads > 0 && !e->drain(true)) e->failed = true;
   if (!e->failed && e->write_eof) {
     if (fwrite(BGZF_EOF_MARKER, 1, 28, e->fp) != 28) e->failed = true;
   }

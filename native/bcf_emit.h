@@ -47,11 +47,17 @@ int bcf_emit_records(bcf_emit_t *e, const uint8_t *shared,
                      uint32_t prefix_len, const uint8_t *gt_bytes,
                      int32_t n_rec, int32_t row_bytes);
 
-/* Flush, write the BGZF EOF marker and close.  Returns 0 on success. */
 /* BGZF virtual offset of the next byte to be written
- * (compressed-file-offset << 16 | pending-uncompressed-bytes). */
+ * (compressed-file-offset << 16 | pending-uncompressed-bytes).
+ * Synchronous emitters only — undefined after bcf_emit_set_threads. */
 uint64_t bcf_emit_tell(bcf_emit_t *e);
 
+/* Enable an ordered deflate worker pool (n threads).  Output bytes are
+ * identical at any thread count; bcf_emit_tell must not be used after
+ * this.  Call once right after open; n <= 0 is a no-op.  Returns 0. */
+int bcf_emit_set_threads(bcf_emit_t *e, int n);
+
+/* Flush, write the BGZF EOF marker and close.  Returns 0 on success. */
 int bcf_emit_close(bcf_emit_t *e);
 
 #ifdef __cplusplus

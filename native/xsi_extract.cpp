@@ -23,7 +23,9 @@
 #include "xsi_accessor.h"
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -144,6 +146,16 @@ int64_t xsi_extract_segment(const char *xsi_path, const char *out_path,
   if (!e) {
     xsi_close(f);
     return -2;
+  }
+  {
+    // BGZF deflate is the extract loop's wall-clock ceiling; members
+    // compress on a worker pool and are written in order, byte-identical
+    // at any thread count.  XSI_EMIT_THREADS overrides; single-core
+    // hosts stay synchronous.
+    int hw = int(std::thread::hardware_concurrency());
+    int threads = hw > 1 ? (hw - 1 < 4 ? hw - 1 : 4) : 0;
+    if (const char *t = getenv("XSI_EMIT_THREADS")) threads = atoi(t);
+    bcf_emit_set_threads(e, threads);
   }
 
   const size_t cap = size_t(n_samples) * 2;
