@@ -290,3 +290,52 @@ def test_var_pass_corrupt_inputs_sanitized(enc_fuzz_bin, gtb_bcf, tmp_path):
         f = str(tmp_path / f"vflip{trial}.bcf")
         open(f, "wb").write(bytes(mut))
         _check_clean(run(f, skip, key), f"var flip {trial}")
+
+
+def test_tsan_threaded_emitter_extract(tmp_path):
+    """ThreadSanitizer smoke over the bcf_emit deflate worker pool: a
+    threaded extract must finish race-free and byte-identical to the
+    synchronous writer."""
+    import numpy as np
+
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    from xsqueezeit_tpu.codec.compressor import (
+        CompressorOptions,
+        compress_file,
+    )
+    from xsqueezeit_tpu.codec.decompressor import (
+        Decompressor,
+        DecompressorOptions,
+    )
+
+    inp = str(tmp_path / "in.bcf")
+    synth_bcf(inp, 1200, 101)
+    xsi = str(tmp_path / "o.xsi")
+    compress_file(inp, xsi, CompressorOptions(block_length=256,
+                                              device="numpy"))
+
+    d = Decompressor(xsi, DecompressorOptions(output_type="b"))
+    header = d.output_header()
+    text = header.to_text().encode() + b"\0"
+    gt_key = header.str2idx["GT"]
+    hpath = str(tmp_path / "hdr.bin")
+    with open(hpath, "wb") as f:
+        f.write(text)
+
+    subprocess.run(["make", "-C", _NATIVE_DIR, "tsan_extract"],
+                   check=True, capture_output=True)
+    tsan_bin = os.path.join(_NATIVE_DIR, "tsan_extract")
+    out3 = str(tmp_path / "t3.bcf")
+    env = dict(os.environ,
+               TSAN_OPTIONS="halt_on_error=1 exitcode=66")
+    r = subprocess.run([tsan_bin, xsi, out3, hpath, str(gt_key), "3"],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"tsan extract failed:\n{r.stderr[-3000:]}"
+    assert "WARNING: ThreadSanitizer" not in r.stderr, r.stderr[-3000:]
+
+    out0 = str(tmp_path / "t0.bcf")
+    r0 = subprocess.run([tsan_bin, xsi, out0, hpath, str(gt_key), "0"],
+                        env=env, capture_output=True, text=True, timeout=300)
+    assert r0.returncode == 0, r0.stderr[-3000:]
+    with open(out0, "rb") as a, open(out3, "rb") as b:
+        assert a.read() == b.read(), "threaded output differs from sync"
