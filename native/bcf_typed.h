@@ -76,26 +76,27 @@ inline bool find_format_field(const uint8_t *p, const uint8_t *endp,
 inline void decode_gt_values(int type, const uint8_t *data, int64_t total,
                              int32_t *out) {
   // htslib sentinel values (named k* — the shim's vcf.h defines macros
-  // with the canonical bcf_int32_* names)
+  // with the canonical bcf_int32_* names).  The type branch lives OUTSIDE
+  // the loop and the sentinel mapping is branch-free selects, so each
+  // body auto-vectorizes (compare + blend) — this widening loop is the
+  // batch parser's per-value hot spot at biobank widths.
   const int32_t kMissing32 = INT32_MIN;
   const int32_t kVectorEnd32 = INT32_MIN + 1;
-  for (int64_t i = 0; i < total; ++i) {
-    int32_t v;
-    if (type == 1) {
-      int8_t t = *reinterpret_cast<const int8_t *>(data + i);
-      v = (t == int8_t(0x80)) ? kMissing32
-          : (t == int8_t(0x81)) ? kVectorEnd32 : t;
-    } else if (type == 2) {
-      int16_t t;
-      memcpy(&t, data + 2 * i, 2);
-      v = (t == int16_t(0x8000)) ? kMissing32
-          : (t == int16_t(0x8001)) ? kVectorEnd32 : t;
-    } else {
-      int32_t t;
-      memcpy(&t, data + 4 * i, 4);
-      v = t;
+  if (type == 1) {
+    const int8_t *p = reinterpret_cast<const int8_t *>(data);
+    for (int64_t i = 0; i < total; ++i) {
+      int32_t t = p[i];
+      out[i] = t == -128 ? kMissing32 : t == -127 ? kVectorEnd32 : t;
     }
-    out[i] = v;
+  } else if (type == 2) {
+    for (int64_t i = 0; i < total; ++i) {
+      int16_t s;
+      memcpy(&s, data + 2 * i, 2);
+      int32_t t = s;
+      out[i] = t == -32768 ? kMissing32 : t == -32767 ? kVectorEnd32 : t;
+    }
+  } else {
+    memcpy(out, data, size_t(total) * 4);
   }
 }
 
