@@ -98,6 +98,12 @@ bool frame_member(const uint8_t *data, size_t n, int level,
                   void *ld,
 #endif
                   std::vector<uint8_t> *scratch, std::vector<uint8_t> *out) {
+#ifdef USE_LIBDEFLATE
+  // a failed libdeflate_alloc_compressor must be a hard error, not a
+  // silent zlib fallback: one starved worker would otherwise emit
+  // mixed-backend members, breaking the byte-identity contract
+  if (!ld && !use_zlib_env()) return false;
+#endif
   size_t clen = 0;
   if (!raw_deflate_into(data, n, level, ld, scratch, &clen)) return false;
   size_t bsize = clen + 25 + 1;  // header(18) + payload + crc(4) + isize(4)
@@ -343,9 +349,19 @@ int bcf_emit_set_threads(bcf_emit_t *e, int n) {
   if (!e || e->failed) return -1;
   if (!e->workers.empty()) return -2;  // already enabled
   if (n <= 0) return 0;
+  if (n > 64) n = 64;  // env overrides arrive unvalidated
   e->n_threads = n;
-  for (int i = 0; i < n; ++i)
-    e->workers.emplace_back([e] { e->worker_main(); });
+  for (int i = 0; i < n; ++i) {
+    try {
+      e->workers.emplace_back([e] { e->worker_main(); });
+    } catch (...) {
+      // thread creation can fail under RLIMIT_NPROC; whatever spawned
+      // keeps working (fewer workers, same ordered output), and zero
+      // spawned degrades to the synchronous writer
+      if (e->workers.empty()) e->n_threads = 0;
+      return -3;
+    }
+  }
   return 0;
 }
 

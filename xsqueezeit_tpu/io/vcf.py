@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -218,7 +219,11 @@ def _gt_formatter_native():
     global _native_gt_formatter
     if _native_gt_formatter is None:
         try:
-            from ..interop.native import format_gt_region_bytes_native
+            from ..interop.native import (
+                build_native,
+                format_gt_region_bytes_native,
+            )
+            build_native()  # the build can fail even when the import works
             _native_gt_formatter = format_gt_region_bytes_native
         except Exception:
             _native_gt_formatter = False
@@ -235,23 +240,21 @@ def format_gt_region_bytes(gt: np.ndarray, ploidy: int,
     overhead alone); the Python paths are the oracle (equality pinned by
     tests) and the fallback.  Gate semantics match the other native
     paths: XSI_NATIVE=0 or an explicit XSI_DEVICE selection pins the
-    Python renderer."""
-    import os
+    Python renderer.  (The env gate is checked per call — cheap, and the
+    tests monkeypatch these variables mid-process.)"""
     if (os.environ.get("XSI_NATIVE", "1") not in ("0", "off", "no")
             and os.environ.get("XSI_DEVICE") not in ("numpy", "jax")):
         fn = _gt_formatter_native()
         if fn is not None:
             return fn(gt, ploidy, n_samples)
-    return format_gt_region(gt, ploidy, n_samples).encode()
+    return _format_gt_region_py(gt, ploidy, n_samples)
 
 
-def format_gt_region(gt: np.ndarray, ploidy: int, n_samples: int) -> str:
-    """Render the whole tab-separated genotype region of one record.
-
-    Vectorized fast path for uniform diploid rows with single-digit
-    alleles (bulk of cohort data); falls back to the per-cell renderer
-    otherwise.  The native hot path lives in format_gt_region_bytes.
-    """
+def _format_gt_region_py(gt: np.ndarray, ploidy: int,
+                         n_samples: int) -> bytes:
+    """Python renderer core (bytes): vectorized fast path for uniform
+    diploid rows with single-digit alleles (bulk of cohort data); falls
+    back to the per-cell renderer otherwise."""
     if ploidy == 2 and gt.shape[0] == 2 * n_samples:
         allele = (gt >> 1) - 1
         eov = np.int32(INT32_VECTOR_END)
@@ -264,8 +267,14 @@ def format_gt_region(gt: np.ndarray, ploidy: int, n_samples: int) -> str:
                                    0x7C, 0x2F)
             cells[:, 2] = np.where(a[:, 1] < 0, 0x2E, 0x30 + a[:, 1])
             cells[:, 3] = 0x09
-            return cells.tobytes()[:-1].decode()
-    return "\t".join(format_gt(gt, ploidy, n_samples))
+            return cells.tobytes()[:-1]
+    return "\t".join(format_gt(gt, ploidy, n_samples)).encode()
+
+
+def format_gt_region(gt: np.ndarray, ploidy: int, n_samples: int) -> str:
+    """Render the whole tab-separated genotype region of one record
+    (str convenience wrapper; the hot paths use the bytes forms)."""
+    return _format_gt_region_py(gt, ploidy, n_samples).decode()
 
 
 def format_gt(gt: np.ndarray, ploidy: int, n_samples: int) -> list[str]:
