@@ -565,3 +565,37 @@ const char *xsi_enc_error(void *hv) {
 void xsi_enc_close(void *hv) { delete static_cast<GtEncoder *>(hv); }
 
 }  // extern "C"
+
+/* ------------------------------------------------------------------ */
+/* Sparse-stream line-offset walk (ops/sparse_np.sparse_line_offsets):
+ * each head word stores its line's length, so the walk is inherently
+ * scalar pointer-chasing — microseconds in C where the numpy
+ * binary-lifting formulation costs ~0.4 ms/block in call overhead.
+ * Writes n_lines+1 offsets; returns 0, or -1 when the walk leaves the
+ * stream (truncated/corrupt input — callers raise).  Head masks follow
+ * the A_T width (u16/u32). */
+extern "C" int xsi_sparse_offsets16(const uint16_t *s, int64_t n,
+                                    int64_t n_lines, int64_t *out) {
+  if (!s || !out || n_lines < 0) return -1;
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_lines; ++i) {
+    out[i] = pos;
+    if (pos >= n) return -1;
+    pos += 1 + int64_t(s[pos] & 0x7FFF);
+  }
+  out[n_lines] = pos;
+  return pos <= n ? 0 : -1;
+}
+
+extern "C" int xsi_sparse_offsets32(const uint32_t *s, int64_t n,
+                                    int64_t n_lines, int64_t *out) {
+  if (!s || !out || n_lines < 0) return -1;
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n_lines; ++i) {
+    out[i] = pos;
+    if (pos >= n) return -1;
+    pos += 1 + int64_t(s[pos] & 0x7FFFFFFF);
+  }
+  out[n_lines] = pos;
+  return pos <= n ? 0 : -1;
+}

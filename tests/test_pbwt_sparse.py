@@ -83,3 +83,39 @@ def test_sparse_roundtrip():
     ])
     offs = sparse_np.sparse_line_offsets(stream, 3)
     assert offs.tolist() == [0, 3, 4, 6]
+
+
+def test_native_sparse_offsets_matches_python():
+    """xsi_sparse_offsets16/32 must walk exactly like both Python paths
+    (scalar and binary-lifting) and reject truncated streams the same
+    way."""
+    import pytest
+
+    native = pytest.importorskip("xsqueezeit_tpu.interop.native")
+    fn = native.sparse_offsets_native
+
+    rng = np.random.default_rng(23)
+    for dtype in (np.uint16, np.uint32):
+        flag = sparse_np.msb(dtype)
+        # many short lines (hits the scalar path in numpy terms) plus
+        # a large stream (hits binary lifting)
+        for n_lines, max_len in ((5, 3), (300, 10), (2000, 40)):
+            parts = []
+            for _ in range(n_lines):
+                k = int(rng.integers(0, max_len))
+                neg = bool(rng.integers(0, 2))
+                parts.append(sparse_np.sparse_encode(
+                    rng.integers(0, 1000, k), neg, dtype))
+            stream = np.concatenate(parts) if parts else np.zeros(0, dtype)
+            want = sparse_np.sparse_line_offsets(stream, n_lines)
+            got = fn(stream, n_lines)
+            np.testing.assert_array_equal(got, want, err_msg=str(
+                (dtype, n_lines, max_len)))
+        # truncated stream: drop the tail so the last line overruns
+        stream2 = stream[:-2] if stream.shape[0] > 2 else stream
+        with pytest.raises(ValueError, match="truncated"):
+            fn(stream2, n_lines)
+        # count word larger than the remaining stream
+        bad = np.array([flag - 1], dtype)
+        with pytest.raises(ValueError, match="truncated"):
+            fn(bad, 1)

@@ -421,6 +421,38 @@ class NativeBlockEncoder:
             pass
 
 
+_offsets_state: dict = {}
+
+
+def sparse_offsets_native(stream: np.ndarray, n_lines: int) -> np.ndarray:
+    """Sparse-stream line-offset walk in C (gt_encoder.cpp
+    xsi_sparse_offsets16/32) — semantics identical to the Python walks in
+    ops/sparse_np.sparse_line_offsets (raises ValueError on a truncated
+    stream).  stream dtype picks the head mask (A_T width)."""
+    if not _offsets_state:
+        lib = ctypes.CDLL(build_native())
+        for name in ("xsi_sparse_offsets16", "xsi_sparse_offsets32"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                           ctypes.POINTER(ctypes.c_int64)]
+        _offsets_state["lib"] = lib
+    lib = _offsets_state["lib"]
+    stream = np.ascontiguousarray(stream)
+    if stream.dtype == np.uint16:
+        fn = lib.xsi_sparse_offsets16
+    elif stream.dtype == np.uint32:
+        fn = lib.xsi_sparse_offsets32
+    else:
+        raise TypeError(f"sparse stream dtype {stream.dtype}")
+    out = np.empty(n_lines + 1, np.int64)
+    rc = fn(stream.ctypes.data_as(ctypes.c_void_p), stream.shape[0],
+            n_lines, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise ValueError("sparse stream truncated: line walk exceeds stream")
+    return out
+
+
 _fmt_state: dict = {}
 
 

@@ -48,21 +48,47 @@ def sparse_decode(stream: np.ndarray, pos: int = 0) -> tuple[np.ndarray, bool, i
     return stream[start:start + count], negated, start + count
 
 
+_native_offsets = None  # resolved lazily; False = unavailable
+
+
+def _offsets_native():
+    global _native_offsets
+    if _native_offsets is None:
+        try:
+            from ..interop.native import sparse_offsets_native
+            sparse_offsets_native(np.array([0], np.uint16), 1)  # build probe
+            _native_offsets = sparse_offsets_native
+        except Exception:
+            _native_offsets = False
+    return _native_offsets or None
+
+
 def sparse_line_offsets(stream: np.ndarray, n_lines: int) -> np.ndarray:
     """Start offsets (in elements) of the first n_lines lines of a stream.
 
-    The walk is pointer-chasing (each head stores its line's length), so the
-    naive form is a Python loop — too slow on the block decode path (~0.5 us
-    per line x thousands of sparse lines per block).  For large inputs we
-    vectorise with binary lifting: jump table J_b[p] = position reached after
-    2^b line-advances from p (computed for EVERY position, head or not; only
-    values reached from offset 0 are ever read), then offset i composes the
-    set bits of i.  O(N log n_lines) fully-vectorised numpy.
+    The walk is pointer-chasing (each head stores its line's length), so
+    the naive form is a Python loop — too slow on the block decode path
+    (~0.5 us per line x thousands of sparse lines per block).  The native
+    walk (gt_encoder.cpp xsi_sparse_offsets*) does it in microseconds;
+    without it, large inputs vectorise with binary lifting: jump table
+    J_b[p] = position reached after 2^b line-advances from p (computed for
+    EVERY position, head or not; only values reached from offset 0 are
+    ever read), then offset i composes the set bits of i.
+    O(N log n_lines) fully-vectorised numpy.  All paths raise on a
+    truncated/corrupt stream; equality across them is pinned by tests.
     """
+    import os
+
     stream = np.asarray(stream)
     flag = msb(stream.dtype)
     if n_lines <= 0:
         return np.zeros(1, np.int64)
+    if (n_lines >= 128
+            and os.environ.get("XSI_NATIVE", "1") not in ("0", "off", "no")
+            and os.environ.get("XSI_DEVICE") not in ("numpy", "jax")):
+        fn = _offsets_native()
+        if fn is not None:
+            return fn(stream, n_lines)
     if n_lines < 128 or stream.shape[0] < 4096:
         offsets = np.empty(n_lines + 1, np.int64)
         pos = 0
