@@ -334,3 +334,33 @@ def test_count_xcf(tmp_path, capsys):
     cli_main(["-c", "-f", vcf, "-o", xsi])
     assert cli_main(["--count-xcf", "-f", xsi + "_var.bcf"]) == 0
     assert "Number of entries is : 37" in capsys.readouterr().err
+
+
+def test_pipe_closed_downstream_exits_quietly(tmp_path):
+    """`-x -O u -o - | head`-style early pipe close (the roh pipe
+    workflow) must exit with 141 and print nothing — htslib-tool
+    behavior, no traceback."""
+    import subprocess
+    import sys
+
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    from xsqueezeit_tpu.codec.compressor import (
+        CompressorOptions,
+        compress_file,
+    )
+
+    inp = str(tmp_path / "in.bcf")
+    synth_bcf(inp, 400, 40)
+    xsi = str(tmp_path / "o.xsi")
+    compress_file(inp, xsi, CompressorOptions(device="numpy"))
+
+    p = subprocess.Popen(
+        [sys.executable, "-m", "xsqueezeit_tpu.cli", "-x", "-f", xsi,
+         "-O", "u", "-o", "-"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env=dict(os.environ, XSI_DEVICE="numpy"), cwd="/root/repo")
+    p.stdout.read(64)
+    p.stdout.close()
+    _, err = p.communicate(timeout=120)
+    assert p.returncode == 141, (p.returncode, err.decode()[-2000:])
+    assert not err.strip(), err.decode()[-2000:]

@@ -103,8 +103,20 @@ def main(argv: list[str] | None = None) -> int:
         import contextlib
         profile_cm = contextlib.nullcontext()
 
-    with profile_cm:
-        return _dispatch(args)
+    try:
+        with profile_cm:
+            return _dispatch(args)
+    except BrokenPipeError:
+        # downstream closed the pipe (`-x -O u -o - | head`, the roh
+        # workflow): exit quietly like htslib tools, no traceback.
+        # stdout is already broken — detach it so interpreter shutdown
+        # doesn't print a second error trying to flush.
+        import sys
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 141  # 128 + SIGPIPE, the shell's convention
 
 
 def _dispatch(args) -> int:
