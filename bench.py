@@ -245,6 +245,33 @@ def main():
     }))
 
 
+def _probe_device(timeout_s: int = 420) -> None:
+    """Fail FAST with a clear message when the device is unreachable.
+
+    A dead tunnel makes the first `jax.devices()` hang indefinitely with
+    zero CPU; without this probe the bench dies only at the caller's
+    timeout, with no diagnostic.  The probe runs in a subprocess so the
+    hang is killable."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "x = jnp.ones((128, 128)) @ jnp.ones((128, 128));"
+             "print(float(np.asarray(x)[0, 0]))"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: device unreachable — jax.devices() probe hung for "
+              f"{timeout_s}s (tunnel outage); no on-chip numbers can be "
+              f"produced", file=sys.stderr)
+        sys.exit(3)
+    if r.returncode != 0:
+        print(f"bench: device probe failed:\n{r.stderr[-2000:]}",
+              file=sys.stderr)
+        sys.exit(3)
+
+
 def _main_with_retry():
     """The tunneled device occasionally dies mid-run (multi-minute stalls,
     FAILED_PRECONDITION backend errors — environmental).  A dead backend
@@ -252,6 +279,7 @@ def _main_with_retry():
     the caller's timeout still bounds the total."""
     import os
 
+    _probe_device()
     attempt = int(os.environ.get("XSI_BENCH_ATTEMPT", "0"))
     try:
         main()
