@@ -79,3 +79,69 @@ def test_kitchen_sink():
             recs.append(make_record(rng, 64, p_alt=0.3, p_missing=0.02,
                                     p_eov=0.04))
     check(recs, 64, mac_threshold=3)
+
+
+def test_vectorized_overlay_missing_eov():
+    """All-biallelic WS_SPARSE blocks with missing/EOV and NO phase
+    exceptions take the vectorized overlay path (track_carriers walk +
+    flat scatters) — results must equal ground truth, which the
+    per-record loop is separately pinned to (test_missing_eov_phase)."""
+    rng = np.random.default_rng(7)
+    recs = [make_record(rng, 60, p_alt=0.3, p_missing=0.05, p_eov=0.03,
+                        phased=False) for _ in range(30)]
+    check(recs, 60, default_phasing=0)
+    # phased default: missing slots carry the bare phase bit
+    recs = [make_record(rng, 60, p_alt=0.3, p_missing=0.05)
+            for _ in range(30)]
+    check(recs, 60, default_phasing=1)
+    # partial-block decode: fewer records requested than lines flagged
+    payload = encode(recs, 60, default_phasing=1)
+    outs = decode_block_records(payload, 60, 120, np.uint16,
+                                [2] * 11)
+    for i in range(11):
+        np.testing.assert_array_equal(outs[i], recs[i][0],
+                                      err_msg=f"record {i}")
+
+
+def test_fold_biallelic_tracks_matches_host():
+    """The fused device fold+overlay (_fold_biallelic_tracks) equals the
+    host scatter overlay on the same carrier pairs."""
+    import jax.numpy as jnp
+    from xsqueezeit_tpu.codec.decoder_jax import (
+        DeviceBlockDecoder, _decode_block_full, _fold_biallelic_tracks,
+        track_carriers)
+
+    rng = np.random.default_rng(8)
+    n_samples, n = 60, 24
+    recs = [make_record(rng, n_samples, p_alt=0.3, p_missing=0.06,
+                        p_eov=0.04) for _ in range(n)]
+    payload = encode(recs, n_samples, default_phasing=1)
+    dev = DeviceBlockDecoder(payload, n_samples, n_samples * 2, np.uint16)
+    assert dev.eligible
+    (padded, sorts_p, rank, is_wah_p, neg_p, car_line, car_idx,
+     H, W, L, _nw) = dev.host_inputs()
+    vals = _decode_block_full(
+        jnp.asarray(padded), jnp.asarray(sorts_p), jnp.asarray(rank),
+        jnp.asarray(is_wah_p), jnp.asarray(neg_p), jnp.asarray(car_line),
+        jnp.asarray(car_idx), H, W)
+    m = dev.meta
+    Lp = int(vals.shape[0])
+    mrec, midx = track_carriers(m.missing_sparse,
+                                np.flatnonzero(m.line_has_missing),
+                                np.uint16)
+    erec, eidx = track_carriers(m.eov_sparse,
+                                np.flatnonzero(m.line_has_eov), np.uint16)
+
+    def pad_pairs(rec, idx):
+        k = max(len(rec) + 1, 8)
+        r = np.full(k, Lp, np.int32)
+        r[:len(rec)] = rec
+        x = np.zeros(k, np.int32)
+        x[:len(idx)] = idx
+        return jnp.asarray(r), jnp.asarray(x)
+
+    gt = np.asarray(_fold_biallelic_tracks(
+        vals, jnp.int32(1), *pad_pairs(mrec, midx), *pad_pairs(erec, eidx)))
+    for i in range(n):
+        np.testing.assert_array_equal(gt[i], recs[i][0],
+                                      err_msg=f"record {i}")

@@ -55,7 +55,10 @@ def _decode_block_full(stream, sorts, rank, is_wah, neg, car_line, car_idx,
     vals_w = _decode_wah_and_scan(stream, sorts, h, w)
     vals = jnp.where(is_wah[:, None], jnp.take(vals_w, rank, axis=0),
                      jnp.uint8(0))
-    vals = vals.at[car_line, car_idx].set(jnp.uint8(1), mode="drop")
+    # carrier pairs arrive in ascending (line, idx) stream order — telling
+    # XLA lets it skip the scatter's sort/serialize path
+    vals = vals.at[car_line, car_idx].set(jnp.uint8(1), mode="drop",
+                                          indices_are_sorted=True)
     return vals ^ neg[:, None]
 
 
@@ -65,6 +68,47 @@ def _fold_biallelic(vals, default_phasing):
     h = vals.shape[1]
     phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
     return ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fold_biallelic_tracks(vals, default_phasing, mrec, midx, erec, eidx):
+    """gt codes + missing/end-of-vector overlays in one device pass.
+
+    (mrec, midx) / (erec, eidx) are the flat (record, haplotype) carrier
+    pairs of the block's WS_SPARSE missing / EOV tracks (padding rows use
+    record >= vals.shape[0]: dropped).  Missing slots take the bare phase
+    bit (reference: gt[tgt] = phase_term[tgt],
+    accessor_internals_new.hpp:292-319); EOV slots take INT32_VECTOR_END,
+    overwriting missing when both flag a slot (same order as the scalar
+    reference loop).  The production Python driver applies identical
+    overlays with two vectorized host scatters (decode_block_records);
+    this fused form is the TPU-resident decode of a missing-regime block."""
+    h = vals.shape[1]
+    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
+    gt = ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
+    gt = gt.at[mrec, midx].set(jnp.take(phase, midx), mode="drop",
+                               indices_are_sorted=True)
+    gt = gt.at[erec, eidx].set(jnp.int32(INT32_VECTOR_END), mode="drop",
+                               indices_are_sorted=True)
+    return gt
+
+
+def track_carriers(stream: np.ndarray, flagged_lines: np.ndarray,
+                   aet_dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized walk of a WS_SPARSE exception-track stream: returns the
+    flat (line, haplotype) carrier pairs of all flagged lines (stream rows
+    are in flagged-line order; heads are [count] with no negation bit)."""
+    from ..ops.sparse_np import msb as _msb, sparse_line_offsets
+
+    msb = _msb(np.dtype(aet_dtype))
+    offs = sparse_line_offsets(stream, len(flagged_lines))
+    heads = stream[offs[:-1]].astype(np.int64)
+    counts = heads & (msb - 1)
+    car_line = np.repeat(np.asarray(flagged_lines, np.int64), counts)
+    take = np.ones(int(offs[-1]), bool)
+    take[offs[:-1]] = False
+    car_idx = stream[:offs[-1]][take].astype(np.int64)
+    return car_line, car_idx
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -352,6 +396,34 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
                 else np.arange(len(n_alleles_per_record)))
         vals = dev._vals[rows]
         gt_all = ((vals.astype(np.int32) + 1) << 1) | phase_term[None, :]
+        return list(gt_all)
+
+    # Vectorized overlay path: all-biallelic, WS_SPARSE tracks, no phase
+    # exceptions -- the missing/EOV streams parse in one vectorized walk
+    # (track_carriers) and overlay with two flat scatters.  The per-record
+    # loop below walks streams in Python, and a sprinkle-missing workload
+    # (reference sprinkle_missing_xcf, xcf.cpp:444-578) flags EVERY
+    # record.  Overlay order matches the scalar loop: missing assigns the
+    # bare phase bit, then EOV overwrites (contiguous was checked above,
+    # so record i sits at line i in an all-biallelic block).
+    if (m.weirdness_strat == WeirdnessStrategy.WS_SPARSE
+            and (m.line_has_nup is None or not m.line_has_nup.any())
+            and all(na == 2 for na in n_alleles_per_record)):
+        n = len(n_alleles_per_record)
+        gt_all = ((dev._vals[:n].astype(np.int32) + 1) << 1) \
+            | phase_term[None, :]
+        if m.line_has_missing is not None and m.line_has_missing.any():
+            car_rec, car_idx = track_carriers(
+                m.missing_sparse, np.flatnonzero(m.line_has_missing),
+                aet_dtype)
+            keep = car_rec < n
+            gt_all[car_rec[keep], car_idx[keep]] = \
+                phase_term[car_idx[keep]]
+        if m.line_has_eov is not None and m.line_has_eov.any():
+            car_rec, car_idx = track_carriers(
+                m.eov_sparse, np.flatnonzero(m.line_has_eov), aet_dtype)
+            keep = car_rec < n
+            gt_all[car_rec[keep], car_idx[keep]] = np.int32(INT32_VECTOR_END)
         return list(gt_all)
 
     if not contiguous:

@@ -25,7 +25,8 @@ MISSING_CODE = -1
 EOV_CODE = -2
 
 
-def alleles_from_gt(gt_block: np.ndarray) -> np.ndarray:
+def alleles_from_gt(gt_block: np.ndarray, n_alleles: int | None = None
+                    ) -> np.ndarray:
     """htslib int32 gt rows -> compact allele codes (missing -1, EOV -2).
 
     Written with in-place masking rather than an np.where chain: on a
@@ -35,11 +36,16 @@ def alleles_from_gt(gt_block: np.ndarray) -> np.ndarray:
     The block encoders call this per record at encode_record time (rows
     are L1/L2-resident right after parse); the block form exists for the
     mesh driver and tests.
-    int16 truncation of the special int32 sentinels is harmless — their
-    slots are overwritten by the masks computed on the original values."""
+
+    With `n_alleles` <= 127 the codes fit int8 (codes are -3..n_alleles-1),
+    halving block-stack memory traffic AND the host->device transfer of
+    the block matrix; otherwise int16.  Narrow truncation of the special
+    int32 sentinels is harmless — their slots are overwritten by the
+    masks computed on the original values."""
     gt = np.asarray(gt_block, np.int32)
     shifted = gt >> 1
-    out = shifted.astype(np.int16)
+    dtype = np.int8 if n_alleles is not None and n_alleles <= 127 else np.int16
+    out = shifted.astype(dtype)
     out -= 1
     out[shifted == 0] = MISSING_CODE
     out[gt == np.int32(INT32_MISSING)] = MISSING_CODE
@@ -65,10 +71,16 @@ class BlockEncoderBase:
         self.default_phasing = int(default_phasing)
         self.aet_dtype = np.dtype(aet_dtype)
         self.weirdness_strategy = weirdness_strategy
-        self._allele_rows: list[np.ndarray] = []   # int16 codes per record
-        self._nup_rows: list[np.ndarray] = []      # phase-exception bools
+        self._allele_rows: list[np.ndarray] = []   # int8/int16 codes per rec
+        self._nup_flagged: dict[int, np.ndarray] = {}  # rec -> phase bools
         self._n_alleles: list[int] = []
         self._alt_counts: list[np.ndarray] = []    # carrier count per ALT
+        # Exception-track stats taken per record at encode time (the row is
+        # cache-resident): serialize() never re-scans the block matrix for
+        # flags, and the device track encode gets its static capacity from
+        # the maxima.
+        self._n_missing: list[int] = []
+        self._n_eov: list[int] = []
 
     @property
     def bcf_lines(self) -> int:
@@ -88,8 +100,17 @@ class BlockEncoderBase:
         # Convert NOW, while the freshly-parsed row is cache-resident:
         # deferring to serialize() re-streams the whole block (hundreds of
         # MB) through DRAM for work that is a few fused passes per row.
-        codes = alleles_from_gt(gt)
+        codes = alleles_from_gt(gt, n_alleles)
         self._allele_rows.append(codes)
+        # Exception stats on the resident row: one reduction when clean,
+        # two counts when specials are present (rare by construction).
+        if int(codes.min(initial=0)) < 0:
+            self._n_missing.append(
+                int(np.count_nonzero(codes == MISSING_CODE)))
+            self._n_eov.append(int(np.count_nonzero(codes == EOV_CODE)))
+        else:
+            self._n_missing.append(0)
+            self._n_eov.append(0)
         # Per-ALT carrier counts, one more pass over the L1-resident row:
         # they make is_wah/negated host-known at serialize time, so the
         # device chain runs only over the WAH rows (prepare() wah_rows).
@@ -104,15 +125,14 @@ class BlockEncoderBase:
             self._alt_counts.append(np.bincount(
                 np.maximum(codes, 0), minlength=n_alleles
             )[1:n_alleles].astype(np.int64))
-        if gt.shape[0] == self.n_samples and self.n_samples != self.n_haps:
-            # haploid record: single-slot samples carry no phase bit
-            nup = np.zeros(gt.shape[0], bool)
-        else:
+        if gt.shape[0] != self.n_samples or self.n_samples == self.n_haps:
             second = self._second_slot_mask(gt.shape[0])
             # phase applies only to non-first slots; specials included
-            # (reference parity)
+            # (reference parity).  Haploid records (single-slot samples)
+            # carry no phase bit and are never flagged.
             nup = second & ((gt & 1) != self.default_phasing)
-        self._nup_rows.append(nup)
+            if nup.any():
+                self._nup_flagged[len(self._n_alleles)] = nup
         self._n_alleles.append(n_alleles)
 
     def _second_slot_mask(self, H: int) -> np.ndarray:
@@ -144,16 +164,14 @@ class BlockEncoderBase:
             H = self.n_haps
             N = self.n_samples
             rec_hap = np.array([r.shape[0] == N for r in self._allele_rows])
-            alleles_rec = np.zeros((len(self._allele_rows), H), np.int16)
-            nup_rec_bits = np.zeros((len(self._nup_rows), H), bool)
-            for i, (r, p) in enumerate(zip(self._allele_rows,
-                                           self._nup_rows)):
+            dt = (np.int16 if any(r.dtype == np.int16
+                                  for r in self._allele_rows) else np.int8)
+            alleles_rec = np.zeros((len(self._allele_rows), H), dt)
+            for i, r in enumerate(self._allele_rows):
                 alleles_rec[i, :r.shape[0]] = r
-                nup_rec_bits[i, :p.shape[0]] = p
             haploid = False
         else:
-            alleles_rec = np.stack(self._allele_rows)   # [n_rec, H] int16
-            nup_rec_bits = np.stack(self._nup_rows)     # [n_rec, H] bool
+            alleles_rec = np.stack(self._allele_rows)   # [n_rec, H] i8/i16
             rec_hap = None
             # Uniformly-haploid blocks (chrX male panels): the diploid 2N
             # arrangement keeps haplotype pairs adjacent when every line's
@@ -170,7 +188,15 @@ class BlockEncoderBase:
         alt_of_line = (np.concatenate([np.arange(1, k + 1) for k in n_alts])
                        if len(n_alts) else np.zeros(0, np.int64))
         L = rec_of_line.shape[0]
-        alleles = alleles_rec[rec_of_line]          # [L, H]
+        if (not mixed and L == alleles_rec.shape[0]
+                and bool((n_alts == 1).all())):
+            # all-biallelic uniform block: the line expansion is the
+            # identity -- alias instead of copying the whole matrix (the
+            # common case; read-only downstream.  The mixed branch writes
+            # slot-duplicated haploid rows in place, so it always copies)
+            alleles = alleles_rec
+        else:
+            alleles = alleles_rec[rec_of_line]      # [L, H]
         hap_line = None
         if mixed:
             hap_line = rec_hap[rec_of_line]
@@ -247,16 +273,31 @@ class BlockEncoderBase:
         if L_pad != L:
             is_wah_p = np.concatenate([is_wah, np.zeros(L_pad - L, bool)])
             negated_p = np.concatenate([negated, np.zeros(L_pad - L, bool)])
+
+        # Exception-track metadata from the per-record stats captured at
+        # encode_record time — serialize() never re-scans the block matrix.
+        n_missing = np.asarray(self._n_missing, np.int64)
+        n_eov = np.asarray(self._n_eov, np.int64)
+        flag_m = np.flatnonzero(n_missing > 0)
+        flag_e = np.flatnonzero(n_eov > 0)
+        flag_p = np.asarray(sorted(self._nup_flagged), np.int64)
+        nup_bits = (np.stack([self._nup_flagged[i] for i in flag_p])
+                    if len(flag_p) else np.zeros((0, H), bool))
+        first_lines = np.cumsum(np.concatenate([[0], n_alts[:-1]])) \
+            if len(n_alts) else np.zeros(0, np.int64)
         return dict(n_alts=n_alts, haploid=haploid, mixed=mixed,
                     H=H, L=L, alleles_rec=alleles_rec,
-                    nup_rec_bits=nup_rec_bits, rec_hap=rec_hap,
+                    rec_hap=rec_hap,
                     hap_line=hap_line, hap_line_p=hap_line_p,
                     alleles_p=alleles_p, alts_p=alts_p,
                     is_wah=is_wah, negated=negated,
                     is_wah_p=is_wah_p, negated_p=negated_p,
                     wah_rows_p=wah_rows_p, sorts_w=sorts_w, n_wah=n_wah,
                     sparse_rows_p=sparse_rows_p, negated_s=negated_s,
-                    n_sparse=n_sparse)
+                    n_sparse=n_sparse,
+                    n_missing=n_missing, n_eov=n_eov,
+                    flag_m=flag_m, flag_e=flag_e, flag_p=flag_p,
+                    nup_bits=nup_bits, first_lines=first_lines)
 
     def assemble(self, out: dict, prep: dict) -> bytes:
         """Payload assembly from the core outputs (sliced to [:L]).
@@ -266,8 +307,6 @@ class BlockEncoderBase:
         n_alts = prep["n_alts"]
         haploid = prep["haploid"]
         L = prep["L"]
-        alleles_rec = prep["alleles_rec"]
-        nup_rec_bits = prep["nup_rec_bits"]
         hap_line = prep.get("hap_line")
         rec_hap = prep.get("rec_hap")
         # Oracle parity: haploid_found is per RECORD — a clean zero-ALT
@@ -278,12 +317,14 @@ class BlockEncoderBase:
         is_wah = out["is_wah"]
         negated = out["negated"] & ~is_wah
 
-        # --- exception tracks (host flags; rare) --------------------------
-        miss_rec = alleles_rec == MISSING_CODE
-        eov_rec = alleles_rec == EOV_CODE
-        rec_has_missing = miss_rec.any(axis=1)
-        rec_has_eov = eov_rec.any(axis=1)
-        rec_has_nup = nup_rec_bits.any(axis=1)
+        # --- exception tracks (flags captured at encode_record time) -------
+        n_rec = len(n_alts)
+        rec_has_missing = np.zeros(n_rec, bool)
+        rec_has_missing[prep["flag_m"]] = True
+        rec_has_eov = np.zeros(n_rec, bool)
+        rec_has_eov[prep["flag_e"]] = True
+        rec_has_nup = np.zeros(n_rec, bool)
+        rec_has_nup[prep["flag_p"]] = True
 
         zero_alt = n_alts == 0
         if (zero_alt & (rec_has_missing | rec_has_eov | rec_has_nup)).any():
@@ -300,9 +341,7 @@ class BlockEncoderBase:
                 "block encoders support WS_SPARSE and WS_WAH")
 
         missing_bytes, eov_bytes, phase_bytes = self._encode_tracks(
-            miss_rec, eov_rec, nup_rec_bits,
-            rec_has_missing, rec_has_eov, rec_has_nup, wah_weird,
-            rec_hap=prep.get("rec_hap"))
+            prep, wah_weird, device_out=out.get("trk"))
 
         # --- assemble payload ---------------------------------------------
         d: dict[int, int] = {
@@ -420,107 +459,144 @@ class BlockEncoderBase:
         return bytes(payload)
 
     # ------------------------------------------------------ track encode
-    def _encode_tracks(self, miss_rec, eov_rec, nup_rec_bits,
-                       rec_has_missing, rec_has_eov, rec_has_nup,
-                       wah_weird: bool,
-                       rec_hap: np.ndarray | None = None
+    def track_cap(self, prep: dict, wah_weird: bool) -> int:
+        """Static sparse capacity for the device track encode (bucketed so
+        one executable serves many blocks).  0 = no sparse output needed."""
+        from ..utils.shapes import bucket
+        if wah_weird or len(prep["flag_m"]) + len(prep["flag_e"]) == 0:
+            return 0
+        return bucket(max(int(prep["n_missing"].max(initial=0)),
+                          int(prep["n_eov"].max(initial=0)), 1), minimum=64)
+
+    def _encode_tracks(self, prep: dict, wah_weird: bool,
+                       device_out: dict | None = None
                        ) -> tuple[bytes, bytes, bytes]:
         """Concatenated track bytes (missing, EOV, phase), record order.
 
-        Host encoders (and device encoders with few flagged records, where
-        dispatch latency dwarfs the work) batch all flagged rows through
-        vectorized numpy; the device encoder routes many-row batches to
-        one jitted dispatch (encoder_jax._encode_tracks_device).  All
-        paths are byte-identical (they reduce to wah_np.wah_encode /
-        sparse_np.sparse_encode semantics, pinned by tests)."""
+        Three producers, all byte-identical (they reduce to
+        wah_np.wah_encode / sparse_np.sparse_encode semantics, pinned by
+        tests):
+          * `device_out` — missing/EOV grids already encoded INSIDE the
+            main device dispatch from the block matrix itself (no second
+            transfer; encoder_jax._encode_block_device_compact_tracks);
+          * the packed-bit device batch (8x smaller transfer than raw
+            bool rows) for phase rows and non-fused many-row batches;
+          * vectorized numpy for small batches and the mixed-width
+            haploid-WAH corner."""
         import os
 
-        flag_m = np.flatnonzero(rec_has_missing)
-        flag_e = np.flatnonzero(rec_has_eov)
-        flag_p = np.flatnonzero(rec_has_nup)
-        n_flag = len(flag_m) + len(flag_e) + len(flag_p)
-        if n_flag == 0:
+        flag_m, flag_e, flag_p = prep["flag_m"], prep["flag_e"], prep["flag_p"]
+        nm, ne, npp = len(flag_m), len(flag_e), len(flag_p)
+        if nm + ne + npp == 0:
             return b"", b"", b""
-        # Haploid records' natural-order tracks have n_samples bits, not
-        # n_haps: WAH bytes depend on the row length, so WAH-weirdness
-        # tracks with haploid flagged rows take the split host path below.
+        alleles_rec = prep["alleles_rec"]
+        rec_hap = prep.get("rec_hap")
+        min_rows = int(os.environ.get("XSI_TRACKS_DEVICE_MIN", "8"))
+
+        def flag_bits(flags: np.ndarray, code: int) -> np.ndarray:
+            if len(flags) == alleles_rec.shape[0]:
+                return alleles_rec == code       # all flagged: no gather
+            return alleles_rec[flags] == code
+
+        def host_wah(bits: np.ndarray, rows: np.ndarray) -> bytes:
+            if rec_hap is not None and len(rows) and rec_hap[rows].any():
+                # Haploid records' natural-order tracks have n_samples
+                # bits, not n_haps: WAH bytes depend on the row length,
+                # so mixed-width batches take the per-row path.
+                N = self.n_samples
+                segs: list[bytes] = []
+                for i, r in enumerate(rows):
+                    width = N if rec_hap[r] else bits.shape[1]
+                    segs.append(wah_np.wah_encode(
+                        bits[i, :width].astype(np.uint8)).tobytes())
+                return b"".join(segs)
+            stream, _ = wah_np.wah_encode_rows(bits.astype(np.uint8))
+            return stream.tobytes()
+
+        def host_sparse(bits: np.ndarray) -> bytes:
+            counts = bits.sum(axis=1).astype(np.int64)
+            _, cc = np.nonzero(bits)
+            return self._assemble_sparse_csr(
+                cc, counts, np.zeros(bits.shape[0], bool))
+
+        def wah_bytes(ww: np.ndarray, wl: np.ndarray) -> bytes:
+            take = np.arange(ww.shape[1])[None, :] < wl[:, None]
+            return ww[take].tobytes()
+
+        def sparse_bytes(si: np.ndarray, sl: np.ndarray) -> bytes:
+            return self._assemble_sparse(
+                si, sl, np.zeros(sl.shape[0], bool),
+                np.ones(sl.shape[0], bool))
+
+        if device_out is not None:
+            ww, wl = device_out["wah_words"], device_out["wah_len"]
+            si, sl = device_out["sparse_idx"], device_out["sparse_len"]
+            if wah_weird:
+                mb = wah_bytes(ww[:nm], wl[:nm])
+                eb = wah_bytes(ww[nm:nm + ne], wl[nm:nm + ne])
+            else:
+                mb = sparse_bytes(si[:nm], sl[:nm])
+                eb = sparse_bytes(si[nm:nm + ne], sl[nm:nm + ne])
+            if npp == 0:
+                return mb, eb, b""
+            if self.use_device_tracks and npp >= min_rows:
+                pw, pl, _, _ = self._device_track_rows(prep["nup_bits"], 0)
+                return mb, eb, wah_bytes(pw, pl)
+            return mb, eb, host_wah(prep["nup_bits"], flag_p)
+
+        # Haploid flagged rows under WAH weirdness have mixed row widths;
+        # the batched device grids assume one width, so stay on host.
         # (WS_SPARSE tracks are [count][indices] — length-agnostic — and
         # phase rows are never haploid, so everything else is unaffected.)
         hap_in_wah_rows = (
             rec_hap is not None and wah_weird
             and bool(rec_hap[np.concatenate([flag_m, flag_e])].any()))
-        min_rows = int(os.environ.get("XSI_TRACKS_DEVICE_MIN", "8"))
-        if self.use_device_tracks and n_flag >= min_rows \
+        if self.use_device_tracks and nm + ne + npp >= min_rows \
                 and not hap_in_wah_rows:
-            return self._encode_tracks_on_device(
-                miss_rec, eov_rec, nup_rec_bits, flag_m, flag_e, flag_p,
-                wah_weird)
+            bits = np.concatenate([
+                flag_bits(flag_m, MISSING_CODE),
+                flag_bits(flag_e, EOV_CODE),
+                prep["nup_bits"]]).astype(np.uint8)
+            cap = self.track_cap(prep, wah_weird)
+            ww, wl, si, sl = self._device_track_rows(bits, cap)
+            pw, pl = ww[nm + ne:], wl[nm + ne:]
+            if wah_weird:
+                return (wah_bytes(ww[:nm], wl[:nm]),
+                        wah_bytes(ww[nm:nm + ne], wl[nm:nm + ne]),
+                        wah_bytes(pw, pl))
+            return (sparse_bytes(si[:nm], sl[:nm]),
+                    sparse_bytes(si[nm:nm + ne], sl[nm:nm + ne]),
+                    wah_bytes(pw, pl))
 
-        def host_wah(rows_bits, rows) -> bytes:
-            if hap_in_wah_rows and rec_hap[rows].any():
-                N = self.n_samples
-                segs: list[bytes] = []
-                for r in rows:
-                    width = N if rec_hap[r] else rows_bits.shape[1]
-                    segs.append(wah_np.wah_encode(
-                        rows_bits[r, :width].astype(np.uint8)).tobytes())
-                return b"".join(segs)
-            stream, _ = wah_np.wah_encode_rows(
-                rows_bits[rows].astype(np.uint8))
-            return stream.tobytes()
+        if wah_weird:
+            mb = host_wah(flag_bits(flag_m, MISSING_CODE), flag_m) \
+                if nm else b""
+            eb = host_wah(flag_bits(flag_e, EOV_CODE), flag_e) if ne else b""
+        else:
+            mb = host_sparse(flag_bits(flag_m, MISSING_CODE)) if nm else b""
+            eb = host_sparse(flag_bits(flag_e, EOV_CODE)) if ne else b""
+        pb = host_wah(prep["nup_bits"], flag_p) if npp else b""
+        return mb, eb, pb
 
-        def host_sparse(rows_bits, rows) -> bytes:
-            bits = rows_bits[rows]
-            counts = bits.sum(axis=1).astype(np.int64)
-            _, cc = np.nonzero(bits)
-            return self._assemble_sparse_csr(
-                cc, counts, np.zeros(len(rows), bool))
-
-        track = host_wah if wah_weird else host_sparse
-        return (track(miss_rec, flag_m), track(eov_rec, flag_e),
-                host_wah(nup_rec_bits, flag_p))
-
-    def _encode_tracks_on_device(self, miss_rec, eov_rec, nup_rec_bits,
-                                 flag_m, flag_e, flag_p,
-                                 wah_weird: bool) -> tuple[bytes, bytes, bytes]:
+    def _device_track_rows(self, bits: np.ndarray, cap: int):
+        """Batched device WAH+sparse encode of track bit rows.  The rows
+        cross to the device PACKED (np.packbits, 8x less transfer than
+        bool rows); the device unpacks and encodes in one dispatch."""
         import jax.numpy as jnp
 
         from ..utils.shapes import bucket
-        from .encoder_jax import _encode_tracks_device
+        from .encoder_jax import _encode_tracks_device_packed
 
-        bits = np.concatenate([miss_rec[flag_m], eov_rec[flag_e],
-                               nup_rec_bits[flag_p]]).astype(np.uint8)
-        R = bits.shape[0]
+        R, H = bits.shape
+        packed = np.packbits(bits.astype(np.uint8), axis=1,
+                             bitorder="little")
         R_pad = bucket(R)
         if R_pad != R:
-            bits = np.concatenate(
-                [bits, np.zeros((R_pad - R, bits.shape[1]), np.uint8)])
-        nm, ne = len(flag_m), len(flag_e)
-        if wah_weird:
-            cap = 0                      # every track is WAH: no sparse
-        else:
-            # phase rows are always WAH; cap covers only miss/EOV rows
-            me = bits[:nm + ne]
-            cap = bucket(max(int(me.sum(axis=1).max()), 1)) if nm + ne else 0
-        ww, wl, si, sl = (np.asarray(x) for x in _encode_tracks_device(
-            jnp.asarray(bits), int(cap)))
-        ww, wl, si, sl = ww[:R], wl[:R], si[:R], sl[:R]
-
-        def wah_bytes(rows: slice) -> bytes:
-            rows_w, lens = ww[rows], wl[rows]
-            take = np.arange(rows_w.shape[1])[None, :] < lens[:, None]
-            return rows_w[take].tobytes()
-
-        def sparse_bytes(rows: slice) -> bytes:
-            lens = sl[rows]
-            return self._assemble_sparse(
-                si[rows], lens, np.zeros(lens.shape[0], bool),
-                np.ones(lens.shape[0], bool))
-
-        m_sl, e_sl, p_sl = slice(0, nm), slice(nm, nm + ne), slice(nm + ne, R)
-        if wah_weird:
-            return wah_bytes(m_sl), wah_bytes(e_sl), wah_bytes(p_sl)
-        return sparse_bytes(m_sl), sparse_bytes(e_sl), wah_bytes(p_sl)
+            packed = np.concatenate(
+                [packed, np.zeros((R_pad - R, packed.shape[1]), np.uint8)])
+        ww, wl, si, sl = (np.asarray(x) for x in _encode_tracks_device_packed(
+            jnp.asarray(packed), H, int(cap)))
+        return ww[:R], wl[:R], si[:R], sl[:R]
 
     def _sparse_bytes(self, indices: np.ndarray, negated: bool) -> np.ndarray:
         from ..ops.sparse_np import sparse_encode
