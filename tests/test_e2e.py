@@ -364,3 +364,45 @@ def test_pipe_closed_downstream_exits_quietly(tmp_path):
     _, err = p.communicate(timeout=120)
     assert p.returncode == 141, (p.returncode, err.decode()[-2000:])
     assert not err.strip(), err.decode()[-2000:]
+
+
+def test_fused_recompress_byte_identity(tmp_path, monkeypatch):
+    """The fused -O x path (re-encode inside the decode loop, no
+    intermediate BCF) must produce bytes identical to the legacy
+    decode->BCF->compress detour, across zstd/subset/region/missing."""
+    from xsqueezeit_tpu.utils import mutate
+
+    base = fixtures.random_vcf(str(tmp_path / "rand.vcf"), n_samples=16,
+                               n_records=150, seed=42, p_multi=0.15)
+    sprinkled = str(tmp_path / "miss.vcf")
+    mutate.sprinkle_missing(base, sprinkled, rate=0.05, seed=3)
+
+    cases = [
+        (base, []),
+        (base, ["--zstd"]),
+        (base, ["-s", "S001,S004,S007"]),
+        (base, ["-r", "20:60500-63000"]),
+        (sprinkled, []),
+    ]
+    for i, (vcf, extra) in enumerate(cases):
+        xsi = str(tmp_path / f"src{i}.xsi")
+        cargs = ["-c", "-f", vcf, "-o", xsi, "--variant-block-length", "32"]
+        if "--zstd" in extra:
+            cargs.append("--zstd")
+        assert cli_main(cargs) == 0
+        # same basename in two dirs: the var header embeds ##XSI=<basename>
+        (tmp_path / f"fused{i}").mkdir()
+        (tmp_path / f"detour{i}").mkdir()
+        fused = str(tmp_path / f"fused{i}" / "out.xsi")
+        detour = str(tmp_path / f"detour{i}" / "out.xsi")
+        xargs = ["-x", "-f", xsi, "-O", "x"] + [a for a in extra
+                                                if a != "--zstd"]
+        monkeypatch.setenv("XSI_FUSED_RECOMPRESS", "1")
+        assert cli_main(xargs + ["-o", fused]) == 0
+        monkeypatch.setenv("XSI_FUSED_RECOMPRESS", "0")
+        assert cli_main(xargs + ["-o", detour]) == 0
+        monkeypatch.delenv("XSI_FUSED_RECOMPRESS")
+        for ext in ("", "_var.bcf"):
+            a = open(fused + ext, "rb").read()
+            b = open(detour + ext, "rb").read()
+            assert a == b, f"case {i} {extra} {ext or 'container'} differs"

@@ -288,3 +288,27 @@ def test_c_xcf_region_without_index_fails(c_xcf_built, xcf_pair):
                        capture_output=True, text=True)
     assert r.returncode == 1
     assert "cannot open" in r.stderr
+
+
+def test_native_allele_counts(compressed):
+    """xsi_fill_allele_counts_bm (count-only fast path, reference
+    accessor_internals_new.hpp:407-438) vs the NumPy block decoder, every
+    record, both orders (sequential and a backwards replay)."""
+    from xsqueezeit_tpu.accessor import Accessor
+    from xsqueezeit_tpu.io.bcf import BcfReader
+
+    _, xsi = compressed
+    acc = Accessor(xsi)
+    nat = NativeAccessor(xsi)
+    reader = BcfReader(acc.variant_filename())
+    recs = [(acc.position_from_bm_entry(rec), rec.n_allele)
+            for rec in reader]
+    reader.close()
+    for bm, na in recs + recs[::3][::-1]:      # incl. backwards seeks
+        want = acc.fill_allele_counts(bm, na)
+        got = nat.fill_allele_counts_bm(bm, na)
+        np.testing.assert_array_equal(got, want[:len(got)],
+                                      err_msg=f"bm={bm}")
+        assert int(got.sum()) == int(want.sum())
+    nat.close()
+    acc.close()

@@ -98,7 +98,54 @@ class Accessor:
         dec.seek(offset)
         return dec.fill_genotype_array_advance(n_alleles)
 
+    def _native(self):
+        """Native count-only engine (native/xsi_accessor.cpp), lazily
+        probed; False = unavailable.  Same env gate as the decompressor's
+        native accessor: XSI_NATIVE=0 or a pinned XSI_DEVICE selects the
+        pure-Python paths (tests pin XSI_DEVICE=numpy)."""
+        import os
+
+        acc = getattr(self, "_nat_acc", None)
+        if acc is None:
+            acc = False
+            if (os.environ.get("XSI_NATIVE", "1") not in ("0", "off", "no")
+                    and os.environ.get("XSI_DEVICE") not in ("numpy", "jax")):
+                try:
+                    from .interop.native import NativeAccessor
+                    acc = NativeAccessor(self.path)
+                except Exception:
+                    acc = False
+            self._nat_acc = acc
+        return acc
+
+    def close(self) -> None:
+        acc = getattr(self, "_nat_acc", None)
+        if acc not in (None, False):
+            acc.close()
+            self._nat_acc = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def fill_allele_counts(self, bm: int, n_alleles: int) -> np.ndarray:
+        """AC per allele without materializing genotypes.  Native fast
+        path: WAH popcount / sparse lengths straight off the compressed
+        forms (xsi_fill_allele_counts_bm; reference count-only path
+        accessor_internals_new.hpp:407-438) — the whole point of af_stats.
+        Falls back to the NumPy block decoder permanently on error."""
+        acc = self._native()
+        if acc is not False:
+            try:
+                return acc.fill_allele_counts_bm(bm, n_alleles)
+            except Exception as exc:
+                import sys
+                print(f"xsi: native allele counts fell back to NumPy: {exc}",
+                      file=sys.stderr)
+                acc.close()
+                self._nat_acc = False
         block_id, offset = self.split_bm(bm)
         dec = self._decoder(block_id)
         dec.seek(offset)

@@ -210,6 +210,16 @@ class Decompressor:
         return dec.fill_genotype_array_advance(n_alleles)
 
     def allele_counts_bm(self, bm: int, n_alleles: int) -> np.ndarray:
+        acc = self._native_accessor()
+        if acc is not False:
+            try:
+                return acc.fill_allele_counts_bm(bm, n_alleles)
+            except Exception as exc:
+                import sys
+                print(f"xsi: native allele counts fell back to NumPy: {exc}",
+                      file=sys.stderr)
+                acc.close()
+                self._nat_acc = False
         block_id = (bm & 0xFFFFFFFF) >> BM_BLOCK_BITS
         offset = bm & ((1 << BM_BLOCK_BITS) - 1)
         dec = self._decoder_for(block_id)
@@ -612,21 +622,188 @@ class Decompressor:
         return encode_shared_from_vcf_cols(self.var_header, cols, 1,
                                            len(self.output_samples))
 
+    def _recompress_options(self):
+        """Carry over the source's rare/common split: the header stores
+        the MAC threshold (rare_threshold = n_haps * maf); +0.5 keeps
+        int(n_haps * maf) == rare_threshold under float rounding when the
+        sample set is unchanged."""
+        from .compressor import CompressorOptions
+
+        maf = (self.xsi.header.rare_threshold + 0.5) / max(self.n_haps, 1)
+        return CompressorOptions(maf=maf, zstd=self.xsi.header.zstd,
+                                 block_length=self.xsi.header.ss_rate)
+
     def _decompress_to_xsi(self, output_path: str) -> dict:
-        """Re-compress (possibly subset/filtered) into a fresh XSI."""
-        from .compressor import CompressorOptions, compress_file
+        """Re-compress (possibly subset/filtered) into a fresh XSI with the
+        BM rewrite INSIDE the decode loop — no intermediate BCF on disk
+        (the reference streams the same way:
+        gt_decompressor_new.hpp:241-273, 432-543 re-encode each decoded
+        record into a fresh XsiFactory).  Bytes are identical to the
+        decode->BCF->compress detour (pinned by tests); XSI_FUSED_RECOMPRESS=0
+        reverts to the detour."""
+        if os.environ.get("XSI_FUSED_RECOMPRESS", "1") in ("0", "off", "no"):
+            return self._decompress_to_xsi_via_bcf(output_path)
+        import struct
+        from collections import deque
+        from itertools import chain
+
+        from ..format.constants import (
+            BM_BLOCK_BITS as _BMB,
+            WeirdnessStrategy,
+            XSI_BCF_VAR_EXTENSION,
+        )
+        from ..format.container import XsiWriter
+        from ..format.header import XsiHeader
+        from ..io.csi import CsiBuilder, depth_for_max_len
+        from ..io.sites import encode_bm_indiv
+        from .compressor import (
+            BlockEncodeDispatcher,
+            _device_encoder_cls,
+            make_variant_header,
+        )
+
+        opts = self._recompress_options()
+        n_out = len(self.output_samples)
+        n_haps_out = n_out * 2    # A_T selection assumes diploid (ref parity)
+        mac_threshold = int(n_haps_out * opts.maf)
+        aet_dtype = np.uint16 if n_haps_out <= 0xFFFF else np.uint32
+
+        # Buffer the lead records to sniff phasedness / first-entry ploidy
+        # exactly as compress_file's sniffers would on the intermediate BCF
+        # (io.unified.sniff_default_phased: majority phase bit of the
+        # second slot over the first 3 records, 0 on any haploid record).
+        stream = self.iter_decoded_records()
+        lead: list = []
+        for item in stream:
+            lead.append(item)
+            if len(lead) >= 3:
+                break
+        if not lead:
+            # empty selection: the detour raises exactly as compressing an
+            # empty BCF would — keep that behavior
+            return self._decompress_to_xsi_via_bcf(output_path)
+
+        def out_ploidy(gt):
+            return self._line_ploidy(gt.shape[0])
+
+        counts = [0, 0]
+        default_phased = None
+        for rec, gt in lead:
+            p = out_ploidy(gt)
+            if p == 1:
+                default_phased = 0
+                break
+            gt_s = self._subset_gt(gt, p)
+            second = gt_s.reshape(-1, p)[:, 1]
+            phased = int((second & 1).sum())
+            counts[1] += phased
+            counts[0] += second.shape[0] - phased
+        if default_phased is None:
+            default_phased = 1 if counts[1] >= counts[0] else 0
+        max_ploidy = out_ploidy(lead[0][1])
+
+        header = XsiHeader(
+            version=5, ind_bytes=4,
+            aet_bytes=np.dtype(aet_dtype).itemsize, wah_bytes=2,
+            iota_ppa=True, no_sort=False,
+            default_phased=bool(default_phased),
+            ss_rate=opts.block_length, rare_threshold=mac_threshold)
+        xsi = XsiWriter(output_path, header, self.output_samples,
+                        zstd_on=opts.zstd, zstd_level=opts.zstd_level)
+        var_path = output_path + XSI_BCF_VAR_EXTENSION
+        var_header = make_variant_header(self.output_header(),
+                                         os.path.basename(output_path))
+        var_writer = BcfWriter(var_path, var_header)
+        csi = CsiBuilder(depth=depth_for_max_len(
+            max(var_header.contig_lengths.values(), default=0)))
+        block = BlockEncodeDispatcher(
+            n_out, opts.block_length, mac_threshold,
+            default_phasing=default_phased, aet_dtype=aet_dtype,
+            weirdness_strategy=WeirdnessStrategy.WS_SPARSE,
+            device_cls=_device_encoder_cls(opts.device),
+            force_device=(os.environ.get("XSI_DEVICE") == "jax"))
+        entry_counter = variant_counter = 0
+        bm_block = bm_offset = 0
+        pending: deque = deque()
+        try:
+            for rec, gt in chain(lead, stream):
+                ploidy = out_ploidy(gt)
+                max_ploidy = max(max_ploidy, ploidy)
+                gt = self._subset_gt(gt, ploidy)
+                if entry_counter and entry_counter % opts.block_length == 0:
+                    bm_block += 1
+                    bm_offset = 0
+                if bm_offset >> _BMB:
+                    raise ValueError(
+                        f"BM offset cannot be represented on {_BMB} bits")
+                bm = (bm_block << _BMB) | bm_offset
+                shared = patch_shared_sample_counts(rec.shared, 1, n_out)
+                if self._select is not None:
+                    shared = self._patch_shared_ac_an(shared, gt,
+                                                      rec.n_allele)
+                shared = patch_shared_sample_counts(shared, 1, 1)
+                vbeg, vend = var_writer.write_raw(
+                    shared, encode_bm_indiv(var_header, bm))
+                rid, pos0, rlen = struct.unpack_from("<iii", shared, 0)
+                csi.add(rid, pos0, pos0 + max(rlen, 1), vbeg, vend)
+
+                if block.full:
+                    pending.append(block.submit())
+                    while pending and pending[0].done():
+                        xsi.write_block(pending.popleft().result())
+                    while len(pending) > block.inflight_target:
+                        if not pending[0].done():
+                            block.flush()
+                        xsi.write_block(pending.popleft().result())
+                block.encode_record(gt, rec.n_allele)
+
+                bm_offset += rec.n_allele - 1
+                variant_counter += rec.n_allele - 1
+                entry_counter += 1
+
+            block.flush()
+            while pending:
+                xsi.write_block(pending.popleft().result())
+            if block.bcf_lines:
+                xsi.write_block(block.serialize())
+            xsi.finalize(num_variants=variant_counter,
+                         xcf_entries=entry_counter, max_ploidy=max_ploidy)
+            var_writer.close()
+            csi.write(var_path + ".csi",
+                      n_ref=len(var_header.dict_contigs))
+        except BaseException:
+            block.shutdown()
+            for f in (getattr(xsi, "f", None), getattr(var_writer, "_f",
+                                                       None)):
+                try:
+                    if f is not None and not f.closed:
+                        f.close()
+                except Exception:
+                    pass
+            for path in (output_path, var_path, var_path + ".csi"):
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            raise
+        finally:
+            block.shutdown()
+        return {
+            "entries": entry_counter,
+            "variants": variant_counter,
+            "n_samples": n_out,
+            "xsi_bytes": os.path.getsize(output_path),
+            "variant_bytes": os.path.getsize(var_path),
+        }
+
+    def _decompress_to_xsi_via_bcf(self, output_path: str) -> dict:
+        """Legacy detour: decode to an intermediate BCF on disk, then
+        compress it (kept as the fused path's equality oracle and for
+        XSI_FUSED_RECOMPRESS=0)."""
+        from .compressor import compress_file
         import tempfile
 
-        # Round-trip through an intermediate BCF; a fused path can come later.
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, "recompress.bcf")
             self._decompress_to_bcf(tmp)
-            # carry over the source's rare/common split: the header stores
-            # the MAC threshold (rare_threshold = n_haps * maf)
-            # +0.5 keeps int(n_haps * maf) == rare_threshold under float
-            # rounding when the sample set is unchanged
-            maf = (self.xsi.header.rare_threshold + 0.5) / max(self.n_haps, 1)
-            copts = CompressorOptions(maf=maf,
-                                      zstd=self.xsi.header.zstd,
-                                      block_length=self.xsi.header.ss_rate)
-            return compress_file(tmp, output_path, copts)
+            return compress_file(tmp, output_path, self._recompress_options())

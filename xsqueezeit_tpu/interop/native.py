@@ -66,6 +66,10 @@ class NativeAccessor:
         lib.xsi_fill_genotypes_bm.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t]
+        lib.xsi_fill_allele_counts_bm.restype = ctypes.c_int
+        lib.xsi_fill_allele_counts_bm.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64)]
         lib.xsi_last_error.restype = ctypes.c_char_p
         self._lib = lib
         self._f = lib.xsi_open(xsi_path.encode())
@@ -103,6 +107,19 @@ class NativeAccessor:
         if n < 0:
             raise OSError(self._lib.xsi_last_error().decode())
         return self._buf[:n].copy()
+
+    def fill_allele_counts_bm(self, bm: int, n_allele: int) -> np.ndarray:
+        """Count-only path: AC per allele straight off the compressed
+        forms (WAH popcount / sparse lengths), no gt materialization
+        (native/xsi_accessor.cpp xsi_fill_allele_counts_bm; reference:
+        accessor_internals_new.hpp:407-438 fill_allele_counts_advance)."""
+        counts = np.zeros(max(int(n_allele), 1), np.int64)
+        rc = self._lib.xsi_fill_allele_counts_bm(
+            self._f, bm, n_allele,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            raise OSError(self._lib.xsi_last_error().decode())
+        return counts
 
 
 def native_extract(xsi_path: str, out_path: str, header_text: bytes,
