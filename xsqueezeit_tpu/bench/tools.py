@@ -377,6 +377,40 @@ def _scaling_worker(cfg_json: str) -> None:
         json.dump(perf, f)
 
 
+def _gather_only_worker(cfg_json: str) -> None:
+    """Replay ONLY the overlapped gather's collective rounds (same round
+    structure and byte sizes as the real run, synthetic payloads, no
+    encode): the pure-communication cost sample for the scaling model.
+    The contended run's measured gather_s is dominated by straggler WAIT
+    (a fast process blocks in the collective until the slowest finishes
+    its chunk — barrier skew, not bytes), so the dedicated-host model
+    needs this isolated number."""
+    import json
+    import os
+
+    cfg = json.loads(cfg_json)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..parallel.distributed import gather_round_to_host0, init_distributed
+
+    init_distributed(cfg["coordinator"], cfg["nproc"], cfg["procid"])
+    lens = cfg["payload_lens"]
+    chunk = max(1, int(os.environ.get("XSI_GATHER_CHUNK_BLOCKS", "8")))
+    rounds = cfg["rounds"]
+    payloads = [b"\xAB" * n for n in lens]
+    # warmup round (backend/socket setup is not per-byte cost)
+    gather_round_to_host0([b"x"])
+    t0 = time.perf_counter()
+    for r in range(rounds):
+        batch = payloads[r * chunk:(r + 1) * chunk]
+        gather_round_to_host0(batch)
+    wall = time.perf_counter() - t0
+    with open(cfg["perf_out"], "w") as f:
+        json.dump({"procid": cfg["procid"], "comm_s": wall,
+                   "rounds": rounds}, f)
+
+
 def scaling_curve(n_records: int = 20000, n_samples: int = 500,
                   procs: tuple = (1, 2, 4), block_length: int = 1024,
                   workdir: str | None = None) -> dict:
@@ -456,7 +490,8 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
             f"{n}-process output differs from single-process bytes"
 
         perfs = [json.load(open(c["perf_out"])) for c in cfgs]
-        p0 = next(p for p in perfs if p["procid"] == 0)
+        perfs_by_id = {p["procid"]: p for p in perfs}
+        p0 = perfs_by_id[0]
         # CPU times are contention-immune: on dedicated hosts (one busy
         # process each) they equal wall time, so the model below is the
         # wall clock of a real N-host run.  Process 0 runs the variant
@@ -504,7 +539,36 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
         solo_scan = max(p["scan_s"] for p in solo_perfs)
         solo_var0 = solo_perfs[0].get("varpass_s", 0.0)
         solo_span = max(max(p["encode_s"] for p in solo_perfs), solo_var0)
-        solo_wall = solo_scan + solo_span + gather_max + assemble
+
+        # Pure-communication sample: replay ONLY the gather rounds (same
+        # structure/bytes, synthetic payloads).  The contended gather_s is
+        # straggler wait, not bytes (see _gather_only_worker).  With the
+        # overlapped gather, communication hides behind encode; the
+        # dedicated-host residual is what cannot hide: the tail round,
+        # or the spill when comm_total exceeds the encode span.
+        comm_total = 0.0
+        rounds = max(int(p.get("gather_rounds", 0)) for p in perfs)
+        if n > 1 and rounds:
+            gcoord = f"127.0.0.1:{free_port()}"
+            gcfgs = [dict(coordinator=gcoord, nproc=n, procid=i,
+                          payload_lens=perfs_by_id[i].get("payload_lens", []),
+                          rounds=rounds,
+                          perf_out=os.path.join(workdir, f"go_{n}_{i}.json"))
+                     for i in range(n)]
+            gchildren = [subprocess.Popen(
+                [sys.executable, "-c",
+                 "import sys; from xsqueezeit_tpu.bench.tools import "
+                 "_gather_only_worker; _gather_only_worker(sys.argv[1])",
+                 json.dumps(cfg)], env=env, cwd=os.getcwd(),
+                stdout=logf, stderr=logf) for cfg in gcfgs]
+            grcs = [c.wait() for c in gchildren]
+            if any(grcs):
+                raise RuntimeError(f"gather-only worker failed: {grcs}")
+            comm_total = max(json.load(open(c["perf_out"]))["comm_s"]
+                             for c in gcfgs)
+        comm_residual = (max(comm_total - solo_span, comm_total / rounds)
+                         if rounds else 0.0)
+        solo_wall = solo_scan + solo_span + comm_residual + assemble
 
         results.append(dict(
             procs=n, wall_s=round(wall, 2), scan_cpu_s=round(scan_max, 2),
@@ -517,8 +581,10 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
             solo_varpass_s=round(solo_var0, 2),
             solo_encode_max_s=round(
                 max(p["encode_s"] for p in solo_perfs), 2),
+            comm_total_s=round(comm_total, 3),
+            comm_residual_s=round(comm_residual, 3),
             solo_wall_s=round(solo_wall, 2),
-            solo_compute_wall_s=round(solo_wall - gather_max, 2),
+            solo_compute_wall_s=round(solo_wall - comm_residual, 2),
             modeled_wall_s=round(modeled, 2),
             compute_wall_s=round(modeled - gather_max, 2)))
 

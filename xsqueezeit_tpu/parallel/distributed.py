@@ -91,20 +91,34 @@ def process_layout(n_blocks: int, process_index: int | None = None,
 def gather_blocks_to_host0(payloads: list[bytes]) -> list[bytes] | None:
     """Ordered gather of per-block payload bytes onto process 0 over DCN.
 
-    Three `multihost_utils.process_allgather` rounds: (1) per-process block
+    Returns the global payload list in original block order on process 0
+    (block ranges are contiguous and ascending by process), None
+    elsewhere.  Single-process: identity."""
+    import jax
+
+    if jax.process_count() == 1:
+        return list(payloads)
+    parts = gather_round_to_host0(payloads)
+    if parts is None:
+        return None
+    return [p for plist in parts for p in plist]
+
+
+def gather_round_to_host0(payloads: list[bytes]) -> list[list[bytes]] | None:
+    """One collective gather round: each process contributes its payload
+    list; process 0 receives them grouped PER PROCESS (the overlapped
+    round-wise gather needs the grouping to reassemble global block order
+    across rounds), None elsewhere.
+
+    Three `multihost_utils.process_allgather` calls: (1) per-process block
     counts, (2) per-block lengths padded to the global max count, (3) the
     concatenated payload bytes padded to the global max total, as uint8 —
     metadata first because allgather needs identical shapes on every
-    process.  Returns the global payload list in original block order on
-    process 0 (block ranges are contiguous and ascending by process), None
-    elsewhere.  Single-process: identity.
+    process.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
-
-    if jax.process_count() == 1:
-        return list(payloads)
 
     lens = np.asarray([len(p) for p in payloads], np.int32)
     counts = np.asarray(multihost_utils.process_allgather(
@@ -128,13 +142,15 @@ def gather_blocks_to_host0(payloads: list[bytes]) -> list[bytes] | None:
 
     if jax.process_index() != 0:
         return None
-    out: list[bytes] = []
+    out: list[list[bytes]] = []
     for p in range(len(counts)):
         pos = 0
+        plist: list[bytes] = []
         for b in range(int(counts[p])):
             n = int(lens_all[p, b])
-            out.append(bufs[p, pos:pos + n].tobytes())
+            plist.append(bufs[p, pos:pos + n].tobytes())
             pos += n
+        out.append(plist)
     return out
 
 
@@ -156,13 +172,15 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
                         n_samples: int, opts: CompressorOptions,
                         mac_threshold: int, default_phased: int,
                         aet_dtype, weirdness_strategy,
-                        block_voffs=None) -> list[bytes]:
+                        block_voffs=None, on_payload=None) -> list[bytes]:
     """Worker body: encode the records of blocks [start, end) of the input.
 
     Streams the input, skipping records outside the window (block i covers
     records [i*block_length, (i+1)*block_length)).  With `block_voffs`
     (per-block virtual offsets from the count scan) the stream SEEKS to
-    the window instead of decompressing the prefix.
+    the window instead of decompressing the prefix.  `on_payload` is
+    called with each block's payload as it completes, in block order (the
+    overlapped gather feeds its rounds from this).
     """
     start_blk, end_blk = block_range
     if start_blk >= end_blk:
@@ -177,6 +195,13 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
         force_device=(opts.device == "jax"
                       or os.environ.get("XSI_DEVICE") == "jax"))
     payloads: list[bytes] = []
+
+    def emit():
+        p = disp.serialize()
+        payloads.append(p)
+        if on_payload is not None:
+            on_payload(p)
+
     inp = GtInput(input_path)
     if block_voffs is not None and start_blk < len(block_voffs):
         inp.seek_fast(lo, int(block_voffs[start_blk]))
@@ -188,9 +213,7 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
         # (same segments + xsi_enc_records; byte-identical by the shared
         # chunking and encoder)
         from ..codec.compressor import _gt_loop_batched
-        _gt_loop_batched(batches, disp,
-                         lambda: payloads.append(disp.serialize()),
-                         max_records=hi - lo)
+        _gt_loop_batched(batches, disp, emit, max_records=hi - lo)
     else:
         for i, rec in enumerate(inp, start=lo):
             if i >= hi:
@@ -199,11 +222,11 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
                 raise ValueError("Record without GT data cannot be "
                                  "compressed")
             if disp.full:
-                payloads.append(disp.serialize())
+                emit()
             disp.encode_record(rec.gt, rec.n_alleles)
     inp.close()
     if disp.bcf_lines:
-        payloads.append(disp.serialize())
+        emit()
     return payloads
 
 
@@ -354,6 +377,8 @@ def compress_file_multihost(input_path: str, output_path: str,
 
     Returns the summary dict on process 0, None on other processes.
     """
+    import queue
+    import threading
     import time
 
     import jax
@@ -430,21 +455,77 @@ def compress_file_multihost(input_path: str, output_path: str,
         t0 = time.perf_counter()
         c0 = time.thread_time()      # main thread only: variant-pass CPU
         n_blocks = -(-entry_counter // opts.block_length)   # is overlapped
-        start_blk, end_blk = process_layout(n_blocks, pidx, pcount)
+        ranges = plan_block_ranges(n_blocks, pcount)
+        start_blk, end_blk = ranges[pidx]
+
+        # Overlapped gather: payload bytes stream to process 0 in bounded
+        # ROUNDS on a separate thread while encode proceeds, so only the
+        # tail round's communication sits on the critical path (the old
+        # single end-of-run gather barrier added its full wall clock to
+        # every run).  The round count is agreed up front from the
+        # deterministic block plan — every process issues the same
+        # collective sequence, rounds pacing themselves by each process's
+        # own completed chunks.
+        chunk = max(1, int(os.environ.get("XSI_GATHER_CHUNK_BLOCKS", "8")))
+        max_local = max(e - s for s, e in ranges)
+        rounds = -(-max_local // chunk) if pcount > 1 else 0
+        local_blocks = end_blk - start_blk
+        gather_exc: list[BaseException] = []
+        parts: list[list[bytes]] = [[] for _ in range(pcount)]
+        payload_q: "queue.Queue[bytes]" = queue.Queue()
+        gather_wait = [0.0]
+
+        def gather_loop():
+            try:
+                for r in range(rounds):
+                    need = max(min(chunk, local_blocks - r * chunk), 0)
+                    batch = [payload_q.get() for _ in range(need)]
+                    tg = time.perf_counter()
+                    res = gather_round_to_host0(batch)
+                    gather_wait[0] += time.perf_counter() - tg
+                    if pidx == 0:
+                        for p in range(pcount):
+                            parts[p].extend(res[p])
+            except BaseException as exc:   # surfaced at join below
+                gather_exc.append(exc)
+
+        gthread = None
+        if rounds:
+            # daemon: an encode failure starves the queue; the cleanup
+            # path must not block on a collective that can never complete
+            gthread = threading.Thread(target=gather_loop, daemon=True,
+                                       name="xsi-gather")
+            gthread.start()
         payloads = _encode_block_range(
             input_path, (start_blk, end_blk), n_samples, opts,
             mac_threshold, default_phased, aet_dtype, ws,
-            block_voffs=block_voffs)
+            block_voffs=block_voffs,
+            on_payload=(payload_q.put if rounds else None))
         if perf is not None:
             perf["encode_s"] = time.perf_counter() - t0
             perf["encode_cpu_s"] = time.thread_time() - c0
             perf["payload_bytes"] = sum(len(p) for p in payloads)
+            perf["payload_lens"] = [len(p) for p in payloads]
             perf["n_local_blocks"] = len(payloads)
 
         t0 = time.perf_counter()
-        gathered = gather_blocks_to_host0(payloads)
+        if gthread is not None:
+            gthread.join()
+            if gather_exc:
+                raise RuntimeError(
+                    "overlapped gather failed") from gather_exc[0]
+            gathered = ([p for plist in parts for p in plist]
+                        if pidx == 0 else None)
+        else:
+            gathered = gather_blocks_to_host0(payloads)
         if perf is not None:
+            # gather_s: the RESIDUAL communication on the critical path
+            # (time from local encode completion to gather completion);
+            # gather_collective_s: total time inside collectives, mostly
+            # hidden behind encode
             perf["gather_s"] = time.perf_counter() - t0
+            perf["gather_rounds"] = rounds
+            perf["gather_collective_s"] = round(gather_wait[0], 4)
         if pidx != 0:
             return None
 
