@@ -120,6 +120,22 @@ inline int read_bcf_frame(Reader &r, std::vector<uint8_t> *shared,
   return 1;
 }
 
+/* Skip one BCF record frame without materializing it (record counting:
+ * only the 8-byte length word is read; the bodies advance in-block).
+ * Same return convention as read_bcf_frame. */
+template <class Reader>
+inline int skip_bcf_frame(Reader &r) {
+  uint32_t l_shared, l_indiv;
+  size_t got = r.read(&l_shared, 4);
+  if (got == 0) return r.error().empty() ? 0 : -1;
+  if (got != 4 || r.read(&l_indiv, 4) != 4) return -1;
+  if (l_shared < 24 || l_shared > (1u << 30) || l_indiv > (1u << 30))
+    return -1;
+  size_t body = size_t(l_shared) + size_t(l_indiv);
+  if (r.skip(body) != body) return -1;
+  return 1;
+}
+
 /* Skip `n` uncompressed bytes (the BCF header the Python side parsed). */
 template <class Reader>
 inline bool skip_bytes(Reader &r, uint64_t n) {

@@ -15,6 +15,9 @@
 #define XSI_BGZF_READER_H
 
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 #include <cstdint>
 #include <cstdio>
@@ -30,6 +33,9 @@ class BgzfReader {
       : fp_(fopen(path.c_str(), "rb")) {}
   ~BgzfReader() {
     if (fp_) fclose(fp_);
+#ifdef USE_LIBDEFLATE
+    if (ld_) libdeflate_free_decompressor(ld_);
+#endif
   }
   BgzfReader(const BgzfReader &) = delete;
   BgzfReader &operator=(const BgzfReader &) = delete;
@@ -57,6 +63,20 @@ class BgzfReader {
     if (uoff > block_.size()) return fail("BGZF: seek offset beyond member");
     pos_ = uoff;
     return true;
+  }
+
+  // Advance n decompressed bytes without copying them out (frame-skip
+  // walks: the record counter touches only the 8-byte length words).
+  size_t skip(size_t n) {
+    size_t got = 0;
+    while (got < n) {
+      if (pos_ >= block_.size() && !load_block()) break;
+      size_t take = n - got < block_.size() - pos_ ? n - got
+                                                   : block_.size() - pos_;
+      pos_ += take;
+      got += take;
+    }
+    return got;
   }
 
   // Read n bytes of decompressed data; returns bytes read (< n at EOF or
@@ -123,6 +143,16 @@ class BgzfReader {
     pos_ = 0;
     end_off_ = ftell(fp_);
     if (isize == 0) return load_block();  // EOF marker member: try next
+#ifdef USE_LIBDEFLATE
+    // libdeflate raw inflate: ~2x zlib, htslib's own choice when present.
+    if (!ld_) ld_ = libdeflate_alloc_decompressor();
+    size_t actual = 0;
+    if (libdeflate_deflate_decompress(ld_, comp.data(), size_t(comp_len),
+                                      block_.data(), isize, &actual)
+            != LIBDEFLATE_SUCCESS || actual != isize)
+      return fail("BGZF: inflate failed");
+    return true;
+#else
     z_stream zs{};
     if (inflateInit2(&zs, -15) != Z_OK) return fail("zlib init failed");
     zs.next_in = comp.data();
@@ -133,9 +163,13 @@ class BgzfReader {
     inflateEnd(&zs);
     if (rc != Z_STREAM_END) return fail("BGZF: inflate failed");
     return true;
+#endif
   }
 
   FILE *fp_;
+#ifdef USE_LIBDEFLATE
+  libdeflate_decompressor *ld_ = nullptr;
+#endif
   std::vector<uint8_t> block_;
   size_t pos_ = 0;
   long member_off_ = 0;  // file offset of the current member's start

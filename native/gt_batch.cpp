@@ -189,12 +189,11 @@ int64_t xsi_bcf_count_offsets(const char *path, uint64_t header_skip,
   xsi_native::BgzfReader r(path);
   if (!r.ok()) return -1;
   if (!xsi_native::skip_bytes(r, header_skip)) return -1;
-  std::vector<uint8_t> sh, iv;
   int64_t n = 0;
   for (;;) {
     if (voffs && every > 0 && n % every == 0 && n / every < cap)
       voffs[n / every] = r.tell_virtual();
-    int rc = xsi_native::read_bcf_frame(r, &sh, &iv);
+    int rc = xsi_native::skip_bcf_frame(r);
     if (rc == 0) return n;
     if (rc < 0) return -1;
     n++;
