@@ -32,37 +32,53 @@ constexpr int BM_BLOCK_BITS = 15;
 extern "C" {
 
 /* Walk `in_path`'s records (starting after `header_skip` uncompressed
- * bytes) and write the variant BCF to `out_path` (full header given).
+ * bytes, or seeking straight to `start_voff` when nonzero) and write the
+ * variant BCF (or a records-only body SEGMENT when write_header == 0 —
+ * the distributed variant pass: each worker renders its record window,
+ * process 0 concatenates; BGZF members are self-contained so segment
+ * vbeg/vend voffsets shift by the preceding bytes' size << 16).
  * bm_prefix: the constant FORMAT/BM indiv prefix (typed BM key + int32
  * type descriptor); each record's indiv is prefix + int32 BM.
+ * start_entry: global ordinal of the window's first record (MUST be a
+ * multiple of block_length — the BM block bookkeeping derives from it);
+ * max_recs > 0 bounds the window.
  *
  * Outputs (caller-allocated, `cap` records): rid/pos/rlen int32, BM
  * int32, vbeg/vend uint64 per record.  Returns the record count, or
  * negative on error: -1 open/IO, -2 malformed record, -3 BM offset
  * overflow (bm_offset needs > 15 bits), -5 cap too small.
  */
-int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
-                     const char *out_path, const uint8_t *header_text,
-                     uint32_t l_text, int level, const uint8_t *bm_prefix,
-                     uint32_t prefix_len, int64_t block_length, int gt_key,
-                     int32_t *rid, int32_t *pos, int32_t *rlen, int32_t *bm,
-                     uint64_t *vbeg, uint64_t *vend, int64_t cap,
-                     int64_t *n_variants_out, int64_t *max_ploidy_out) {
+int64_t xsi_var_pass_segment(
+    const char *in_path, uint64_t header_skip, const char *out_path,
+    const uint8_t *header_text, uint32_t l_text, int level,
+    const uint8_t *bm_prefix, uint32_t prefix_len, int64_t block_length,
+    int gt_key, uint64_t start_voff, int64_t start_entry, int64_t max_recs,
+    int write_header, int write_eof,
+    int32_t *rid, int32_t *pos, int32_t *rlen, int32_t *bm,
+    uint64_t *vbeg, uint64_t *vend, int64_t cap,
+    int64_t *n_variants_out, int64_t *max_ploidy_out) {
   xsi_native::BgzfReader r(in_path);
   if (!r.ok()) return -1;
-  if (!xsi_native::skip_bytes(r, header_skip)) return -1;
-  bcf_emit_t *e = bcf_emit_open(out_path, header_text, l_text, level);
+  if (start_voff) {
+    if (!r.seek_virtual(start_voff)) return -1;
+  } else if (!xsi_native::skip_bytes(r, header_skip)) {
+    return -1;
+  }
+  if (start_entry % (block_length > 0 ? block_length : 1) != 0) return -2;
+  bcf_emit_t *e = bcf_emit_open_segment(out_path, header_text, l_text,
+                                        level, write_header, write_eof);
   if (!e) return -1;
 
   std::vector<uint8_t> shared, scratch;
   std::vector<uint8_t> indiv(prefix_len + 4);
   memcpy(indiv.data(), bm_prefix, prefix_len);
-  int64_t n = 0, entry = 0, variants = 0;
-  int64_t bm_block = 0, bm_offset = 0;
+  int64_t n = 0, entry = start_entry, variants = 0;
+  int64_t bm_block = start_entry / block_length, bm_offset = 0;
   int64_t max_ploidy = 0;
   int64_t rc_final = 0;
 
   for (;;) {
+    if (max_recs > 0 && n >= max_recs) break;
     int frc = xsi_native::read_bcf_frame(r, &shared, &scratch);
     if (frc == 0) break;
     if (frc < 0) { rc_final = -1; break; }
@@ -96,8 +112,9 @@ int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
       }
     }
 
-    // BM bookkeeping (compressor.py _compress_loop semantics)
-    if (entry && entry % block_length == 0) {
+    // BM bookkeeping (compressor.py _compress_loop semantics; window
+    // form: entry starts at start_entry, a block boundary)
+    if (entry && entry % block_length == 0 && entry != start_entry) {
       bm_block++;
       bm_offset = 0;
     }
@@ -145,6 +162,23 @@ int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
   if (n_variants_out) *n_variants_out = variants;
   if (max_ploidy_out) *max_ploidy_out = max_ploidy;
   return rc_final != 0 ? rc_final : n;
+}
+
+/* Legacy whole-file form: full header + EOF, walk to stream end. */
+int64_t xsi_var_pass(const char *in_path, uint64_t header_skip,
+                     const char *out_path, const uint8_t *header_text,
+                     uint32_t l_text, int level, const uint8_t *bm_prefix,
+                     uint32_t prefix_len, int64_t block_length, int gt_key,
+                     int32_t *rid, int32_t *pos, int32_t *rlen, int32_t *bm,
+                     uint64_t *vbeg, uint64_t *vend, int64_t cap,
+                     int64_t *n_variants_out, int64_t *max_ploidy_out) {
+  return xsi_var_pass_segment(in_path, header_skip, out_path, header_text,
+                              l_text, level, bm_prefix, prefix_len,
+                              block_length, gt_key, /*start_voff=*/0,
+                              /*start_entry=*/0, /*max_recs=*/0,
+                              /*write_header=*/1, /*write_eof=*/1,
+                              rid, pos, rlen, bm, vbeg, vend, cap,
+                              n_variants_out, max_ploidy_out);
 }
 
 }  // extern "C"

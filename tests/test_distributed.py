@@ -392,3 +392,63 @@ def test_native_segment_block_window_matches_python(tmp_path):
         a = [(r.n_alleles, r.gt.tolist()) for r in GtInput(py)]
         b = [(r.n_alleles, r.gt.tolist()) for r in GtInput(nt)]
         assert a == b, rng
+
+
+def test_multihost_distributed_varpass_bcf(tmp_path):
+    """BCF input + 2 real processes with the DISTRIBUTED variant pass
+    (XSI_DIST_VARPASS, workers render var segments): container bytes
+    identical to single-process; var.bcf records identical (BGZF framing
+    may differ at segment joins); the assembled CSI answers region
+    queries identically."""
+    import os
+    import socket
+    import subprocess
+
+    bcf = str(tmp_path / "in.bcf")
+    from xsqueezeit_tpu.bench.e2e import synth_bcf
+    synth_bcf(bcf, 120, 15, seed=44)
+
+    single = str(tmp_path / "single.xsi")
+    compress_file(bcf, single, CompressorOptions(block_length=16))
+
+    multi = str(tmp_path / "multi.xsi")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(_MULTIHOST_WORKER)
+    env = dict(os.environ)
+    env.pop("XSI_DEVICE", None)          # open the native gates
+    env["XSI_DIST_VARPASS"] = "1"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), bcf, multi, str(port), str(i),
+             "2", "plain"],
+            cwd="/root/repo", env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o}"
+
+    assert open(multi, "rb").read() == open(single, "rb").read()
+
+    from xsqueezeit_tpu.io.bcf import BcfReader
+    ra = BcfReader(single + "_var.bcf")
+    rb = BcfReader(multi + "_var.bcf")
+    recs_a = [(r.shared, r.indiv) for r in ra]
+    recs_b = [(r.shared, r.indiv) for r in rb]
+    ra.close()
+    rb.close()
+    assert len(recs_a) == len(recs_b) == 120
+    assert recs_a == recs_b, "var.bcf records differ"
+
+    # CSI from shifted segment voffsets answers region queries
+    from xsqueezeit_tpu.codec.decompressor import DecompressorOptions
+    for src, out in ((single, "r1.vcf"), (multi, "r2.vcf")):
+        Decompressor(src, DecompressorOptions(
+            output_type="v", regions="20:60200-61500")).decompress(
+            str(tmp_path / out))
+    assert (tmp_path / "r1.vcf").read_text().splitlines()[5:] \
+        == (tmp_path / "r2.vcf").read_text().splitlines()[5:]

@@ -396,15 +396,19 @@ def _gather_only_worker(cfg_json: str) -> None:
 
     init_distributed(cfg["coordinator"], cfg["nproc"], cfg["procid"])
     lens = cfg["payload_lens"]
-    chunk = max(1, int(os.environ.get("XSI_GATHER_CHUNK_BLOCKS", "8")))
+    chunk = max(1, int(cfg.get("chunk", 8)))
     rounds = cfg["rounds"]
     payloads = [b"\xAB" * n for n in lens]
+    all_n = cfg["all_counts"]
     # warmup round (backend/socket setup is not per-byte cost)
     gather_round_to_host0([b"x"])
     t0 = time.perf_counter()
+    import numpy as _np
     for r in range(rounds):
         batch = payloads[r * chunk:(r + 1) * chunk]
-        gather_round_to_host0(batch)
+        kc = _np.asarray([max(min(chunk, n_i - r * chunk), 0)
+                          for n_i in all_n], _np.int32)
+        gather_round_to_host0(batch, known_counts=kc)
     wall = time.perf_counter() - t0
     with open(cfg["perf_out"], "w") as f:
         json.dump({"procid": cfg["procid"], "comm_s": wall,
@@ -441,6 +445,12 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
     inp = os.path.join(workdir, "in.bcf")
     from .e2e import synth_bcf
     synth_bcf(inp, n_records, n_samples)
+    if os.environ.get("XSI_SCAN_CACHE", "0") not in ("0", "off", "no"):
+        # warm-index mode: prime the sidecar once so every point (incl.
+        # the 1-process baseline) reads the same warm scan — the steady
+        # state for repeated compressions of a static input
+        from ..io.unified import count_entries_offsets
+        count_entries_offsets(inp, block_length)
 
     # single-process reference bytes
     from ..codec.compressor import CompressorOptions, compress_file
@@ -527,18 +537,27 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
                 n_samples=n_samples, mac_threshold=int(
                     2 * n_samples * 0.001),
                 perf_out=os.path.join(workdir, f"solo_{n}_{i}.json"))
-            rc = subprocess.run(
-                [sys.executable, "-c",
-                 "import sys; from xsqueezeit_tpu.bench.tools import "
-                 "_scaling_solo_worker; _scaling_solo_worker(sys.argv[1])",
-                 json.dumps(solo_cfg)], env=env, cwd=os.getcwd(),
-                capture_output=True, text=True)
-            if rc.returncode != 0:
-                raise RuntimeError(f"solo worker failed: {rc.stderr[-500:]}")
-            solo_perfs.append(json.load(open(solo_cfg["perf_out"])))
+            best: dict = {}
+            for _rep in range(2):   # min-of-2: stray sandbox contention
+                rc = subprocess.run(
+                    [sys.executable, "-c",
+                     "import sys; from xsqueezeit_tpu.bench.tools import "
+                     "_scaling_solo_worker; _scaling_solo_worker(sys.argv[1])",
+                     json.dumps(solo_cfg)], env=env, cwd=os.getcwd(),
+                    capture_output=True, text=True)
+                if rc.returncode != 0:
+                    raise RuntimeError(
+                        f"solo worker failed: {rc.stderr[-500:]}")
+                got = json.load(open(solo_cfg["perf_out"]))
+                for k, v in got.items():
+                    best[k] = min(best[k], v) if k in best else v
+            solo_perfs.append(best)
         solo_scan = max(p["scan_s"] for p in solo_perfs)
-        solo_var0 = solo_perfs[0].get("varpass_s", 0.0)
-        solo_span = max(max(p["encode_s"] for p in solo_perfs), solo_var0)
+        solo_var0 = max(p.get("varpass_s", 0.0) for p in solo_perfs)
+        # per-host span: encode and the (possibly distributed) variant
+        # pass run on threads of the same host — take the busiest host
+        solo_span = max(max(p["encode_s"], p.get("varpass_s", 0.0))
+                        for p in solo_perfs)
 
         # Pure-communication sample: replay ONLY the gather rounds (same
         # structure/bytes, synthetic payloads).  The contended gather_s is
@@ -553,6 +572,10 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
             gcfgs = [dict(coordinator=gcoord, nproc=n, procid=i,
                           payload_lens=perfs_by_id[i].get("payload_lens", []),
                           rounds=rounds,
+                          chunk=max(int(p.get("gather_chunk", 8))
+                                    for p in perfs),
+                          all_counts=[len(perfs_by_id[j].get(
+                              "payload_lens", [])) for j in range(n)],
                           perf_out=os.path.join(workdir, f"go_{n}_{i}.json"))
                      for i in range(n)]
             gchildren = [subprocess.Popen(
@@ -592,15 +615,17 @@ def scaling_curve(n_records: int = 20000, n_samples: int = 500,
     base_c = results[0]["compute_wall_s"]
     base_s = results[0]["solo_wall_s"]
     base_sc = results[0]["solo_compute_wall_s"]
+
+    def eff(num, den):   # micro workloads can round a wall to 0.00
+        return round(num / max(den, 1e-6), 3)
+
     for r in results:
-        r["modeled_efficiency"] = round(base / (r["procs"]
-                                                * r["modeled_wall_s"]), 3)
-        r["compute_efficiency"] = round(base_c / (r["procs"]
-                                                  * r["compute_wall_s"]), 3)
-        r["solo_efficiency"] = round(base_s / (r["procs"]
-                                               * r["solo_wall_s"]), 3)
-        r["solo_compute_efficiency"] = round(
-            base_sc / (r["procs"] * r["solo_compute_wall_s"]), 3)
+        r["modeled_efficiency"] = eff(base, r["procs"] * r["modeled_wall_s"])
+        r["compute_efficiency"] = eff(base_c,
+                                      r["procs"] * r["compute_wall_s"])
+        r["solo_efficiency"] = eff(base_s, r["procs"] * r["solo_wall_s"])
+        r["solo_compute_efficiency"] = eff(
+            base_sc, r["procs"] * r["solo_compute_wall_s"])
     if own:
         import shutil
         shutil.rmtree(workdir, ignore_errors=True)
@@ -705,7 +730,25 @@ def _scaling_solo_worker(cfg_json: str) -> None:
     n_blocks = -(-n_entries // opts.block_length)
     rng = plan_block_ranges(max(n_blocks, 1), cfg["nproc"])[cfg["procid"]]
 
-    if cfg["procid"] == 0:
+    dist_var = (cfg["nproc"] > 1 and block_voffs is not None
+                and os.environ.get("XSI_DIST_VARPASS", "1")
+                not in ("0", "off", "no"))
+    if dist_var:
+        # distributed form: THIS worker's var segment (runs on a thread
+        # next to encode on a dedicated host; the model takes the max)
+        from ..parallel.distributed import _var_segment
+        t0 = time.perf_counter()
+        seg = _var_segment(cfg["input"], cfg["output"], opts, rng[0],
+                           rng[1], block_voffs,
+                           write_header=(cfg["procid"] == 0))
+        perf["varpass_s"] = time.perf_counter() - t0
+        if seg is None and cfg["procid"] == 0:   # ineligible: serial pass
+            vin = GtInput(cfg["input"])
+            t0 = time.perf_counter()
+            _variant_pass(vin, opts, cfg["output"], _max_ploidy)
+            perf["varpass_s"] = time.perf_counter() - t0
+            vin.close()
+    elif cfg["procid"] == 0:
         vin = GtInput(cfg["input"])
         t0 = time.perf_counter()
         _variant_pass(vin, opts, cfg["output"], _max_ploidy)

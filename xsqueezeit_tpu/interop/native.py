@@ -245,12 +245,12 @@ class NativeGtBatchReader:
         self._na = np.empty(self.batch_recs, np.int32)
         self._pl = np.empty(self.batch_recs, np.int32)
 
-    def _next_batch(self) -> int:
+    def _next_batch(self, max_recs: int | None = None) -> int:
         """Fill the internal buffers with the next batch; returns the
         record count (0 at EOF), growing the buffers on -5."""
         while True:
             n = self._lib.xsi_gtb_batch(
-                self._h, self.batch_recs,
+                self._h, min(max_recs or self.batch_recs, self.batch_recs),
                 self._gt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 self._gt.shape[0],
                 self._gt_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -269,7 +269,7 @@ class NativeGtBatchReader:
                     f"{self._lib.xsi_gtb_error(self._h).decode()}")
             return n
 
-    def iter_batches(self):
+    def iter_batches(self, limit: int | None = None):
         """Batch iteration for the compress hot loop: yields
         (gt_all, offs, na, pl, n) with OWNERSHIP of gt_all transferred to
         the consumer (the reader swaps in a fresh buffer for the next
@@ -277,11 +277,24 @@ class NativeGtBatchReader:
         used region so a retained reference never pins the capacity
         allocation).  offs/na/pl are small copies.  Consumers may hold the
         arrays as long as they like — the dispatcher's block segments do,
-        until the block's encode completes."""
+        until the block's encode completes.
+
+        `limit` bounds the TOTAL records parsed: a multihost worker's
+        window may end mid-batch, and without the bound the final call
+        would decode a whole batch of genotypes past the window (up to a
+        full batch of wasted C-side GT decode per worker)."""
+        remaining = limit
         while True:
-            n = self._next_batch()
+            want = self.batch_recs
+            if remaining is not None:
+                if remaining <= 0:
+                    return
+                want = min(want, remaining)
+            n = self._next_batch(want)
             if n == 0:
                 return
+            if remaining is not None:
+                remaining -= n
             offs = self._gt_off[:n + 1].copy()
             if n >= self.batch_recs:
                 gt_all = self._gt
@@ -641,6 +654,68 @@ def native_var_pass(in_path: str, header_skip: int, out_path: str,
                 "BM offset cannot be represented on 15 bits")
         if n < 0:
             raise OSError(f"native variant pass failed ({n})")
+        n = int(n)
+        return (rid[:n], pos[:n], rlen[:n], bm[:n], vbeg[:n], vend[:n],
+                int(nv.value), int(mp.value))
+
+
+def native_var_pass_segment(in_path: str, out_path: str, header_text: bytes,
+                            level: int, bm_prefix: bytes, block_length: int,
+                            gt_key: int, start_voff: int, start_entry: int,
+                            max_recs: int, write_header: bool,
+                            header_skip: int = 0, cap_hint: int = 0):
+    """Windowed variant pass (distributed form): seek to `start_voff`,
+    render `max_recs` records starting at global ordinal `start_entry`
+    (a block boundary) into a records-only BGZF body segment (or a
+    header-carrying one for rank 0).  vbeg/vend are segment-local
+    voffsets; the assembler shifts them by the preceding bytes << 16.
+    Same outputs as native_var_pass."""
+    lib = ctypes.CDLL(build_native())
+    lib.xsi_var_pass_segment.restype = ctypes.c_int64
+    lib.xsi_var_pass_segment.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_uint32, ctypes.c_int, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64)]
+    cap = max(int(cap_hint), max_recs if max_recs > 0 else 0, 1 << 16)
+    while True:
+        rid = np.empty(cap, np.int32)
+        pos = np.empty(cap, np.int32)
+        rlen = np.empty(cap, np.int32)
+        bm = np.empty(cap, np.int32)
+        vbeg = np.empty(cap, np.uint64)
+        vend = np.empty(cap, np.uint64)
+        nv = ctypes.c_int64(0)
+        mp = ctypes.c_int64(0)
+
+        def p32(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        def p64(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+        n = lib.xsi_var_pass_segment(
+            in_path.encode(), header_skip, out_path.encode(), header_text,
+            len(header_text), level, bm_prefix, len(bm_prefix),
+            block_length, gt_key, start_voff, start_entry,
+            max_recs, 1 if write_header else 0, 0,
+            p32(rid), p32(pos), p32(rlen), p32(bm),
+            p64(vbeg), p64(vend), cap, ctypes.byref(nv), ctypes.byref(mp))
+        if n == -5:
+            cap *= 4
+            continue
+        if n == -4:
+            raise ValueError("Ploidy higher than 2 is not yet supported")
+        if n == -3:
+            raise ValueError(
+                "BM offset cannot be represented on 15 bits")
+        if n < 0:
+            raise OSError(f"native variant pass segment failed ({n})")
         n = int(n)
         return (rid[:n], pos[:n], rlen[:n], bm[:n], vbeg[:n], vend[:n],
                 int(nv.value), int(mp.value))

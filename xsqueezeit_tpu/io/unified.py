@@ -114,7 +114,7 @@ class GtInput:
                     self.header, rec.fixed, 0, 0)
                 yield GtInputRecord(shared, rec.gt, rec.n_alleles, rec.ploidy)
 
-    def iter_gt_batches(self):
+    def iter_gt_batches(self, limit: int | None = None):
         """Batch GT iteration for the compress hot loop: a generator of
         (gt_all, offs, na, pl, n) with gt_all OWNERSHIP transferred to the
         consumer (interop.native.NativeGtBatchReader.iter_batches swaps in
@@ -122,7 +122,9 @@ class GtInput:
         across async block encodes without copying — the dispatcher's
         segment blocks do.  Returns None when the native batch reader is
         unavailable (VCF text, XSI_NATIVE_PARSE off, no GT key); callers
-        fall back to per-record iteration."""
+        fall back to per-record iteration.  `limit` bounds the records
+        PARSED (a multihost worker's window; without it the tail batch
+        decodes past the window)."""
         if self.format != "bcf":
             return None
         native = self._native_reader()
@@ -134,7 +136,7 @@ class GtInput:
 
         def gen():
             try:
-                for batch in native.iter_batches():
+                for batch in native.iter_batches(limit):
                     self._consumed += batch[4]
                     yield batch
             finally:
@@ -211,13 +213,75 @@ class GtInput:
             self._vcf.close()
 
 
+def _scan_cache_path(path: str) -> str:
+    return path + ".gtscan"
+
+
+def _scan_cache_load(path: str, every: int):
+    """Validated sidecar scan index, or None.  The scan is a full-input
+    serial pass per process (the multihost Amdahl floor once encode is
+    parallel); like htslib's .csi, a sidecar amortizes it across runs.
+    Gated by XSI_SCAN_CACHE=1 (writing files next to user inputs is
+    opt-in)."""
+    import os
+    if os.environ.get("XSI_SCAN_CACHE", "0") in ("0", "off", "no"):
+        return None
+    try:
+        st = os.stat(path)
+        with np.load(_scan_cache_path(path)) as z:
+            if (int(z["size"]) != st.st_size
+                    or int(z["mtime_ns"]) != st.st_mtime_ns):
+                return None
+            stored = int(z["every"])
+            voffs = z["voffs"]
+            if stored == every:
+                return int(z["count"]), (voffs if voffs.size else None)
+            if every == 0:      # count-only request: any entry serves
+                return int(z["count"]), None
+            if stored > 0 and voffs.size and every % stored == 0:
+                return int(z["count"]), voffs[::every // stored]
+    except Exception:
+        pass
+    return None
+
+
+def _scan_cache_store(path: str, every: int, count: int, voffs) -> None:
+    import os
+    import tempfile
+    if os.environ.get("XSI_SCAN_CACHE", "0") in ("0", "off", "no"):
+        return
+    try:
+        st = os.stat(path)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                   suffix=".gtscan.npz")
+        os.close(fd)
+        np.savez(tmp, size=st.st_size, mtime_ns=st.st_mtime_ns,
+                 every=every, count=count,
+                 voffs=voffs if voffs is not None else np.zeros(0, np.uint64))
+        os.replace(tmp, _scan_cache_path(path))
+    except Exception:
+        pass    # read-only dir, races: the cache is best-effort
+
+
 def count_entries_offsets(path: str, every: int
                           ) -> tuple[int, "np.ndarray | None"]:
     """(record count, BGZF virtual offsets of records 0, every, 2*every..)
     for a BCF — one native frame walk; the offsets let workers seek
     straight to their block range (no prefix decompression).  Returns
     (count, None) when the native walk is unavailable or the input is
-    VCF text."""
+    VCF text.  XSI_SCAN_CACHE=1 reads/writes a `<path>.gtscan` sidecar
+    (size+mtime validated) so repeated runs skip the pass entirely."""
+    cached = _scan_cache_load(path, every)
+    if cached is not None:
+        return cached
+    count, voffs = _count_entries_offsets_uncached(path, every)
+    if every > 0:     # count-only results never overwrite a finer index
+        _scan_cache_store(path, every, count, voffs)
+    return count, voffs
+
+
+def _count_entries_offsets_uncached(path: str, every: int
+                                    ) -> tuple[int, "np.ndarray | None"]:
     if sniff_format(path) != "bcf":
         return count_entries(path), None
     if os.environ.get("XSI_NATIVE_PARSE", "1") in ("0", "off", "no"):

@@ -104,14 +104,19 @@ def gather_blocks_to_host0(payloads: list[bytes]) -> list[bytes] | None:
     return [p for plist in parts for p in plist]
 
 
-def gather_round_to_host0(payloads: list[bytes]) -> list[list[bytes]] | None:
+def gather_round_to_host0(payloads: list[bytes],
+                          known_counts: "np.ndarray | None" = None
+                          ) -> list[list[bytes]] | None:
     """One collective gather round: each process contributes its payload
     list; process 0 receives them grouped PER PROCESS (the overlapped
     round-wise gather needs the grouping to reassemble global block order
     across rounds), None elsewhere.
 
-    Three `multihost_utils.process_allgather` calls: (1) per-process block
-    counts, (2) per-block lengths padded to the global max count, (3) the
+    Up to three `multihost_utils.process_allgather` calls: (1) per-process
+    block counts — SKIPPED when the caller passes `known_counts` (the
+    overlapped gather's round structure is deterministic from the block
+    plan, and per-round collective latency is the tail cost), (2)
+    per-block lengths padded to the global max count, (3) the
     concatenated payload bytes padded to the global max total, as uint8 —
     metadata first because allgather needs identical shapes on every
     process.
@@ -121,8 +126,12 @@ def gather_round_to_host0(payloads: list[bytes]) -> list[list[bytes]] | None:
     from jax.experimental import multihost_utils
 
     lens = np.asarray([len(p) for p in payloads], np.int32)
-    counts = np.asarray(multihost_utils.process_allgather(
-        jnp.asarray([len(payloads)], jnp.int32))).reshape(-1)
+    if known_counts is not None:
+        counts = np.asarray(known_counts, np.int32).reshape(-1)
+        assert counts[jax.process_index()] == len(payloads)
+    else:
+        counts = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([len(payloads)], jnp.int32))).reshape(-1)
     # Pad to >= 1 so allgather never sees a zero-sized tensor (a round where
     # every process contributes nothing would otherwise gather shape (0,)).
     cmax = max(int(counts.max()), 1)
@@ -207,7 +216,7 @@ def _encode_block_range(input_path: str, block_range: tuple[int, int],
         inp.seek_fast(lo, int(block_voffs[start_blk]))
     else:
         inp.skip_records(lo)   # lazy: a window beyond EOF iterates empty
-    batches = inp.iter_gt_batches()
+    batches = inp.iter_gt_batches(limit=hi - lo)
     if batches is not None:
         # the single-process batch loop with this worker's record window
         # (same segments + xsi_enc_records; byte-identical by the shared
@@ -250,6 +259,111 @@ def _setup(input_path: str, opts: CompressorOptions):
           else WeirdnessStrategy.WS_SPARSE)
     return (inp, samples, n_samples, default_phased, sniffed_ploidy,
             aet_dtype, mac_threshold, ws)
+
+
+def _var_segment(input_path: str, output_path: str, opts,
+                 start_blk: int, end_blk: int, block_voffs,
+                 write_header: bool):
+    """One worker's window of the DISTRIBUTED variant pass: seek to the
+    window's virtual offset and render its records into a BGZF body
+    segment (rank 0 carries the header).  Returns (segment_bytes,
+    (rid, pos, rlen, vbeg, vend, n_variants, max_ploidy), var_header),
+    or None when the native pass is ineligible (serial fallback).
+    BGZF members are self-contained, so segments concatenate into a
+    valid BCF; vbeg/vend are segment-local and shift at assembly."""
+    import tempfile
+
+    from ..codec.compressor import (
+        _native_var_pass_eligible,
+        make_variant_header,
+    )
+    from ..io.sites import encode_bm_indiv
+
+    inp = GtInput(input_path)
+    try:
+        if not _native_var_pass_eligible(inp):
+            return None
+        from ..interop.native import native_var_pass_segment
+        var_header = make_variant_header(inp.header,
+                                         os.path.basename(output_path))
+        text = var_header.to_text().encode() + b"\0"
+        bm_prefix = encode_bm_indiv(var_header, 0)[:-4]
+        gt_key = inp.header.str2idx.get("GT", -1)
+        skip = 9 + inp._bcf.header_text_len
+    finally:
+        inp.close()
+
+    empty = (np.zeros(0, np.int32),) * 3 + (np.zeros(0, np.uint64),) * 2 \
+        + (0, 0)
+    if start_blk >= end_blk or start_blk >= len(block_voffs):
+        return b"", empty, var_header
+    max_recs = (end_blk - start_blk) * opts.block_length
+    fd, seg = tempfile.mkstemp(suffix=".varseg")
+    os.close(fd)
+    try:
+        rid, pos, rlen, _bm, vbeg, vend, nv, mp = native_var_pass_segment(
+            input_path, seg, text, 6, bm_prefix, opts.block_length, gt_key,
+            0 if start_blk == 0 else int(block_voffs[start_blk]),
+            start_blk * opts.block_length, max_recs, write_header,
+            header_skip=skip, cap_hint=max_recs + 1)
+        with open(seg, "rb") as f:
+            data = f.read()
+    finally:
+        os.remove(seg)
+    return data, (rid, pos, rlen, vbeg, vend, nv, mp), var_header
+
+
+def _assemble_var_segments(output_path: str, var_header, parts) -> tuple:
+    """Process-0 assembly of the distributed variant pass: concatenate
+    segment bytes (rank order = record order), append the BGZF EOF,
+    shift each segment's voffsets by the bytes before it and build one
+    CSI.  Returns (entries, variants, max_ploidy)."""
+    from ..io.bgzf import BGZF_EOF
+    from ..io.csi import CsiBuilder, depth_for_max_len
+
+    var_path = output_path + XSI_BCF_VAR_EXTENSION
+    base = 0
+    cols: list = []
+    entries = variants = 0
+    max_ploidy = 0
+    with open(var_path, "wb") as f:
+        for data, tup in parts:
+            f.write(data)
+            rid, pos, rlen, vbeg, vend, nv, mp = tup
+            shift = np.uint64(base) << np.uint64(16)
+            cols.append((rid, pos, rlen, vbeg + shift, vend + shift))
+            entries += rid.shape[0]
+            variants += int(nv)
+            max_ploidy = max(max_ploidy, int(mp))
+            base += len(data)
+        f.write(BGZF_EOF)
+    rid = np.concatenate([c[0] for c in cols])
+    pos = np.concatenate([c[1] for c in cols])
+    rlen = np.concatenate([c[2] for c in cols])
+    vbeg = np.concatenate([c[3] for c in cols])
+    vend = np.concatenate([c[4] for c in cols])
+    csi = CsiBuilder(depth=depth_for_max_len(
+        max(var_header.contig_lengths.values(), default=0)))
+    csi.add_many(rid, pos, pos.astype(np.int64) + np.maximum(rlen, 1),
+                 vbeg, vend)
+    csi.write(var_path + ".csi", n_ref=len(var_header.dict_contigs))
+    return entries, variants, max_ploidy
+
+
+def _pack_var_tuples(tup) -> bytes:
+    import io as _io
+    rid, pos, rlen, vbeg, vend, nv, mp = tup
+    buf = _io.BytesIO()
+    np.savez(buf, rid=rid, pos=pos, rlen=rlen, vbeg=vbeg, vend=vend,
+             nv=nv, mp=mp)
+    return buf.getvalue()
+
+
+def _unpack_var_tuples(data: bytes):
+    import io as _io
+    with np.load(_io.BytesIO(data)) as z:
+        return (z["rid"], z["pos"], z["rlen"], z["vbeg"], z["vend"],
+                int(z["nv"]), int(z["mp"]))
 
 
 def _variant_pass(inp, opts, output_path, sniffed_ploidy):
@@ -416,6 +530,15 @@ def compress_file_multihost(input_path: str, output_path: str,
             perf["scan_s"] = time.perf_counter() - t0
             perf["scan_cpu_s"] = time.process_time() - c0
 
+        # DISTRIBUTED variant pass (default on for multi-process runs):
+        # every process renders its own record window into a BGZF body
+        # segment on a thread overlapped with its encode; process 0
+        # concatenates in rank order.  Record contents equal the serial
+        # pass; only BGZF member framing differs at segment joins
+        # (XSI_DIST_VARPASS=0 restores the serial byte-identical pass).
+        dist_var = (pcount > 1 and block_voffs is not None
+                    and os.environ.get("XSI_DIST_VARPASS", "1")
+                    not in ("0", "off", "no"))
         if pidx == 0:
             header = XsiHeader(
                 version=5, ind_bytes=4,
@@ -426,6 +549,7 @@ def compress_file_multihost(input_path: str, output_path: str,
             xsi = XsiWriter(output_path, header, samples,
                             zstd_on=opts.zstd, zstd_level=opts.zstd_level)
 
+        if pidx == 0 and not dist_var:
             def _run_variant_pass():
                 tt0 = time.thread_time()
                 vin = GtInput(input_path)
@@ -438,7 +562,6 @@ def compress_file_multihost(input_path: str, output_path: str,
                     vin.close()
                     var_state["cpu_s"] = time.thread_time() - tt0
 
-            import threading
             var_thread = threading.Thread(target=_run_variant_pass,
                                           name="xsi-variant-pass")
             var_thread.start()
@@ -458,6 +581,22 @@ def compress_file_multihost(input_path: str, output_path: str,
         ranges = plan_block_ranges(n_blocks, pcount)
         start_blk, end_blk = ranges[pidx]
 
+        if dist_var:
+            def _run_var_segment():
+                tt0 = time.thread_time()
+                try:
+                    var_state["segment"] = _var_segment(
+                        input_path, output_path, opts, start_blk, end_blk,
+                        block_voffs, write_header=(pidx == 0))
+                except BaseException as exc:   # surfaced at join below
+                    var_state["error"] = exc
+                finally:
+                    var_state["cpu_s"] = time.thread_time() - tt0
+
+            var_thread = threading.Thread(target=_run_var_segment,
+                                          name="xsi-var-segment")
+            var_thread.start()
+
         # Overlapped gather: payload bytes stream to process 0 in bounded
         # ROUNDS on a separate thread while encode proceeds, so only the
         # tail round's communication sits on the critical path (the old
@@ -466,8 +605,13 @@ def compress_file_multihost(input_path: str, output_path: str,
         # deterministic block plan — every process issues the same
         # collective sequence, rounds pacing themselves by each process's
         # own completed chunks.
-        chunk = max(1, int(os.environ.get("XSI_GATHER_CHUNK_BLOCKS", "8")))
         max_local = max(e - s for s, e in ranges)
+        # ~4 rounds by default: enough for the tail round to be a quarter
+        # of the communication, few enough that per-round collective
+        # latency never outgrows the encode span it hides behind
+        chunk_env = os.environ.get("XSI_GATHER_CHUNK_BLOCKS")
+        chunk = (max(1, int(chunk_env)) if chunk_env
+                 else max(1, -(-max_local // 4)))
         rounds = -(-max_local // chunk) if pcount > 1 else 0
         local_blocks = end_blk - start_blk
         gather_exc: list[BaseException] = []
@@ -480,8 +624,13 @@ def compress_file_multihost(input_path: str, output_path: str,
                 for r in range(rounds):
                     need = max(min(chunk, local_blocks - r * chunk), 0)
                     batch = [payload_q.get() for _ in range(need)]
+                    # per-round per-process counts are deterministic from
+                    # the plan: skip that collective (one less round-trip)
+                    kc = np.asarray(
+                        [max(min(chunk, (e - s) - r * chunk), 0)
+                         for s, e in ranges], np.int32)
                     tg = time.perf_counter()
-                    res = gather_round_to_host0(batch)
+                    res = gather_round_to_host0(batch, known_counts=kc)
                     gather_wait[0] += time.perf_counter() - tg
                     if pidx == 0:
                         for p in range(pcount):
@@ -525,11 +674,40 @@ def compress_file_multihost(input_path: str, output_path: str,
             # hidden behind encode
             perf["gather_s"] = time.perf_counter() - t0
             perf["gather_rounds"] = rounds
+            perf["gather_chunk"] = chunk
             perf["gather_collective_s"] = round(gather_wait[0], 4)
+        if dist_var:
+            # one extra collective round carries the var segments + CSI
+            # tuples (every process participates before rank gating)
+            var_thread.join()
+            if "error" in var_state:
+                raise RuntimeError(
+                    "variant pass failed") from var_state["error"]
+            seg = var_state["segment"]
+            if seg is not None:
+                data, tup, var_header_l = seg
+                res = gather_round_to_host0([data, _pack_var_tuples(tup)])
+                if pidx == 0:
+                    parts = [(plist[0], _unpack_var_tuples(plist[1]))
+                             for plist in res]
+                    e_, v_, mp_ = _assemble_var_segments(
+                        output_path, var_header_l, parts)
+                    var_state["result"] = (e_, v_,
+                                           max(mp_, sniffed_ploidy))
+            elif pidx == 0:
+                # native pass ineligible (deterministic across processes:
+                # input format + env gates): serial fallback, unoverlapped
+                vin = GtInput(input_path)
+                try:
+                    var_state["result"] = _variant_pass(
+                        vin, opts, output_path, sniffed_ploidy)
+                finally:
+                    vin.close()
         if pidx != 0:
             return None
 
-        var_thread.join()
+        if not dist_var:
+            var_thread.join()
         if "error" in var_state:
             raise RuntimeError("variant pass failed") from var_state["error"]
         ventries, variant_counter, max_ploidy = var_state["result"]
