@@ -19,11 +19,15 @@
 
 int main(int argc, char **argv) {
     const char *files[2] = {NULL, NULL};
-    const char *region = NULL, *target = NULL;
+    const char *region = NULL, *target = NULL, *targets_file = NULL;
+    int alleles = 0;
     int nfiles = 0;
     for (int i = 1; i < argc; ++i) {
         if (strcmp(argv[i], "-r") == 0 && i + 1 < argc) region = argv[++i];
         else if (strcmp(argv[i], "-t") == 0 && i + 1 < argc) target = argv[++i];
+        else if (strcmp(argv[i], "-T") == 0 && i + 1 < argc)
+            targets_file = argv[++i];
+        else if (strcmp(argv[i], "-a") == 0) alleles = 1;
         else if (nfiles < 2) files[nfiles++] = argv[i];
     }
     if (nfiles < 1) {
@@ -43,6 +47,11 @@ int main(int argc, char **argv) {
     }
     if (target && bcf_sr_set_targets(sr, target, 0, 0) < 0) {
         fprintf(stderr, "bad target %s\n", target);
+        return 1;
+    }
+    if (targets_file &&
+        bcf_sr_set_targets(sr, targets_file, 1, alleles) < 0) {
+        fprintf(stderr, "bad targets file %s\n", targets_file);
         return 1;
     }
     for (int i = 0; i < nfiles; ++i) {

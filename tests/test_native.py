@@ -312,3 +312,85 @@ def test_native_allele_counts(compressed):
         assert int(got.sum()) == int(want.sum())
     nat.close()
     acc.close()
+
+
+def test_c_xcf_plain_text_vcf_route(c_xcf_built, xcf_pair):
+    """Plain-text VCF input through the shim (synthesized BCF-layout
+    records): per-record genotype checksums equal the Python parser's,
+    and a text-vs-XSI lockstep is identical (round-3 verdict missing #3:
+    the reference gets VCF text free from htslib)."""
+    vcf, xsi, plain = xcf_pair
+    out = subprocess.run([c_xcf_built, vcf], check=True,
+                         capture_output=True, text=True).stdout
+    assert "nsamples 19" in out
+    want_chk = []
+    for r in GtInput(vcf):
+        g = r.gt.astype(np.int64)
+        want_chk.append(int((g * np.arange(1, g.shape[0] + 1)).sum()))
+    got_chk = [int(line.split()[-1]) for line in out.splitlines()
+               if line.startswith("record ")]
+    assert got_chk == want_chk
+    out2 = subprocess.run([c_xcf_built, xsi + "_var.bcf", vcf], check=True,
+                          capture_output=True, text=True).stdout
+    assert "lockstep-identical" in out2
+    # streaming region filter on the unindexed text input
+    positions = [int(l.split("\t")[1]) for l in open(vcf)
+                 if not l.startswith("#")]
+    out3 = subprocess.run([c_xcf_built, vcf, "-r", "20:60200-61000"],
+                          check=True, capture_output=True, text=True).stdout
+    n_region = sum(1 for p in positions if 60200 <= p <= 61000)
+    assert f"records {n_region}" in out3
+
+
+def test_c_xcf_bgzipped_text_vcf(c_xcf_built, tmp_path):
+    """BGZF-compressed .vcf.gz input (bgzip framing) through the shim."""
+    from xsqueezeit_tpu.io.bgzf import BgzfWriter
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=9,
+                              n_records=40, seed=45)
+    gz = str(tmp_path / "in.vcf.gz")
+    w = BgzfWriter(gz)
+    w.write(open(vcf, "rb").read())
+    w.close()
+    out = subprocess.run([c_xcf_built, gz], check=True,
+                         capture_output=True, text=True).stdout
+    want_chk = []
+    for r in GtInput(vcf):
+        g = r.gt.astype(np.int64)
+        want_chk.append(int((g * np.arange(1, g.shape[0] + 1)).sum()))
+    got_chk = [int(line.split()[-1]) for line in out.splitlines()
+               if line.startswith("record ")]
+    assert got_chk == want_chk
+
+
+def test_c_xcf_targets_allele_subsetting(c_xcf_built, xcf_pair, tmp_path):
+    """bcf_sr_set_targets with alleles != 0: records pass only when the
+    targets file's (ref, alt) matches (reference consumers get this from
+    htslib; previously a documented restriction)."""
+    vcf, xsi, plain = xcf_pair
+    sites = [l.split("\t")[:5] for l in open(vcf) if not l.startswith("#")]
+    gts = [r.gt for r in GtInput(vcf)]
+    tf = tmp_path / "targets.tsv"
+    # first 12 records: half with the TRUE alleles, half with a bogus ALT
+    lines = []
+    want = []
+    for i, ((chrom, pos, _id, ref, alt), gt) in enumerate(
+            zip(sites[:12], gts[:12])):
+        if i % 2 == 0:
+            lines.append(f"{chrom}\t{pos}\t{ref}\t{alt}")
+            want.append(int((gt.astype(np.int64)
+                             * np.arange(1, gt.shape[0] + 1)).sum()))
+        else:
+            lines.append(f"{chrom}\t{pos}\t{ref}\tTTTTT")
+    tf.write_text("\n".join(lines) + "\n")
+    out = subprocess.run([c_xcf_built, plain, "-T", str(tf), "-a"],
+                         check=True, capture_output=True, text=True).stdout
+    got = [int(line.split()[-1]) for line in out.splitlines()
+           if line.startswith("record ")]
+    assert got == want
+    # and on the text route (alleles synthesized into typed bytes)
+    out2 = subprocess.run([c_xcf_built, vcf, "-T", str(tf), "-a"],
+                          check=True, capture_output=True, text=True).stdout
+    got2 = [int(line.split()[-1]) for line in out2.splitlines()
+            if line.startswith("record ")]
+    assert got2 == want
