@@ -145,3 +145,30 @@ def test_fold_biallelic_tracks_matches_host():
     for i in range(n):
         np.testing.assert_array_equal(gt[i], recs[i][0],
                                       err_msg=f"record {i}")
+
+
+def test_mixed_ploidy_device_path():
+    """Mixed-ploidy blocks decode ON DEVICE (parity reconstruction +
+    variable-width WAH expansion) — byte-exact vs the original records
+    across common/sparse/negated/multiallelic lines in both ploidies."""
+    from xsqueezeit_tpu.codec.decoder_jax import DeviceBlockDecoder
+
+    rng = np.random.default_rng(9)
+    recs = []
+    for i in range(60):
+        hap = i % 3 == 1
+        if i % 5 == 0:
+            recs.append(make_record(rng, 56, p_alt=0.45, haploid=hap))
+        elif i % 7 == 2 and not hap:
+            recs.append(make_record(rng, 56, n_alts=2, p_alt=0.5))
+        elif i % 4 == 0:
+            recs.append(make_record(rng, 56, p_alt=0.02, haploid=hap))
+        else:
+            recs.append(make_record(rng, 56, p_alt=0.98, haploid=hap))
+    payload = encode(recs, 56, mac_threshold=4)
+    dev = DeviceBlockDecoder(payload, 56, 112, np.uint16)
+    assert not dev.eligible and dev.mixed_device_ok
+    outs = decode_block_records(payload, 56, 112, np.uint16,
+                                [na for _, na in recs])
+    for i, ((gt, _), out) in enumerate(zip(recs, outs)):
+        np.testing.assert_array_equal(out, gt, err_msg=f"record {i}")

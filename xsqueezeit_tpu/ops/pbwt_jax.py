@@ -558,3 +558,47 @@ def pbwt_decode_scan(ys: jnp.ndarray, sorts: jnp.ndarray,
 
     a_final, vals = jax.lax.scan(step, a0, (ys, sorts))
     return vals, a_final
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pbwt_decode_scan_mixed(ys: jnp.ndarray, sorts: jnp.ndarray,
+                           hap_line: jnp.ndarray, a0: jnp.ndarray
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """pbwt_decode_scan for MIXED-ploidy blocks (decode counterpart of
+    codec/encoder_jax.encode_block_core_mixed).
+
+    ys rows for diploid lines hold H arrangement-ordered bits; HAPLOID
+    lines hold only the N = H/2 even-parity-subsequence bits FRONT-PACKED
+    (the on-disk form: the encoder emits the even-slot subsequence of the
+    slot-duplicated line, = haploid_rearrangement_from_diploid order,
+    interfaces.hpp:318-333).  Each haploid line's full slot-duplicated
+    bit vector is reconstructed before the scatter/partition:
+
+        y_full[i] = stored[ rank_even[ inv_a[ a[i] & ~1 ] ] ]
+
+    — position i's sample is a[i] >> 1, its EVEN slot sits at position
+    inv_a[a[i] & ~1], whose rank among even-parity positions indexes the
+    stored subsequence.  Partitioning by y_full mirrors the encoder's
+    parity scan (pbwt_sort1 semantics), so the arrangement chain stays in
+    lockstep.  Returns natural-order bits (haploid lines slot-duplicated;
+    callers fold even slots) and the final arrangement.
+    """
+    H = ys.shape[1]
+    iota = jnp.arange(H, dtype=jnp.int32)
+
+    def step(a, inp):
+        y_st, sort, hap = inp
+        par = a & 1
+        inv = jnp.zeros_like(a).at[a].set(iota)
+        even = 1 - par
+        rank_even = jnp.cumsum(even) - even
+        pos_partner = inv[a & ~1]
+        y_full = y_st[rank_even[pos_partner]]
+        y = jnp.where(hap, y_full, y_st)
+        _, vals = jax.lax.sort((a, y), num_keys=1, is_stable=False)
+        _, a_new = jax.lax.sort((y, a), num_keys=1, is_stable=True)
+        a = jnp.where(sort, a_new, a)
+        return a, vals
+
+    a_final, vals = jax.lax.scan(step, a0, (ys, sorts, hap_line))
+    return vals, a_final

@@ -221,3 +221,42 @@ def wah_popcount_lines(stream: jnp.ndarray, offsets: jnp.ndarray,
         return jnp.sum(jnp.where(in_line, pop, 0))
 
     return jax.vmap(line)(offsets)
+
+
+@functools.partial(jax.jit, static_argnames=("n_lines", "w_max"))
+def wah_expand_stream_varw(stream: jnp.ndarray, group_off: jnp.ndarray,
+                           n_lines: int, w_max: int) -> jnp.ndarray:
+    """wah_expand_stream for PER-LINE 15-bit-group widths (mixed-ploidy
+    blocks: haploid lines span n_words_for(N) groups, diploid
+    n_words_for(2N)).
+
+    group_off: int32[n_lines + 1] cumulative group offsets per line
+    (host-known from the line widths).  Output int32[n_lines, w_max] of
+    15-bit groups; slots beyond a line's own width are zeroed.  Same
+    invariant as the uniform form: fill counters never straddle a line
+    boundary (each line pads to its own group count).
+    """
+    if w_max >= (1 << 15):
+        raise ValueError(
+            f"wah_expand_stream_varw supports at most 32767 words per "
+            f"line (got {w_max})")
+    s = stream.astype(jnp.int32)
+    is_counter = (s & HIGH) != 0
+    span = jnp.where(is_counter, s & MAXC, 1)
+    start = jnp.cumsum(span) - span          # global 15-bit-group slot
+    line_of = jnp.searchsorted(group_off, start, side="right") - 1
+    line_c = jnp.clip(line_of, 0, n_lines - 1)
+    pos_in_row = start - group_off[line_c]
+    valid = (line_of >= 0) & (line_of < n_lines) & (pos_in_row < w_max)
+    packed = ((pos_in_row + 1) << 16) | s    # s < 2^16; +1 beats zero-init
+    dest = jnp.where(valid, line_c * w_max + pos_in_row,
+                     n_lines * w_max)        # padding words: dropped
+    z = jnp.zeros(n_lines * w_max, jnp.int32).at[dest].set(packed,
+                                                           mode="drop")
+    z = jax.lax.associative_scan(jnp.maximum, z.reshape(n_lines, w_max),
+                                 axis=1)
+    word = z & 0xFFFF
+    fill = jnp.where((word & ONE) != 0, ALL_SET, 0)
+    out = jnp.where((word & HIGH) != 0, fill, word)
+    widths = group_off[1:] - group_off[:-1]
+    return jnp.where(jnp.arange(w_max)[None, :] < widths[:, None], out, 0)
