@@ -95,6 +95,74 @@ def test_phase_file_recovers_majority_of_phase(tmp_path):
     assert err["rate"] < 0.25, err
 
 
+def test_window_phaser_trivial_and_direct():
+    """<=1-het samples keep their words; a 2-het sample explainable by a
+    seeded haplotype phases to it (PhasingMachineryNew direct phasing)."""
+    from xsqueezeit_tpu.utils.phasing import WindowPhaser
+
+    w = 8
+    # words (MSB-first over 8 sites)
+    h0 = 0b10110010          # hom sample: both haps h0
+    h1a, h1b = 0b10110010, 0b10111010   # one het site (bit 3)
+    # 2-het sample whose truth is (h1b, hx): het at bits 3 and 0
+    hx = 0b10110011
+    sa = np.array([h0, h1a, min(h1b, hx)], np.uint64)
+    sb = np.array([h0, h1b, max(h1b, hx)], np.uint64)
+    ph = WindowPhaser(sa, sb, width=w)
+    assert ph.phased.all()
+    assert ph.hap_a[0] == h0 and ph.hap_b[0] == h0
+    assert {int(ph.hap_a[1]), int(ph.hap_b[1])} == {h1a, h1b}
+    # sample 2 is explainable by BOTH h0 (==h1a, count 3: hom seeds twice
+    # + the 1-het sample) and h1b (count 1); the most-frequent candidate
+    # wins (phasing.hpp:658-661) -> phases as (h0, h0 ^ het)
+    het = int(np.uint64(h1b ^ hx))
+    assert {int(ph.hap_a[2]), int(ph.hap_b[2])} == {h0, h0 ^ het}
+
+
+def test_window_phaser_imperfect_match():
+    """With no explaining haplotype, the closest known hap (Hamming on hom
+    sites) guides the phase (phase_a_sample_as_close_as_possible)."""
+    from xsqueezeit_tpu.utils.phasing import WindowPhaser
+
+    guide = 0b11110000
+    # sample: het at bits 1,0; hom sites differ from guide at bit 4 only
+    a, b = 0b11100000, 0b11100011
+    sa = np.array([guide, min(a, b)], np.uint64)
+    sb = np.array([guide, max(a, b)], np.uint64)
+    ph = WindowPhaser(sa, sb, width=8)
+    assert ph.phased.all()
+    # het bits take the guide's alleles (0,0) on hap_A
+    het = a ^ b
+    pha = int(ph.hap_a[1])
+    assert (pha & het) == (guide & het)
+    assert (pha & ~het) == (a & ~het)  # hom sites untouched
+
+
+def test_phase_file_windows_recovers_phase(tmp_path):
+    from xsqueezeit_tpu.utils.mutate import compute_phase_switch_errors, \
+        unphase
+    from xsqueezeit_tpu.utils.phasing import phase_file_windows
+
+    vcf = _haplotype_panel_vcf(str(tmp_path / "t.vcf"), n_samples=40,
+                               n_records=300, seed=78)
+    unphased = str(tmp_path / "u.bcf")
+    rephased = str(tmp_path / "w.bcf")
+    unphase(vcf, unphased)
+    stats = phase_file_windows(unphased, rephased)
+    assert stats["records"] == 300 and stats["windows"] == 5
+
+    from xsqueezeit_tpu.io.unified import GtInput
+    orig = [r.gt for r in GtInput(vcf)]
+    got = [r.gt for r in GtInput(rephased)]
+    for i, (o, g) in enumerate(zip(orig, got)):
+        po, pg = np.sort(o.reshape(-1, 2) >> 1), np.sort(g.reshape(-1, 2) >> 1)
+        np.testing.assert_array_equal(po, pg, err_msg=f"record {i}")
+        assert (g[1::2] & 1).all(), f"record {i} not fully phased"
+
+    err = compute_phase_switch_errors(rephased, vcf)
+    assert err["rate"] < 0.25, err
+
+
 def test_stats_tool(tmp_path, capsys):
     vcf = fixtures.random_vcf(str(tmp_path / "s.vcf"), n_samples=30,
                               n_records=120, seed=9)

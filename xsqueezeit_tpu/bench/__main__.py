@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("phase")
     s.add_argument("infile")
     s.add_argument("outfile")
+    s.add_argument("--windows", action="store_true",
+                   help="word-window parsimony phaser "
+                        "(PhasingMachineryNew) instead of the "
+                        "PBWT-neighbour heuristic")
+    s.add_argument("--word-bits", type=int, default=64)
     s = sub.add_parser("stats")
     s.add_argument("file")
     s = sub.add_parser("e2e")
@@ -135,8 +140,13 @@ def main(argv: list[str] | None = None) -> int:
         out.pop("per_sample")
         print(json.dumps(out))
     elif args.cmd == "phase":
-        from ..utils.phasing import phase_file
-        print(json.dumps(phase_file(args.infile, args.outfile)))
+        if args.windows:
+            from ..utils.phasing import phase_file_windows
+            print(json.dumps(phase_file_windows(
+                args.infile, args.outfile, word_bits=args.word_bits)))
+        else:
+            from ..utils.phasing import phase_file
+            print(json.dumps(phase_file(args.infile, args.outfile)))
     elif args.cmd == "stats":
         from ..utils.stats import xsi_block_stats
         print(json.dumps(xsi_block_stats(args.file)))
