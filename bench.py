@@ -318,7 +318,9 @@ def main():
     mrec0, midx0 = missing_track_pairs()
     staged_pairs = [jax.device_put(jnp.asarray(x), dev)
                     for x in (mrec0, midx0)]
-    empty_pair = jax.device_put(jnp.full(8, Lp_m, jnp.int32), dev)
+    # all-padding EOV pairs (record >= Lp: dropped)
+    empty_rec = jax.device_put(jnp.full(8, Lp_m, jnp.int32), dev)
+    empty_idx = jax.device_put(jnp.arange(8, dtype=jnp.int32), dev)
 
     def missing_decode_once():
         hi = dec_m.host_inputs()         # real per-block host work
@@ -326,7 +328,7 @@ def main():
         missing_track_pairs()
         vals = _decode_block_full(*staged_md, mh0, mw_w0)
         return _fold_biallelic_tracks(vals, jnp.int32(0), *staged_pairs,
-                                      empty_pair, empty_pair)
+                                      empty_rec, empty_idx)
 
     gt_out_m = np.asarray(missing_decode_once())[:L]
     dec_m_s = slope_time(missing_decode_once, lambda o: np.asarray(o[0, :1]))

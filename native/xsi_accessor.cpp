@@ -283,6 +283,30 @@ void wah2_advance(const uint16_t **wp, size_t size, const uint16_t *wend) {
   *wp = p;
 }
 
+// Popcount a WAH2 line WITHOUT expanding bits: run words carry their count
+// directly, literal words popcount in one instruction — O(words), not
+// O(haplotypes).  Tail-bit semantics match wah2_extract (fill runs count
+// their full span; encoder contract keeps pad bits zero).  This is the
+// count-only fast path the reference leans on for af_stats
+// (accessor_internals_new.hpp:407-438 fill_allele_counts_advance).
+size_t wah2_popcount(const uint16_t **wp, size_t size, const uint16_t *wend) {
+  const uint16_t *p = *wp;
+  size_t bpos = 0, ones = 0;
+  while (bpos < size && p < wend) {
+    uint16_t w = *p++;
+    if (w & WAH_HIGH) {
+      size_t n = size_t(w & WAH_MAXC) * WAH_BITS;
+      if (w & WAH_ONE) ones += n;
+      bpos += n;
+    } else {
+      ones += size_t(__builtin_popcount(w));
+      bpos += WAH_BITS;
+    }
+  }
+  *wp = p;
+  return ones;
+}
+
 /* ----------------------------------------------------------- GT decoder */
 enum GtKeys : uint32_t {
   KEY_BCF_LINES = 0, KEY_BINARY_LINES = 1, KEY_MAX_LINE_PLOIDY = 2,
@@ -402,6 +426,14 @@ class GtBlockDecoder {
   int64_t fill(int32_t *gt, size_t capacity, int n_allele,
                int64_t *counts /*nullable, size n_allele*/) {
     if (!ok_) { set_error("corrupt block payload"); return -1; }
+    if (a_stale_) {
+      // a count-only walk skipped the PBWT arrangement updates; rebuild
+      // by replaying the block up to the current record
+      size_t tgt = pos_;
+      reset();
+      a_stale_ = false;
+      if (!seek(tgt)) return -1;
+    }
     if (n_allele > 1 &&
         pos_ + size_t(n_allele - 1) > size_t(binary_lines_)) {
       set_error("record needs more binary lines than the block has");
@@ -563,6 +595,89 @@ class GtBlockDecoder {
     advance_tracks(n_allele - 1);
     if (counts) counts[0] = int64_t(n) - (total_alt + n_missing + n_eovs);
     return int64_t(n);
+  }
+
+  // Count-only record advance: counts[alt>=1] straight from sparse heads /
+  // WAH run-word popcounts, counts[0] by subtraction — no genotype
+  // materialization and no PBWT arrangement maintenance (a_ goes stale;
+  // fill() replays the block before the next positional decode).
+  // O(stream words) per record vs fill()'s O(haplotypes) — the count-only
+  // walk the reference uses for af_stats
+  // (accessor_internals_new.hpp:407-438 fill_allele_counts_advance).
+  int fill_counts(int n_allele, int64_t *counts) {
+    if (!ok_) { set_error("corrupt block payload"); return -1; }
+    if (n_allele > 1 &&
+        pos_ + size_t(n_allele - 1) > size_t(binary_lines_)) {
+      set_error("record needs more binary lines than the block has");
+      return -1;
+    }
+    size_t start = pos_;
+    size_t n = cur_n_haps(start);
+    if (n_allele <= 1) {
+      counts[0] = int64_t(n_haps_);  // zero-ALT: all-REF, no line consumed
+      return 0;
+    }
+    int64_t total_alt = 0, n_missing = 0, n_eovs = 0;
+    for (int alt = 1; alt < n_allele; ++alt) {
+      if (is_wah_[pos_]) {
+        if (!wah_) { set_error("WAH stream absent"); return -1; }
+        ones_ = wah2_popcount(&wah_, n, wend_);
+        if (is_sorting_[pos_]) a_stale_ = true;
+      } else {
+        if (!sparse_ || sparse_ >= send_) {
+          set_error("sparse stream truncated");
+          return -1;
+        }
+        A_T head = *sparse_++;
+        size_t cnt = head & ~msb();
+        if (cnt > size_t(send_ - sparse_) || cnt > n) {
+          set_error("sparse count exceeds stream/haplotypes");
+          return -1;
+        }
+        ones_ = (head & msb()) ? n - cnt : cnt;
+        sparse_ += cnt;
+      }
+      counts[alt] = int64_t(ones_);
+      total_alt += int64_t(ones_);
+      pos_++;
+    }
+    // exception-track counts for the record's start line (count via local
+    // pointer copies; the track streams advance below, same as fill())
+    if (has_missing_ && line_missing_[start]) {
+      if (ws_ == WS_SPARSE) {
+        const A_T *sp = miss_sp_;
+        if (!sp || sp >= send_) { set_error("missing track truncated"); return -1; }
+        size_t cnt = *sp++ & ~msb();
+        if (cnt > size_t(send_ - sp) || cnt > n) {
+          set_error("missing track count exceeds stream");
+          return -1;
+        }
+        n_missing = int64_t(cnt);
+      } else {
+        const uint16_t *mp = miss_wah_;
+        if (!mp) { set_error("missing track absent"); return -1; }
+        n_missing = int64_t(wah2_popcount(&mp, n, wend_));
+      }
+    }
+    if (has_eov_ && line_eov_[start]) {
+      if (ws_ == WS_SPARSE) {
+        const A_T *sp = eov_sp_;
+        if (!sp || sp >= send_) { set_error("EOV track truncated"); return -1; }
+        size_t cnt = *sp++ & ~msb();
+        if (cnt > size_t(send_ - sp) || cnt > n) {
+          set_error("EOV track count exceeds stream");
+          return -1;
+        }
+        n_eovs = int64_t(cnt);
+      } else {
+        const uint16_t *ep = eov_wah_;
+        if (!ep) { set_error("EOV track absent"); return -1; }
+        n_eovs = int64_t(wah2_popcount(&ep, n, wend_));
+      }
+    }
+    advance_tracks(n_allele - 1);
+    counts[0] = int64_t(n) - (total_alt + n_missing + n_eovs);
+    return 0;
   }
 
   size_t pos() const { return pos_; }
@@ -745,6 +860,7 @@ class GtBlockDecoder {
   const uint16_t *nup_wah0_ = nullptr, *nup_wah_ = nullptr;
 
   size_t pos_ = 0, weird_pos_ = 0, phase_pos_ = 0;
+  bool a_stale_ = false;  // count-only walks skip arrangement updates
   size_t ones_ = 0;
   std::vector<A_T> a_, b_, aw_, bw_;
   std::vector<uint8_t> y_, yw_;
@@ -756,6 +872,7 @@ struct BlockCursorBase {
   virtual bool ok() const = 0;
   virtual bool seek(size_t pos) = 0;
   virtual int64_t fill(int32_t *gt, size_t cap, int n_allele, int64_t *c) = 0;
+  virtual int fill_counts(int n_allele, int64_t *c) = 0;
 };
 
 template <typename A_T>
@@ -766,6 +883,9 @@ struct BlockCursor : BlockCursorBase {
   bool seek(size_t pos) override { return dec.seek(pos); }
   int64_t fill(int32_t *gt, size_t cap, int n_allele, int64_t *c) override {
     return dec.fill(gt, cap, n_allele, c);
+  }
+  int fill_counts(int n_allele, int64_t *c) override {
+    return dec.fill_counts(n_allele, c);
   }
   GtBlockDecoder<A_T> dec;
 };
@@ -1019,8 +1139,26 @@ int xsi_fill_allele_counts_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
   auto *c = f->cursor_for(block_id);
   if (!c) return -1;
   if (!c->seek(offset)) return -1;
-  std::vector<int32_t> tmp(f->n_haps);
-  return c->fill(tmp.data(), tmp.size(), n_allele, counts) < 0 ? -1 : 0;
+  return c->fill_counts(n_allele, counts);
+}
+
+int64_t xsi_count_alleles_range(xsi_file_t *f, const int32_t *bms,
+                                const int32_t *n_alleles, int64_t n_records,
+                                int64_t *counts_flat) {
+  int64_t written = 0;
+  for (int64_t r = 0; r < n_records; ++r) {
+    int32_t bm = bms[r], na = n_alleles[r];
+    if (bm < 0) { set_error("negative BM"); return -1; }
+    if (na < 1) { set_error("record with n_allele < 1"); return -1; }
+    size_t block_id = uint32_t(bm) >> BM_BLOCK_BITS;
+    size_t offset = uint32_t(bm) & ((1u << BM_BLOCK_BITS) - 1);
+    auto *c = f->cursor_for(block_id);
+    if (!c) return -1;
+    if (!c->seek(offset)) return -1;
+    if (c->fill_counts(na, counts_flat + written) < 0) return -1;
+    written += na;
+  }
+  return written;
 }
 
 const char *xsi_last_error(void) { return g_error.c_str(); }

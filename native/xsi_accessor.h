@@ -66,6 +66,15 @@ int64_t xsi_fill_genotypes_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
 int xsi_fill_allele_counts_bm(xsi_file_t *f, int32_t bm, int32_t n_allele,
                               int64_t *counts);
 
+/* Batched allele counts for `n_records` records given per-record BM
+ * pointers and allele counts; results are written back-to-back into
+ * `counts_flat` (sum of n_alleles[i] entries).  One crossing for a whole
+ * file walk; sequential BMs walk each block's streams forward without
+ * re-seeks.  Returns the number of entries written, negative on error. */
+int64_t xsi_count_alleles_range(xsi_file_t *f, const int32_t *bms,
+                                const int32_t *n_alleles, int64_t n_records,
+                                int64_t *counts_flat);
+
 const char *xsi_last_error(void);
 
 #ifdef __cplusplus

@@ -133,10 +133,11 @@ def test_fold_biallelic_tracks_matches_host():
                                 np.flatnonzero(m.line_has_eov), np.uint16)
 
     def pad_pairs(rec, idx):
+        # padding rows drop (record >= Lp)
         k = max(len(rec) + 1, 8)
         r = np.full(k, Lp, np.int32)
         r[:len(rec)] = rec
-        x = np.zeros(k, np.int32)
+        x = np.arange(k, dtype=np.int32)
         x[:len(idx)] = idx
         return jnp.asarray(r), jnp.asarray(x)
 

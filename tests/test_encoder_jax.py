@@ -115,6 +115,36 @@ def test_sparse_cap_sort_fallback_matches_scan_path():
         np.testing.assert_array_equal(a[l, :n], b[l, :n], err_msg=f"line {l}")
 
 
+def test_sparse_idx_packed_reduction_matches_search():
+    """The gather-free packed masked reduction (the TPU production
+    extraction for H <= 65535) is element-identical to the binary search
+    across cap dtypes (i8/i16 cumsum), odd caps, empty rows, and
+    positions above 32767 in both 16-bit fields."""
+    import jax.numpy as jnp
+
+    from xsqueezeit_tpu.codec.encoder_jax import (
+        sparse_idx_by_search,
+        sparse_idx_packed_reduction,
+    )
+    rng = np.random.default_rng(7)
+    for R, H, cap, p in [(64, 300, 16, 0.03), (37, 1024, 128, 0.05),
+                         (8, 100, 8, 0.0), (5, 64, 64, 0.9),
+                         (16, 1000, 127, 0.1), (16, 1000, 129, 0.1),
+                         (16, 1000, 200, 0.15), (9, 40000, 33, 0.0006),
+                         (4, 65535, 97, 0.001), (6, 50, 1, 0.02),
+                         (3, 65535, 4, 0.9)]:
+        mask = rng.random((R, H)) < p
+        for r in np.flatnonzero(mask.sum(1) > cap):
+            mask[r, np.flatnonzero(mask[r])[cap:]] = False
+        a = np.asarray(sparse_idx_by_search(jnp.asarray(mask), cap))
+        b = np.asarray(sparse_idx_packed_reduction(jnp.asarray(mask), cap))
+        np.testing.assert_array_equal(a, b, err_msg=f"{(R, H, cap, p)}")
+        c = np.asarray(sparse_idx_packed_reduction(
+            jnp.asarray(mask), cap,
+            count=jnp.asarray(mask.sum(1), jnp.int32)))
+        np.testing.assert_array_equal(a, c, err_msg=f"count= {(R, H, cap)}")
+
+
 @pytest.mark.parametrize("ws", [WeirdnessStrategy.WS_SPARSE,
                                 WeirdnessStrategy.WS_WAH])
 @pytest.mark.parametrize("min_rows", ["1", "1000000000"])

@@ -314,6 +314,85 @@ def test_native_allele_counts(compressed):
     acc.close()
 
 
+def test_native_batched_allele_counts(compressed):
+    """xsi_count_alleles_range (one crossing for the whole file; count-only
+    walk: sparse heads + WAH run-word popcounts, no gt arrays, no PBWT
+    arrangement upkeep) equals the NumPy oracle per record — and positional
+    genotype fills issued AFTER a count walk on the same cursors are still
+    exact (fill() must rebuild the arrangement the count walk skipped)."""
+    from xsqueezeit_tpu.accessor import Accessor
+    from xsqueezeit_tpu.io.bcf import BcfReader
+
+    _, xsi = compressed
+    acc = Accessor(xsi)
+    nat = NativeAccessor(xsi)
+    reader = BcfReader(acc.variant_filename())
+    recs = [(acc.position_from_bm_entry(rec), rec.n_allele)
+            for rec in reader]
+    reader.close()
+    bms = np.array([b for b, _ in recs], np.int32)
+    nas = np.array([n for _, n in recs], np.int32)
+    flat = nat.count_alleles_range(bms, nas)
+    offs = np.concatenate([[0], np.cumsum(nas)])
+    for i, (bm, na) in enumerate(recs):
+        want = acc.fill_allele_counts(bm, na)
+        np.testing.assert_array_equal(flat[offs[i]:offs[i + 1]], want,
+                                      err_msg=f"record {i} bm={bm}")
+    # stale-arrangement regression: the count walk above skipped every
+    # PBWT update; genotype fills on the same cached cursors must replay
+    for i in (len(recs) - 1, len(recs) // 2, 0):
+        bm, na = recs[i]
+        want_gt = acc.fill_genotype_array(bm, na)
+        got_gt = nat.fill_genotypes_bm(bm, na)
+        np.testing.assert_array_equal(got_gt, want_gt,
+                                      err_msg=f"post-count fill, record {i}")
+    # and counts again after fills (fill -> count -> fill interleaving)
+    flat2 = nat.count_alleles_range(bms[:8], nas[:8])
+    np.testing.assert_array_equal(flat2, flat[:offs[8]])
+    nat.close()
+    acc.close()
+
+
+def test_native_batched_counts_weird_tracks(tmp_path):
+    """Batched counts on a block carrying missing + mixed-ploidy (EOV)
+    exception tracks match the NumPy oracle (counts[0] subtracts the
+    missing/EOV slots exactly as the scalar fill does)."""
+    from xsqueezeit_tpu.accessor import Accessor
+    from xsqueezeit_tpu.io.bcf import BcfReader
+
+    rows = []
+    for i in range(40):
+        cells = []
+        for s in range(9):
+            if (i + s) % 7 == 0:
+                cells.append("./.")
+            elif (i + s) % 5 == 0:
+                cells.append("1")            # haploid among diploids -> EOV
+            else:
+                cells.append(f"{(i ^ s) & 1}|{(i + s) & 1}")
+        rows.append(("A", cells))
+    vcf = fixtures.write_vcf(str(tmp_path / "w.vcf"), rows, n_samples=9)
+    xsi = str(tmp_path / "w.xsi")
+    assert cli_main(["-c", "-f", vcf, "-o", xsi,
+                     "--variant-block-length", "16", "--maf", "0.2"]) == 0
+    acc = Accessor(xsi)
+    nat = NativeAccessor(xsi)
+    reader = BcfReader(acc.variant_filename())
+    recs = [(acc.position_from_bm_entry(rec), rec.n_allele)
+            for rec in reader]
+    reader.close()
+    bms = np.array([b for b, _ in recs], np.int32)
+    nas = np.array([n for _, n in recs], np.int32)
+    flat = nat.count_alleles_range(bms, nas)
+    offs = np.concatenate([[0], np.cumsum(nas)])
+    for i, (bm, na) in enumerate(recs):
+        want = acc.fill_allele_counts(bm, na)
+        np.testing.assert_array_equal(flat[offs[i]:offs[i + 1]], want,
+                                      err_msg=f"record {i}")
+    nat.close()
+    acc.close()
+
+
 def test_c_xcf_plain_text_vcf_route(c_xcf_built, xcf_pair):
     """Plain-text VCF input through the shim (synthesized BCF-layout
     records): per-record genotype checksums equal the Python parser's,

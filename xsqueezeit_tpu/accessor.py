@@ -151,6 +151,28 @@ class Accessor:
         dec.seek(offset)
         return dec.fill_allele_counts_advance(n_alleles)
 
+    def fill_allele_counts_range(self, bms, n_alleles) -> "np.ndarray":
+        """Batched AC for many records in ONE native crossing
+        (xsi_count_alleles_range: sparse heads + WAH run-word popcounts,
+        O(stream words) per record, no gt arrays, no PBWT upkeep — the
+        af_stats walk; reference accessor_internals_new.hpp:407-438).
+        Returns flat int64 counts back-to-back (sum of n_alleles entries);
+        falls back to the per-record path permanently on error."""
+        acc = self._native()
+        if acc is not False:
+            try:
+                return acc.count_alleles_range(bms, n_alleles)
+            except Exception as exc:
+                import sys
+                print(f"xsi: native batched allele counts fell back: {exc}",
+                      file=sys.stderr)
+                acc.close()
+                self._nat_acc = False
+        return np.concatenate(
+            [self.fill_allele_counts(int(bm), int(na))
+             for bm, na in zip(bms, n_alleles)]) if len(bms) else \
+            np.zeros(0, np.int64)
+
     def get_genotypes(self, rec) -> np.ndarray:
         """htslib bcf_get_genotypes-shaped convenience wrapper."""
         return self.fill_genotype_array(self.position_from_bm_entry(rec),

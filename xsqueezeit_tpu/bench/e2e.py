@@ -52,7 +52,12 @@ def synth_bcf(path: str, n_records: int, n_samples: int, seed: int = 5,
             kind < 0.55, rng.uniform(0.0, 0.0015, n),
             np.where(kind < 0.80, rng.uniform(0.0015, 0.05, n),
                      rng.uniform(0.05, 0.95, n)))
-        alleles = (rng.random((n, H)) < freqs[:, None]).astype(np.int8)
+        # u16-threshold draw instead of float64 uniforms: the float matrix
+        # alone was ~530 MB/block and dominated HRC-scale synthesis (the
+        # 1/65536 frequency quantisation is irrelevant for a fixture).
+        draw = rng.integers(0, 65536, (n, H), dtype=np.uint16)
+        thresh = (freqs * 65536.0).astype(np.uint16)
+        alleles = (draw < thresh[:, None]).astype(np.int8)
         codes = ((alleles + 1) << 1) | 1
         codes[:, ::2] &= ~1          # phase bit on second slots only
         for i in range(n):

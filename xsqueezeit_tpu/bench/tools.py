@@ -228,8 +228,17 @@ def af_stats(path: str, annotate_out: str | None = None) -> dict:
                 "AN", '##INFO=<ID=AN,Number=1,Type=Integer,Description='
                       '"Total number of alleles in called genotypes">')
             writer = BcfWriter(annotate_out, hdr)
-        for rec in reader:
-            counts = acc.get_allele_counts(rec)
+        # one batched native crossing for the whole file's counts
+        # (count-only walk: sparse heads + WAH run-word popcounts)
+        recs = list(reader)
+        nas = np.fromiter((r.n_allele for r in recs), np.int32, len(recs))
+        bms = np.fromiter((acc.position_from_bm_entry(r) for r in recs),
+                          np.int32, len(recs))
+        flat = acc.fill_allele_counts_range(bms, nas)
+        offs = np.zeros(len(recs) + 1, np.int64)
+        np.cumsum(nas, out=offs[1:])
+        for i, rec in enumerate(recs):
+            counts = flat[offs[i]:offs[i + 1]]
             an = int(counts.sum())
             acs = [int(c) for c in counts[1:]]
             out.append((an, acs))

@@ -115,9 +115,20 @@ def _fold_biallelic_tracks(vals, default_phasing, mrec, midx, erec, eidx):
     h = vals.shape[1]
     phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
     gt = ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
-    gt = gt.at[mrec, midx].set(jnp.take(phase, midx), mode="drop")
-    gt = gt.at[erec, eidx].set(jnp.int32(INT32_VECTOR_END), mode="drop")
-    return gt
+    # Overlay via a uint8 code plane + fused selects, NOT by scattering
+    # into the int32 gt: a general scatter's cost rides the operand it
+    # updates (measured on a v5e at [8192, 5008] with 410k pairs: 8.6 ms
+    # into the int32 gt vs 3.8 ms into a uint8 plane; the two selects
+    # fuse into the fold's existing elementwise pass).  Scatter hints are
+    # deliberately OFF: indices_are_sorted=True computes WRONG scatters
+    # on the v5e backend when the padding pairs sit out of bounds for
+    # mode="drop" — even strictly-increasing unique padding miscompiled
+    # (probed on chip; the CPU lowering is fine either way).
+    ov = jnp.zeros(gt.shape, jnp.uint8)
+    ov = ov.at[mrec, midx].set(jnp.uint8(1), mode="drop")
+    ov = ov.at[erec, eidx].set(jnp.uint8(2), mode="drop")
+    gt = jnp.where(ov == 1, phase[None, :], gt)
+    return jnp.where(ov == 2, jnp.int32(INT32_VECTOR_END), gt)
 
 
 def track_carriers(stream: np.ndarray, flagged_lines: np.ndarray,

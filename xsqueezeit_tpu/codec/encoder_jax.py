@@ -38,6 +38,59 @@ from .encoder_base import (   # noqa: F401  (re-exported for consumers)
 ensure_compilation_cache()
 
 
+def sparse_idx_packed_reduction(mask, cap, count=None):
+    """Front-packed ascending carrier indices per row, exact, gather-free.
+
+    Rank-select by masked reduction: rank k's position is the sole j with
+    cumsum(mask)[j] == k+1 and mask[j], recovered as a dense
+    compare+select+sum over the row — no gathers (TPU gathers run ~1
+    element/cycle; the binary-search formulation's 13 take_along_axis
+    steps measured 129 ms/call at [8192, 5008] cap 128 on a v5e, vs
+    ~6 ms for this).  Two ranks resolve per pass: positions < H <= 65535
+    fit 16 bits, so rank k packs into the low and rank k+ceil(cap/2)
+    into the high half of one i32 accumulator (at most one j matches
+    each rank per row, so the sum IS the position — no carries).
+
+    Element-identical to sparse_idx_by_search (rows beyond their carrier
+    count emit 0); requires count <= cap per row (the callers size cap
+    from the max per-row count) and H <= 65535 (callers gate).
+    """
+    R, H = mask.shape
+    # compare targets reach cap+1 for odd cap — keep them in range
+    cdt = jnp.int8 if cap <= 126 else jnp.int16
+    m = mask.astype(cdt)
+    code = jnp.cumsum(m, axis=1)
+    code = jnp.where(m != 0, code, 0)
+    if count is None:
+        count = jnp.sum(mask, axis=1).astype(jnp.int32)
+    # uint32 packing: a position > 32767 in the high field would overflow
+    # the int32 sign bit
+    iota_lo = jnp.arange(H, dtype=jnp.uint32)[None, :]
+    iota_hi = iota_lo << 16
+    zero = jnp.zeros((), jnp.uint32)
+    half = (cap + 1) // 2
+    cols = []
+    for k in range(half):
+        lo_t = jnp.asarray(k + 1, cdt)
+        hi_t = jnp.asarray(k + 1 + half, cdt)
+        packed = jnp.sum(jnp.where(code == lo_t, iota_lo, zero)
+                         + jnp.where(code == hi_t, iota_hi, zero), axis=1)
+        cols.append(packed)
+    packed = jnp.stack(cols, axis=1)
+    idx = jnp.concatenate([packed & 0xFFFF, packed >> 16],
+                          axis=1)[:, :cap].astype(jnp.int32)
+    k = jnp.arange(cap, dtype=jnp.int32)
+    return jnp.where(k[None, :] < count[:, None], idx, 0)
+
+
+def _sparse_idx(mask, cap, count=None):
+    """Carrier extraction dispatcher: the packed masked reduction wherever
+    positions fit its 16-bit fields, the binary search beyond."""
+    if mask.shape[1] <= 65535:
+        return sparse_idx_packed_reduction(mask, cap, count)
+    return sparse_idx_by_search(mask, cap, count)
+
+
 def sparse_idx_by_search(mask, cap, count=None):
     """Front-packed ascending carrier indices per row, exact, sort-free.
 
@@ -118,7 +171,7 @@ def encode_block_core(alleles, alts, mac_threshold, sparse_cap):
             [jnp.sum(jnp.where(code == k + 1, iota[None, :], 0),
                      axis=1) for k in range(sparse_cap)], axis=1)
     else:
-        sparse_idx = sparse_idx_by_search(
+        sparse_idx = _sparse_idx(
             jnp.where(is_wah[:, None], False, mask), sparse_cap)
 
     return {
@@ -194,7 +247,7 @@ def encode_block_core_compact(alleles, alts, is_wah, negated, wah_rows,
     else:
         m = mask if zero_wah is None else \
             jnp.where(zero_wah[:, None], False, mask)
-        sparse_idx = sparse_idx_by_search(m, sparse_cap)
+        sparse_idx = _sparse_idx(m, sparse_cap)
 
     return {
         "wah_words": wah_words,
@@ -271,7 +324,7 @@ def encode_block_core_mixed(alleles, alts, hap_line, mac_threshold,
     mask = (alleles.astype(jnp.int32) == sparse_allele[:, None]) \
         & (~hap_line[:, None] | even_slot[None, :])
     sparse_len = jnp.sum(mask, axis=1)
-    sparse_idx = sparse_idx_by_search(mask, sparse_cap)
+    sparse_idx = _sparse_idx(mask, sparse_cap)
 
     return {
         "is_wah": is_wah,
@@ -365,7 +418,7 @@ def _track_encode_body(bits, cap, want_wah=True):
                 jnp.zeros((R,), jnp.int32))
     mask = bits != 0
     sparse_len = jnp.sum(mask, axis=1)
-    sparse_idx = sparse_idx_by_search(mask, cap, count=sparse_len)
+    sparse_idx = _sparse_idx(mask, cap, count=sparse_len)
     return wah_words, wah_len, sparse_idx, sparse_len
 
 

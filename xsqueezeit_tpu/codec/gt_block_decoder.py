@@ -413,7 +413,8 @@ class GtBlockDecoder:
             counts = np.zeros(2, np.int64)
             counts[0] = self.n_haps
             return counts
-        n = self._current_n_haps(self.pos)
+        start = self.pos
+        n = self._current_n_haps(start)
         counts = np.zeros(max(n_alleles, 2), np.int64)
         total_alt = 0
         for alt in range(1, n_alleles):
@@ -421,10 +422,35 @@ class GtBlockDecoder:
             counts[alt] = self.ones
             total_alt += self.ones
             self.pos += 1
+        # AN excludes missing/EOV slots, matching fill_genotype_array_advance
+        # (and the reference's FULL decode, accessor_internals_new.hpp:380;
+        # its count-only path skips the subtraction behind a
+        # "- total missing/eovs ?" comment — the two paths here stay
+        # consistent instead of mirroring that quirk).  Peek the start
+        # line's track counts before the bulk advance replays the streams.
+        n_missing = 0
+        n_eovs = 0
         if self.has_weirdness:
+            if (self.line_has_missing is not None
+                    and self.line_has_missing[start]):
+                if self.weirdness_strat == WeirdnessStrategy.WS_SPARSE:
+                    _, n_missing = self._sparse_head(
+                        self.missing_sparse, self.missing_sparse_pos)
+                else:
+                    y_m, _ = wah_np.wah_decode(
+                        self.missing_wah[self.missing_wah_pos:], n)
+                    n_missing = int(y_m[:n].sum())
+            if self.line_has_eov is not None and self.line_has_eov[start]:
+                if self.weirdness_strat == WeirdnessStrategy.WS_SPARSE:
+                    _, n_eovs = self._sparse_head(
+                        self.eov_sparse, self.eov_sparse_pos)
+                else:
+                    y_e, _ = wah_np.wah_decode(
+                        self.eov_wah[self.eov_wah_pos:], n)
+                    n_eovs = int(y_e[:n].sum())
             self._weirdness_advance(max(n_alleles - 1, 0))
         if self.has_nup:
             self._phase_advance(max(n_alleles - 1, 0))
-        counts[0] = n - total_alt
+        counts[0] = n - (total_alt + int(n_missing) + int(n_eovs))
         self.allele_counts = counts[:n_alleles]
         return counts[:n_alleles]

@@ -70,6 +70,11 @@ class NativeAccessor:
         lib.xsi_fill_allele_counts_bm.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.xsi_count_alleles_range.restype = ctypes.c_int64
+        lib.xsi_count_alleles_range.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         lib.xsi_last_error.restype = ctypes.c_char_p
         self._lib = lib
         self._f = lib.xsi_open(xsi_path.encode())
@@ -120,6 +125,23 @@ class NativeAccessor:
         if rc != 0:
             raise OSError(self._lib.xsi_last_error().decode())
         return counts
+
+    def count_alleles_range(self, bms, n_alleles) -> np.ndarray:
+        """Batched count-only walk: one ctypes crossing for many records
+        (native xsi_count_alleles_range — sparse heads + WAH run-word
+        popcounts, no gt materialization, no PBWT arrangement upkeep).
+        Returns the flat int64 counts, back-to-back per record (sum of
+        n_alleles entries)."""
+        bms = np.ascontiguousarray(bms, np.int32)
+        nas = np.ascontiguousarray(n_alleles, np.int32)
+        out = np.zeros(int(nas.sum()), np.int64)
+        n = self._lib.xsi_count_alleles_range(
+            self._f, bms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(bms), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if n != out.shape[0]:
+            raise OSError(self._lib.xsi_last_error().decode())
+        return out
 
 
 def native_extract(xsi_path: str, out_path: str, header_text: bytes,
