@@ -15,16 +15,28 @@ HEADER = """##fileformat=VCFv4.2
 """
 
 
-def write_vcf(path, rows, n_samples=10, chrom="20"):
+# Header WITHOUT any ##INFO declarations: inputs like this exposed the
+# round-4 subset-output corruption (AC/AN recomputation must declare its
+# tags in the output header rather than inherit declarations of the input).
+HEADER_BARE = """##fileformat=VCFv4.2
+##FILTER=<ID=PASS,Description="All filters passed">
+##contig=<ID=20,length=63025520>
+##contig=<ID=X,length=155270560>
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+"""
+
+
+def write_vcf(path, rows, n_samples=10, chrom="20", header=HEADER, info=None):
     samples = [f"S{i:03d}" for i in range(n_samples)]
     with open(path, "w") as f:
-        f.write(HEADER)
+        f.write(header)
         f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                 + "\t".join(samples) + "\n")
         for i, (alt, gts) in enumerate(rows):
             assert len(gts) == n_samples
+            inf = info if info is not None else f"AC=0;AN={2*n_samples}"
             f.write(f"{chrom}\t{60000 + i * 37}\trs{i}\tG\t{alt}\t100\tPASS\t"
-                    f"AC=0;AN={2*n_samples}\tGT\t" + "\t".join(gts) + "\n")
+                    f"{inf}\tGT\t" + "\t".join(gts) + "\n")
     return path
 
 
@@ -111,7 +123,7 @@ def micro_missing_non_uniform_phasing_ploidy(path):
 
 
 def random_vcf(path, n_samples=127, n_records=300, seed=0, maf_mix=True,
-               p_multi=0.1, chrom="20"):
+               p_multi=0.1, chrom="20", bare_header=False):
     """A bigger randomized fixture with a rare/common MAF mix."""
     rng = np.random.default_rng(seed)
     rows = []
@@ -124,6 +136,9 @@ def random_vcf(path, n_samples=127, n_records=300, seed=0, maf_mix=True,
             cells.append(f"{a[0]}|{a[1]}")
         alt = ",".join("ACTG"[j % 4] * (j // 4 + 1) for j in range(1, n_alts + 1))
         rows.append((alt, cells))
+    if bare_header:
+        return write_vcf(path, rows, n_samples=n_samples, chrom=chrom,
+                         header=HEADER_BARE, info=".")
     return write_vcf(path, rows, n_samples=n_samples, chrom=chrom)
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import struct
 import sys
 
 from .format.constants import (
@@ -111,12 +112,28 @@ def main(argv: list[str] | None = None) -> int:
         # workflow): exit quietly like htslib tools, no traceback.
         # stdout is already broken — detach it so interpreter shutdown
         # doesn't print a second error trying to flush.
-        import sys
+        # (MUST precede the OSError containment clause below: it is an
+        # OSError subclass.)
         try:
             sys.stdout.close()
         except Exception:
             pass
         return 141  # 128 + SIGPIPE, the shell's convention
+    except KeyboardInterrupt:
+        return 130
+    except (ValueError, OSError, EOFError, NotImplementedError,
+            struct.error) as exc:
+        # Top-level error containment (reference parity: codec throws are
+        # caught in main and printed as one line,
+        # xsqueezeit.cpp:123-126,138-141,183-186).  User-level failures —
+        # missing/corrupt files, bad regions, unknown samples, empty
+        # selections — exit nonzero with a diagnostic, not a traceback.
+        # XSI_DEBUG=1 re-raises for development.
+        if os.environ.get("XSI_DEBUG"):
+            raise
+        msg = str(exc) or exc.__class__.__name__
+        print(f"xsqueezeit: error: {msg}", file=sys.stderr)
+        return 1
 
 
 def _dispatch(args) -> int:

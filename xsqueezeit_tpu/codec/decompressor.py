@@ -443,7 +443,41 @@ class Decompressor:
         out.str2idx = h.str2idx
         out.dict_contigs = h.dict_contigs
         out.contig2idx = h.contig2idx
+        # Drop the BM pseudo-format declaration (reference parity: plain
+        # extraction removes it, gt_decompressor_new.hpp:506-507; -O x
+        # re-adds it via make_variant_header).  Safe only as the TRAILING
+        # dictionary entry (make_variant_header appends it last at
+        # compress time): popping it shifts no other index, and output
+        # records never reference BM (extraction emits GT only).
+        if out.dict_strings and out.dict_strings[-1] == "BM":
+            out.lines = [l for l in out.lines
+                         if not (l.startswith("##FORMAT=")
+                                 and re.search(r"[<,]ID=BM[,>]", l))]
+            out.dict_strings = out.dict_strings[:-1]
+            out.str2idx = {s: i for i, s in enumerate(out.dict_strings)}
+            out.format_meta.pop("BM", None)
         return out
+
+    # AC/AN are recomputed on sample subsetting (reference parity:
+    # gt_decompressor_new.hpp:324-365, like bcftools); both tags must be
+    # declared in the output header BEFORE it is serialized — a late
+    # ensure_string would write records carrying INFO keys the on-disk
+    # header lacks (the htslib-side invariant the reference gets from
+    # bcf_update_info_int32 refusing undeclared tags,
+    # gt_decompressor_new.hpp:251-252).
+    _ACAN_DECLS = (
+        ("AC", '##INFO=<ID=AC,Number=A,Type=Integer,Description='
+               '"Allele count in genotypes, for each ALT allele, in the '
+               'same order as listed">'),
+        ("AN", '##INFO=<ID=AN,Number=1,Type=Integer,Description='
+               '"Total number of alleles in called genotypes">'),
+    )
+
+    def _declare_subset_tags(self, header: BcfHeader) -> None:
+        if self._select is None:
+            return
+        for ident, line in self._ACAN_DECLS:
+            header.ensure_string(ident, line)
 
     def _subset_gt(self, gt: np.ndarray, ploidy: int) -> np.ndarray:
         if self._select is None:
@@ -478,6 +512,7 @@ class Decompressor:
 
     def _decompress_to_vcf(self, output_path: str, compress: bool) -> dict:
         header = self.output_header()
+        self._declare_subset_tags(header)
         writer = VcfWriter(output_path, header.lines, self.output_samples,
                            compress=compress, no_header=self.opts.no_header)
         n = 0
@@ -588,6 +623,10 @@ class Decompressor:
         if self._can_extract_native(output_path, write_header, write_eof):
             return self._decompress_to_bcf_native(output_path, level)
         header = self.output_header()
+        self._declare_subset_tags(header)
+        header.ensure_string(
+            "GT",
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
         n_out = len(self.output_samples)
         # Parallel BGZF deflate: block compression is the reference's own
         # dominant decompress cost (>60% bcf_write1,
@@ -602,8 +641,9 @@ class Decompressor:
             gt = self._subset_gt(gt, ploidy)
             shared = patch_shared_sample_counts(rec.shared, 1, n_out)
             if self._select is not None:
-                shared = self._patch_shared_ac_an(shared, gt, rec.n_allele)
-            indiv = encode_gt_indiv(self.var_header, gt, ploidy, n_out)
+                shared = self._patch_shared_ac_an(shared, gt, rec.n_allele,
+                                                  header)
+            indiv = encode_gt_indiv(header, gt, ploidy, n_out)
             writer.write_raw(shared, indiv, want_offsets=False)
             n += 1
         writer._f.finish(write_eof=write_eof)
@@ -611,15 +651,20 @@ class Decompressor:
         return self._emit_stats(n)
 
     def _patch_shared_ac_an(self, shared: bytes, gt: np.ndarray,
-                            n_alleles: int) -> bytes:
-        # Re-encode the whole site from text for simplicity on the subset path.
+                            n_alleles: int, out_header: BcfHeader) -> bytes:
+        # Re-encode the whole site from text for simplicity on the subset
+        # path.  Decode with the variant file's header (the record's dict
+        # indices live there); RE-encode against the OUTPUT header, whose
+        # dictionary — including the pre-declared AC/AN — is what the
+        # on-disk header actually declares.  Both derive from the same
+        # variant-file text, so pre-existing indices coincide.
         from ..io.sites import encode_shared_from_vcf_cols
         from ..io.bcf import BcfRecord
         rec = BcfRecord.parse(shared, b"")
         rec._header = self.var_header
         cols = render_vcf_cols(self.var_header, rec)
         cols[7] = self._patch_info_ac_an(cols[7], gt, n_alleles)
-        return encode_shared_from_vcf_cols(self.var_header, cols, 1,
+        return encode_shared_from_vcf_cols(out_header, cols, 1,
                                            len(self.output_samples))
 
     def _recompress_options(self):
@@ -711,7 +756,9 @@ class Decompressor:
         xsi = XsiWriter(output_path, header, self.output_samples,
                         zstd_on=opts.zstd, zstd_level=opts.zstd_level)
         var_path = output_path + XSI_BCF_VAR_EXTENSION
-        var_header = make_variant_header(self.output_header(),
+        out_hdr = self.output_header()
+        self._declare_subset_tags(out_hdr)   # before the header hits disk
+        var_header = make_variant_header(out_hdr,
                                          os.path.basename(output_path))
         var_writer = BcfWriter(var_path, var_header)
         csi = CsiBuilder(depth=depth_for_max_len(
@@ -740,7 +787,8 @@ class Decompressor:
                 shared = patch_shared_sample_counts(rec.shared, 1, n_out)
                 if self._select is not None:
                     shared = self._patch_shared_ac_an(shared, gt,
-                                                      rec.n_allele)
+                                                      rec.n_allele,
+                                                      var_header)
                 shared = patch_shared_sample_counts(shared, 1, 1)
                 vbeg, vend = var_writer.write_raw(
                     shared, encode_bm_indiv(var_header, bm))

@@ -170,6 +170,7 @@ class BcfHeader:
     format_meta: dict[str, tuple[str, str]] = field(default_factory=dict)
     contig_lengths: dict[str, int] = field(default_factory=dict)  # from length=
     explicit_idx: bool = False
+    frozen: bool = False  # set once serialized; new dict keys then error
 
     @staticmethod
     def _assign(entries: list[tuple[str, int | None]]) -> list[str]:
@@ -263,17 +264,54 @@ class BcfHeader:
             return line[:-1] + f",IDX={idx}>"
         return line
 
+    def freeze(self) -> None:
+        """Mark the header serialized.  Declaring new dictionary entries
+        after the header bytes went to disk would write records whose
+        FILTER/INFO/FORMAT keys the on-disk header never declares — a
+        self-inconsistent file.  htslib prevents this structurally
+        (bcf_update_info_int32 refuses undeclared tags, relied on by the
+        reference at gt_decompressor_new.hpp:251-252); here ensure_string /
+        ensure_contig on a NEW ident raise instead."""
+        self.frozen = True
+
+    def _register_meta(self, line: str) -> None:
+        """Record Number/Type for an INFO/FORMAT declaration added via
+        ensure_string, so value encoding honors the declared type."""
+        key = line[2:].split("=", 1)[0]
+        if key not in ("INFO", "FORMAT"):
+            return
+        idm = _ID_RE.search(line)
+        if not idm:
+            return
+        num_m = _NUMBER_RE.search(line)
+        type_m = _TYPE_RE.search(line)
+        meta = (num_m.group(1) if num_m else ".",
+                type_m.group(1) if type_m else "String")
+        (self.info_meta if key == "INFO" else self.format_meta)[
+            idm.group(1)] = meta
+
     def ensure_string(self, ident: str, header_line: str | None = None) -> int:
         if ident not in self.str2idx:
+            if self.frozen:
+                raise ValueError(
+                    f"BCF header already serialized: cannot declare new "
+                    f"dictionary key {ident!r} (records would carry a tag "
+                    f"the written header does not declare)")
             idx = len(self.dict_strings)
             self.str2idx[ident] = idx
             self.dict_strings.append(ident)
             if header_line:
-                self.lines.append(self._with_idx(header_line, idx))
+                line = self._with_idx(header_line, idx)
+                self.lines.append(line)
+                self._register_meta(line)
         return self.str2idx[ident]
 
     def ensure_contig(self, ident: str) -> int:
         if ident not in self.contig2idx:
+            if self.frozen:
+                raise ValueError(
+                    f"BCF header already serialized: cannot declare new "
+                    f"contig {ident!r}")
             idx = len(self.dict_contigs)
             self.contig2idx[ident] = idx
             self.dict_contigs.append(ident)
@@ -479,11 +517,20 @@ class BcfWriter:
         header segment; see BgzfWriter.finish)."""
         self._f = BgzfWriter(path_or_file, level=level, threads=threads)
         self.header = header
+        self._n_str = self._n_ctg = None
         if write_header:
             text = header.to_text().encode() + b"\0"
             self._f.write(BCF_MAGIC)
             self._f.write(struct.pack("<I", len(text)))
             self._f.write(text)
+            # Dictionary consistency: the header bytes are now on disk.
+            # Freeze the object, and snapshot the dict sizes so growth
+            # through an ALIASED header (make_variant_header shares dict
+            # lists with its source) is caught at the offending record
+            # instead of producing a self-inconsistent file.
+            header.freeze()
+            self._n_str = len(header.dict_strings)
+            self._n_ctg = len(header.dict_contigs)
 
     def write_raw(self, shared: bytes, indiv: bytes,
                   want_offsets: bool = True) -> tuple[int, int] | None:
@@ -491,6 +538,15 @@ class BcfWriter:
         (used by the CSI index builder).  Pass want_offsets=False on bulk
         writers that don't index: tell_virtual() must drain the threaded
         deflate pipeline, which would serialize it per record."""
+        if self._n_str is not None and (
+                len(self.header.dict_strings) != self._n_str
+                or len(self.header.dict_contigs) != self._n_ctg):
+            new = (self.header.dict_strings[self._n_str:]
+                   + self.header.dict_contigs[self._n_ctg:])
+            raise ValueError(
+                f"BCF header dictionary grew after the header was written "
+                f"(new: {','.join(map(str, new))}); records would reference "
+                f"tags the on-disk header does not declare")
         vbeg = self._f.tell_virtual() if want_offsets else 0
         self._f.write(struct.pack("<II", len(shared), len(indiv)))
         self._f.write(shared)
