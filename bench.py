@@ -149,8 +149,10 @@ def main():
     enc_blk = DeviceBlockEncoder(N_SAMPLES, L, MAF_THRESHOLD,
                                  default_phasing=0, aet_dtype=np.uint16)
     gt_codes = (alleles.astype(np.int32) + 1) << 1
-    for row in gt_codes:
-        enc_blk.encode_record(row, 2)
+    row_offs = np.arange(L + 1, dtype=np.int64) * H
+    na_all2 = np.full(L, 2, np.int32)
+    enc_blk.encode_records(np.ascontiguousarray(gt_codes.reshape(-1)),
+                           row_offs, na_all2, 0, L)
     payload = enc_blk.serialize()
     compressed_bytes = len(payload)
 
@@ -212,9 +214,13 @@ def main():
     gt_missing = np.where(miss_mask, 0, gt_codes).astype(np.int32)
     enc_m = DeviceBlockEncoder(N_SAMPLES, L, MAF_THRESHOLD,
                                default_phasing=0, aet_dtype=np.uint16)
+    # Batched ingest (encoder_base.encode_records — the production batch
+    # path): whole-matrix stats passes, not ~6 numpy dispatches per
+    # record.  Round-4 verdict item #3: the per-record loop cost 359 ms
+    # per block here, 25x the device dispatch.
+    gt_missing_flat = np.ascontiguousarray(gt_missing.reshape(-1))
     t0 = time.perf_counter()
-    for row in gt_missing:
-        enc_m.encode_record(row, 2)
+    enc_m.encode_records(gt_missing_flat, row_offs, na_all2, 0, L)
     t_m_records = time.perf_counter() - t0   # parse-side (overlapped) work
     t0 = time.perf_counter()
     prep_m = enc_m.prepare()

@@ -599,3 +599,105 @@ extern "C" int xsi_sparse_offsets32(const uint32_t *s, int64_t n,
   out[n_lines] = pos;
   return pos <= n ? 0 : -1;
 }
+
+/* ------------------------------------------------------------------ */
+/* One-pass ingest for the DEVICE encoder's batch path
+ * (codec/encoder_base.BlockEncoderBase.encode_records): htslib gt
+ * values -> compact allele codes + the per-record stats the block
+ * serializer needs.  The numpy formulation is ~6 whole-matrix passes
+ * (alleles_from_gt masks, missing/EOV/ALT reductions, phase scan);
+ * this is ONE streaming pass at memory bandwidth.  Reference cost
+ * being replaced: per-line scan_genotypes, gt_block.hpp:207-269.
+ *
+ * Records i in [0, n) occupy gt_all[i*W : (i+1)*W] (uniform width —
+ * the Python caller splits segments into uniform runs).  Outputs:
+ *   codes_out[n*W]  int8 allele codes (missing -1, EOV -2); requires
+ *                   max n_alleles <= 127 (caller falls back otherwise)
+ *   miss_out[n]     count of missing slots per record
+ *   eov_out[n]      count of END_OF_VECTOR slots per record
+ *   alt_out         per-ALT carrier counts, record i at
+ *                   alt_out[alt_offs[i] .. alt_offs[i+1])  (na[i]-1 slots)
+ *   nup_out[n]      1 when any odd slot's phase bit != default_phasing
+ *                   (full row recomputed host-side only when flagged);
+ *                   untouched when check_phase == 0
+ * Returns 0, -1 on bad arguments. */
+extern "C" int xsi_ingest_codes(const int32_t *gt_all, const int32_t *n_alleles,
+                                int64_t n, int64_t W, int default_phasing,
+                                int check_phase, int8_t *codes_out,
+                                int32_t *miss_out, int32_t *eov_out,
+                                int64_t *alt_out, const int64_t *alt_offs,
+                                uint8_t *nup_out) {
+  if (!gt_all || !n_alleles || n < 0 || W <= 0 || !codes_out || !miss_out ||
+      !eov_out || !alt_out || !alt_offs || (check_phase && !nup_out))
+    return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t *__restrict gt = gt_all + i * W;
+    int8_t *__restrict codes = codes_out + i * W;
+    int64_t *__restrict alt = alt_out + alt_offs[i];
+    const int32_t na = n_alleles[i];
+    /* Pass 1 — codes: branch-free selects, auto-vectorized.  numpy
+     * truncates to int8 BEFORE the -1; stats run on the truncated value,
+     * replicated exactly so malformed huge alleles stay bit-identical to
+     * the Python oracle. */
+    for (int64_t j = 0; j < W; ++j) {
+      const int32_t g = gt[j];
+      const int32_t s = g >> 1;                 /* arithmetic, like numpy */
+      int8_t c = (int8_t)((int8_t)s - 1);
+      c = (s == 0 || g == kMissing32) ? (int8_t)-1 : c;
+      c = (g == kVectorEnd32) ? (int8_t)-2 : c;
+      codes[j] = c;
+    }
+    /* Pass 2 — counts over the int8 codes (SIMD compares).  The
+     * biallelic carrier count folds in; the general per-ALT histogram
+     * (rare multi-ALT) takes the scalar loop. */
+    int32_t miss = 0, eov = 0;
+    if (na == 2) {
+      int64_t ones = 0;
+      for (int64_t j = 0; j < W; ++j) {
+        const int8_t c = codes[j];
+        miss += (c == (int8_t)-1);
+        eov += (c == (int8_t)-2);
+        ones += (c == (int8_t)1);
+      }
+      alt[0] += ones;
+    } else {
+      for (int64_t j = 0; j < W; ++j) {
+        const int8_t c = codes[j];
+        miss += (c == (int8_t)-1);
+        eov += (c == (int8_t)-2);
+        if (c >= 1 && c < na) alt[c - 1]++;
+      }
+    }
+    miss_out[i] = miss;
+    eov_out[i] = eov;
+    /* Pass 3 — phase: OR the odd slots' gt values and test bit 0 against
+     * the default ("any odd slot's phase bit differs")... with a twist:
+     * OR alone loses which value differed, so OR gt^default instead.
+     * Odd slots are the high 32 bits of each little-endian 8-byte pair —
+     * a contiguous uint64 OR-reduction the compiler vectorizes, no
+     * strided loads. */
+    if (check_phase) {
+      uint32_t any_differs;
+      if ((W & 1) == 0) {
+        const uint64_t *__restrict p = (const uint64_t *)(const void *)gt;
+        const int64_t np_ = W >> 1;
+        if (default_phasing == 0) {          /* any phase bit SET */
+          uint64_t acc64 = 0;
+          for (int64_t k = 0; k < np_; ++k) acc64 |= p[k];
+          any_differs = (uint32_t)(acc64 >> 32) & 1u;
+        } else {                             /* any phase bit CLEAR */
+          uint64_t acc64 = ~0ull;
+          for (int64_t k = 0; k < np_; ++k) acc64 &= p[k];
+          any_differs = (~(uint32_t)(acc64 >> 32)) & 1u;
+        }
+      } else {
+        uint32_t acc = 0;
+        for (int64_t j = 1; j < W; j += 2)
+          acc |= (uint32_t)gt[j] ^ (uint32_t)default_phasing;
+        any_differs = acc & 1u;
+      }
+      nup_out[i] = (uint8_t)any_differs;
+    }
+  }
+  return 0;
+}

@@ -327,10 +327,14 @@ class BlockEncodeDispatcher:
         if self._device_eligible(records) and self._probe_mesh() is not None:
             from concurrent.futures import Future
             enc = self.device_cls(**self._kw)
-            rows = (records.rows() if isinstance(records, _SegmentBlock)
-                    else records)
-            for gt, na in rows:
-                enc.encode_record(gt, na)
+            if isinstance(records, _SegmentBlock):
+                # batched ingest (encoder_base.encode_records): whole-
+                # matrix stats passes instead of per-record numpy calls
+                for gt_all, offs, na, lo, hi in records.segs:
+                    enc.encode_records(gt_all, offs, na, lo, hi)
+            else:
+                for gt, na in records:
+                    enc.encode_record(gt, na)
             fut = Future()
             self._batch.append((enc, fut))
             if len(self._batch) >= self.batch_target:

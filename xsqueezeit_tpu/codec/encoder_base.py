@@ -10,6 +10,8 @@ golden-byte suite).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..format.constants import (
@@ -23,6 +25,27 @@ from ..ops import wah_np
 
 MISSING_CODE = -1
 EOV_CODE = -2
+
+_NAT_INGEST: object = 0   # 0 = unprobed, None = unavailable, else the fn
+
+
+def _native_ingest_fn():
+    """The one-pass C ingest for the batch path, gated like the other
+    native-encode surfaces (XSI_NATIVE_ENCODE; an explicit XSI_DEVICE
+    selection pins pure Python/device paths for tests)."""
+    global _NAT_INGEST
+    if _NAT_INGEST == 0:
+        fn = None
+        if (os.environ.get("XSI_NATIVE_ENCODE", "1") not in ("0", "off", "no")
+                and os.environ.get("XSI_DEVICE") not in ("numpy", "jax")):
+            try:
+                from ..interop.native import build_native, ingest_codes_native
+                build_native()
+                fn = ingest_codes_native
+            except Exception:
+                fn = None
+        _NAT_INGEST = fn
+    return _NAT_INGEST
 
 
 def alleles_from_gt(gt_block: np.ndarray, n_alleles: int | None = None
@@ -134,6 +157,97 @@ class BlockEncoderBase:
             if nup.any():
                 self._nup_flagged[len(self._n_alleles)] = nup
         self._n_alleles.append(n_alleles)
+
+    def encode_records(self, gt_all: np.ndarray, offs: np.ndarray,
+                       na: np.ndarray, lo: int, hi: int) -> None:
+        """Batched encode_record over parse-segment records [lo, hi):
+        record i occupies gt_all[offs[i]:offs[i+1]] with na[i] alleles.
+
+        The per-record ingest (allele-code conversion + exception/ALT/
+        phase stats) runs as a handful of whole-matrix numpy passes
+        instead of ~6 numpy dispatches per record — the host-side cost
+        that dominated exception-heavy blocks on the device path
+        (round-4 verdict: 359 ms/block ingest vs 14 ms device encode).
+        Appended state is identical to n encode_record calls (payload
+        bytes pinned by tests)."""
+        offs = np.asarray(offs, np.int64)
+        widths = np.diff(offs[lo:hi + 1])
+        start = lo
+        while start < hi:
+            w = int(widths[start - lo])
+            end = start + 1
+            while end < hi and widths[end - lo] == w:
+                end += 1
+            if w in (self.n_haps, self.n_samples):
+                self._encode_uniform_batch(gt_all, offs, na, start, end, w)
+            else:
+                for i in range(start, end):   # scalar path owns the assert
+                    self.encode_record(gt_all[offs[i]:offs[i + 1]],
+                                       int(na[i]))
+            start = end
+
+    def _encode_uniform_batch(self, gt_all, offs, na, lo, hi, W) -> None:
+        n = hi - lo
+        gt_mat = np.asarray(
+            gt_all[offs[lo]:offs[hi]], np.int32).reshape(n, W)
+        na_arr = np.asarray(na[lo:hi], np.int64)
+        base = len(self._n_alleles)
+        check_phase = (W != self.n_samples or self.n_samples == self.n_haps)
+        nat = (_native_ingest_fn() if na_arr.max(initial=2) <= 127
+               else None)
+        if nat is not None:
+            # ONE streaming C pass (gt_encoder.cpp xsi_ingest_codes) for
+            # codes + all stats, vs ~6 whole-matrix numpy passes below
+            # (the numpy branch stays as the oracle; byte-parity pinned).
+            codes, miss, eov, alt_flat, alt_offs, nup_flags = nat(
+                gt_mat, na_arr, self.default_phasing, check_phase)
+            self._allele_rows.extend(codes)
+            self._n_missing.extend(int(x) for x in miss)
+            self._n_eov.extend(int(x) for x in eov)
+            if alt_flat.shape[0] == n and bool(np.all(na_arr == 2)):
+                self._alt_counts.extend(alt_flat.reshape(-1, 1))
+            else:
+                for j in range(n):
+                    self._alt_counts.append(
+                        alt_flat[alt_offs[j]:alt_offs[j + 1]])
+            if check_phase:
+                for j in np.flatnonzero(nup_flags):
+                    row = gt_mat[j]
+                    self._nup_flagged[base + int(j)] = (
+                        ((row & 1) != self.default_phasing)
+                        & self._second_slot_mask(W))
+            self._n_alleles.extend(int(x) for x in na_arr)
+            return
+        codes = alleles_from_gt(gt_mat, int(na_arr.max(initial=2)))
+        self._allele_rows.extend(codes)        # row views, one backing array
+        if int(codes.min(initial=0)) < 0:
+            miss = (codes == MISSING_CODE).sum(1)
+            eov = (codes == EOV_CODE).sum(1)
+            self._n_missing.extend(int(x) for x in miss)
+            self._n_eov.extend(int(x) for x in eov)
+        else:
+            self._n_missing.extend([0] * n)
+            self._n_eov.extend([0] * n)
+        ones = (codes == 1).sum(1, dtype=np.int64)
+        if bool(np.all(na_arr == 2)):
+            self._alt_counts.extend(ones.reshape(-1, 1))
+        else:
+            for j in range(n):
+                a = int(na_arr[j])
+                if a == 2:
+                    self._alt_counts.append(ones[j:j + 1])
+                elif a <= 1:
+                    self._alt_counts.append(np.zeros(0, np.int64))
+                else:
+                    self._alt_counts.append(np.bincount(
+                        np.maximum(codes[j], 0), minlength=a
+                    )[1:a].astype(np.int64))
+        if check_phase:
+            nup_mat = (((gt_mat & 1) != self.default_phasing)
+                       & self._second_slot_mask(W))
+            for j in np.flatnonzero(nup_mat.any(1)):
+                self._nup_flagged[base + int(j)] = nup_mat[j]
+        self._n_alleles.extend(int(x) for x in na_arr)
 
     def _second_slot_mask(self, H: int) -> np.ndarray:
         m = getattr(self, "_second_mask", None)

@@ -143,6 +143,24 @@ class NativeAccessor:
             raise OSError(self._lib.xsi_last_error().decode())
         return out
 
+    def scan_records(self) -> tuple[np.ndarray, np.ndarray]:
+        """All (BM, n_allele) pairs of the variant file in one crossing
+        (native xsi_scan_records) — af_stats' front walk; the Python
+        BCF-parse equivalent costs ~100x.  Must be called on a freshly
+        opened accessor (the variant cursor starts at record 0)."""
+        fn = self._lib.xsi_scan_records
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                       ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        cap = int(self._lib.xsi_num_records(self._f))
+        bms = np.zeros(cap, np.int32)
+        nas = np.zeros(cap, np.int32)
+        n = fn(self._f, bms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+               nas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap)
+        if n < 0:
+            raise OSError(self._lib.xsi_last_error().decode())
+        return bms[:n], nas[:n]
+
 
 def native_extract(xsi_path: str, out_path: str, header_text: bytes,
                    gt_key: int, level: int = 6) -> int:
@@ -503,6 +521,52 @@ def sparse_offsets_native(stream: np.ndarray, n_lines: int) -> np.ndarray:
     if rc != 0:
         raise ValueError("sparse stream truncated: line walk exceeds stream")
     return out
+
+
+_ingest_state: dict = {}
+
+
+def ingest_codes_native(gt_mat: np.ndarray, na: np.ndarray,
+                        default_phasing: int, check_phase: bool):
+    """One-pass batch ingest (gt_encoder.cpp xsi_ingest_codes): htslib gt
+    matrix [n, W] int32 -> (codes int8 [n, W], miss[n], eov[n],
+    alt_flat int64, alt_offs[n+1], nup_flags[n] bool).  Semantics
+    identical to the numpy passes in encoder_base._encode_uniform_batch
+    (the oracle; pinned by tests/test_encoder_batch.py).  Requires
+    max(na) <= 127 (int8 codes) — callers fall back to numpy otherwise."""
+    if not _ingest_state:
+        lib = ctypes.CDLL(build_native())
+        fn = lib.xsi_ingest_codes
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                       ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_int, ctypes.c_int,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        _ingest_state["fn"] = fn
+    fn = _ingest_state["fn"]
+    gt_mat = np.ascontiguousarray(gt_mat, np.int32)
+    n, W = gt_mat.shape
+    na = np.ascontiguousarray(na, np.int32)
+    codes = np.empty((n, W), np.int8)
+    miss = np.empty(n, np.int32)
+    eov = np.empty(n, np.int32)
+    alt_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(np.maximum(na - 1, 0), out=alt_offs[1:])
+    alt_flat = np.zeros(int(alt_offs[-1]), np.int64)
+    nup = np.zeros(n, np.uint8)
+    rc = fn(gt_mat.ctypes.data_as(ctypes.c_void_p),
+            na.ctypes.data_as(ctypes.c_void_p), n, W,
+            int(default_phasing), int(check_phase),
+            codes.ctypes.data_as(ctypes.c_void_p),
+            miss.ctypes.data_as(ctypes.c_void_p),
+            eov.ctypes.data_as(ctypes.c_void_p),
+            alt_flat.ctypes.data_as(ctypes.c_void_p),
+            alt_offs.ctypes.data_as(ctypes.c_void_p),
+            nup.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("xsi_ingest_codes failed")
+    return codes, miss, eov, alt_flat, alt_offs, nup.astype(bool)
 
 
 _fmt_state: dict = {}
