@@ -173,3 +173,79 @@ def test_mixed_ploidy_device_path():
                                 [na for _, na in recs])
     for i, ((gt, _), out) in enumerate(zip(recs, outs)):
         np.testing.assert_array_equal(out, gt, err_msg=f"record {i}")
+
+
+def _mixed_weird_records(rng, n_samples, n, ws_wah=False):
+    recs = []
+    for i in range(n):
+        hap = i % 3 == 1
+        if i % 6 == 0:
+            recs.append(make_record(rng, n_samples, p_alt=0.4, haploid=hap,
+                                    p_missing=0.08))
+        elif i % 6 == 1:
+            recs.append(make_record(rng, n_samples, p_alt=0.3, haploid=hap,
+                                    p_missing=0.05))
+        elif i % 6 == 2 and not hap:
+            recs.append(make_record(rng, n_samples, p_alt=0.5, p_eov=0.06,
+                                    p_missing=0.03))
+        elif i % 6 == 3 and not hap:
+            recs.append(make_record(rng, n_samples, n_alts=2, p_alt=0.45,
+                                    p_missing=0.04, p_phase_flip=0.1))
+        elif i % 6 == 4:
+            recs.append(make_record(rng, n_samples, p_alt=0.02, haploid=hap,
+                                    p_missing=0.02))
+        else:
+            recs.append(make_record(rng, n_samples, p_alt=0.97, haploid=hap))
+    return recs
+
+
+def test_mixed_ploidy_device_path_with_tracks():
+    """Exception-laden mixed-ploidy blocks (sprinkled missing + EOV +
+    phase flips across interleaved haploid/diploid records) decode through
+    the mixed DEVICE branch, byte-exact vs the original records (round-4
+    verdict weak #4)."""
+    from xsqueezeit_tpu.codec.decoder_jax import DeviceBlockDecoder
+
+    rng = np.random.default_rng(21)
+    recs = _mixed_weird_records(rng, 56, 72)
+    payload = encode(recs, 56, mac_threshold=4)
+    dev = DeviceBlockDecoder(payload, 56, 112, np.uint16)
+    assert not dev.eligible and dev.mixed_device_ok
+    assert dev.meta.line_has_missing is not None \
+        and dev.meta.line_has_missing.any()
+    outs = decode_block_records(payload, 56, 112, np.uint16,
+                                [na for _, na in recs])
+    for i, ((gt, _), out) in enumerate(zip(recs, outs)):
+        np.testing.assert_array_equal(out, gt, err_msg=f"record {i}")
+
+
+def test_mixed_ploidy_device_path_tracks_wah_strategy():
+    """Same matrix under --wah-encode-missing (WS_WAH tracks): WAH streams
+    are width-aware per line (haploid lines at n_samples)."""
+    from xsqueezeit_tpu.codec.decoder_jax import DeviceBlockDecoder
+
+    rng = np.random.default_rng(22)
+    recs = _mixed_weird_records(rng, 48, 54)
+    payload = encode(recs, 48, mac_threshold=4,
+                     ws=WeirdnessStrategy.WS_WAH)
+    dev = DeviceBlockDecoder(payload, 48, 96, np.uint16)
+    assert dev.mixed_device_ok
+    outs = decode_block_records(payload, 48, 96, np.uint16,
+                                [na for _, na in recs])
+    for i, ((gt, _), out) in enumerate(zip(recs, outs)):
+        np.testing.assert_array_equal(out, gt, err_msg=f"record {i}")
+
+
+def test_mixed_tracks_unphased_default():
+    rng = np.random.default_rng(23)
+    recs = []
+    for i in range(30):
+        hap = i % 4 == 2
+        recs.append(make_record(rng, 40, p_alt=0.35, haploid=hap,
+                                p_missing=0.05, phased=False,
+                                p_phase_flip=0.0 if hap else 0.15))
+    payload = encode(recs, 40, mac_threshold=3, default_phasing=0)
+    outs = decode_block_records(payload, 40, 80, np.uint16,
+                                [na for _, na in recs])
+    for i, ((gt, _), out) in enumerate(zip(recs, outs)):
+        np.testing.assert_array_equal(out, gt, err_msg=f"record {i}")
