@@ -1161,6 +1161,26 @@ int64_t xsi_count_alleles_range(xsi_file_t *f, const int32_t *bms,
   return written;
 }
 
+/* Bulk (BM, n_allele) scan of the variant file in ONE crossing — the
+ * af_stats front walk (a per-record Python BCF parse costs ~100x this).
+ * Starts at the current variant cursor (fresh xsi_open = file start);
+ * returns the number of records written (<= cap), -1 on a parse error. */
+int64_t xsi_scan_records(xsi_file_t *f, int32_t *bm_out, int32_t *na_out,
+                         int64_t cap) {
+  if (!f->var) { set_error("no variant file"); return -1; }
+  if (!bm_out || !na_out || cap < 0) { set_error("bad scan args"); return -1; }
+  int64_t n = 0;
+  while (n < cap) {
+    int rc = f->var->next(&f->cur);
+    if (rc == 0) break;
+    if (rc < 0) return -1;
+    bm_out[n] = f->cur.bm;
+    na_out[n] = f->cur.n_allele;
+    n++;
+  }
+  return n;
+}
+
 const char *xsi_last_error(void) { return g_error.c_str(); }
 
 }  // extern "C"

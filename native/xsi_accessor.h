@@ -75,6 +75,12 @@ int64_t xsi_count_alleles_range(xsi_file_t *f, const int32_t *bms,
                                 const int32_t *n_alleles, int64_t n_records,
                                 int64_t *counts_flat);
 
+/* Bulk (BM, n_allele) scan of the variant file in one crossing; starts at
+ * the current variant cursor.  Returns records written (<= cap), -1 on a
+ * parse error. */
+int64_t xsi_scan_records(xsi_file_t *f, int32_t *bm_out, int32_t *na_out,
+                         int64_t cap);
+
 const char *xsi_last_error(void);
 
 #ifdef __cplusplus

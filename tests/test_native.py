@@ -473,3 +473,43 @@ def test_c_xcf_targets_allele_subsetting(c_xcf_built, xcf_pair, tmp_path):
     got2 = [int(line.split()[-1]) for line in out2.splitlines()
             if line.startswith("record ")]
     assert got2 == want
+
+
+def test_native_scan_records_and_af_stats(compressed):
+    """xsi_scan_records (the af_stats front walk): (BM, n_allele) pairs in
+    one crossing equal the Python variant-file parse, and the fully
+    native af_stats walk equals the Python fallback's stats."""
+    vcf, xsi = compressed
+    from xsqueezeit_tpu.accessor import Accessor
+    from xsqueezeit_tpu.io.bcf import BcfReader
+
+    acc = NativeAccessor(xsi)
+    bms, nas = acc.scan_records()
+    acc.close()
+
+    pyacc = Accessor(xsi)
+    reader = BcfReader(pyacc.variant_filename())
+    recs = list(reader)
+    reader.close()
+    np.testing.assert_array_equal(nas, [r.n_allele for r in recs])
+    np.testing.assert_array_equal(
+        bms, [pyacc.position_from_bm_entry(r) for r in recs])
+
+    from xsqueezeit_tpu.bench.tools import af_stats
+    import os
+    saved = os.environ.get("XSI_DEVICE")
+    try:
+        # the conftest pins XSI_DEVICE=numpy, which closes the accessor's
+        # native gate; lift it so af_stats takes the native walk
+        os.environ.pop("XSI_DEVICE", None)
+        r_nat = af_stats(xsi)
+    finally:
+        if saved is not None:
+            os.environ["XSI_DEVICE"] = saved
+    os.environ["XSI_NATIVE"] = "0"
+    try:
+        r_py = af_stats(xsi)
+    finally:
+        os.environ.pop("XSI_NATIVE", None)
+    assert r_nat["stats"] == r_py["stats"]
+    assert r_nat["records"] == len(recs)
