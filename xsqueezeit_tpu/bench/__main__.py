@@ -73,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--device", default="auto",
                    choices=["auto", "jax", "numpy", "native"])
     s.add_argument("--zstd", action="store_true")
+    s.add_argument("--missing", type=float, default=0.0,
+                   help="fraction of genotype slots sprinkled missing "
+                        "(exception-track stress regime)")
 
     s = sub.add_parser("hrc", help="HRC-width (64976 hap) file-level "
                                    "round trip + streamed lockstep")
@@ -154,7 +157,7 @@ def main(argv: list[str] | None = None) -> int:
         from .e2e import run
         print(json.dumps(run(n_records=args.records, n_samples=args.samples,
                              workdir=args.dir, device=args.device,
-                             zstd=args.zstd)))
+                             zstd=args.zstd, missing_frac=args.missing)))
     elif args.cmd == "hrc":
         from .tools import hrc_scale
         print(json.dumps(hrc_scale(

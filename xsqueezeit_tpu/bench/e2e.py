@@ -23,8 +23,13 @@ import numpy as np
 
 
 def synth_bcf(path: str, n_records: int, n_samples: int, seed: int = 5,
-              block: int = 4096) -> None:
-    """Vectorised synthetic chr20-like BCF writer (phased diploid)."""
+              block: int = 4096, missing_frac: float = 0.0) -> None:
+    """Vectorised synthetic chr20-like BCF writer (phased diploid).
+
+    missing_frac sprinkles that fraction of genotype slots missing
+    (phase bit kept), the reference's own stress fixture
+    (sprinkle_missing_xcf, xcf.cpp:444-578) — every record then carries
+    a missing exception track."""
     from ..io.bcf import (
         BcfHeader,
         BcfWriter,
@@ -60,6 +65,9 @@ def synth_bcf(path: str, n_records: int, n_samples: int, seed: int = 5,
         alleles = (draw < thresh[:, None]).astype(np.int8)
         codes = ((alleles + 1) << 1) | 1
         codes[:, ::2] &= ~1          # phase bit on second slots only
+        if missing_frac:
+            m = rng.random((n, H)) < missing_frac
+            codes[m] &= 1            # allele -> missing, phase bit kept
         for i in range(n):
             shared = encode_shared_from_vcf_cols(
                 h, ["20", str(pos), f"rs{start+i}", "G", "A", ".", "PASS",
@@ -71,7 +79,7 @@ def synth_bcf(path: str, n_records: int, n_samples: int, seed: int = 5,
 
 def run(n_records: int = 20000, n_samples: int = 2504,
         workdir: str | None = None, device: str = "auto",
-        zstd: bool = False) -> dict:
+        zstd: bool = False, missing_frac: float = 0.0) -> dict:
     import tempfile
 
     from ..cli import main as cli_main
@@ -87,7 +95,7 @@ def run(n_records: int = 20000, n_samples: int = 2504,
     saved_device = os.environ.get("XSI_DEVICE")
     try:
         t0 = time.perf_counter()
-        synth_bcf(inp, n_records, n_samples)
+        synth_bcf(inp, n_records, n_samples, missing_frac=missing_frac)
         t_synth = time.perf_counter() - t0
 
         # device="native": host (numpy) compress + the native C++ extract
@@ -120,6 +128,7 @@ def run(n_records: int = 20000, n_samples: int = 2504,
         return {
             "records": n_records,
             "samples": n_samples,
+            "missing_frac": missing_frac,
             "logical_mb": round(logical / 1e6, 1),
             "input_bcf_mb": round(os.path.getsize(inp) / 1e6, 2),
             "xsi_mb": round(os.path.getsize(xsi) / 1e6, 3),
