@@ -608,19 +608,14 @@ def compress_file_multihost(input_path: str, output_path: str,
         max_local = max(e - s for s, e in ranges)
         # ~4 rounds by default: enough for the tail round to be a quarter
         # of the communication, few enough that per-round collective
-        # latency never outgrows the encode span it hides behind.  Small
-        # payloads take FEWER rounds (down to one): every round costs a
-        # collective latency, so a round must carry enough bytes to be
-        # worth hiding — require >=256 MB LOGICAL gt per round (a few MB
-        # compressed at typical ratios).  Deterministic across processes:
-        # the bound depends only on the block plan and header geometry.
+        # latency never outgrows the encode span it hides behind.  (A
+        # payload-adaptive round count was tried and reverted: cutting to
+        # one round removes ALL overlap, and the per-round cost is
+        # latency-bound, so fewer+bigger rounds strictly lengthen the
+        # unhidden tail.)
         chunk_env = os.environ.get("XSI_GATHER_CHUNK_BLOCKS")
-        if chunk_env:
-            chunk = max(1, int(chunk_env))
-        else:
-            logical_per_block = max(opts.block_length * n_samples * 2, 1)
-            min_chunk = -(-(256 << 20) // logical_per_block)
-            chunk = max(1, -(-max_local // 4), min(min_chunk, max_local))
+        chunk = (max(1, int(chunk_env)) if chunk_env
+                 else max(1, -(-max_local // 4)))
         rounds = -(-max_local // chunk) if pcount > 1 else 0
         local_blocks = end_blk - start_blk
         gather_exc: list[BaseException] = []
