@@ -226,8 +226,10 @@ def test_multihost_decompress_with_sample_subset(tmp_path):
     import socket
     import subprocess
 
+    # bare header (no INFO declarations): the AC/AN recompute must declare
+    # its tags identically in every process's output header segment
     vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=12,
-                              n_records=60, seed=36)
+                              n_records=60, seed=36, bare_header=True)
     xsi = str(tmp_path / "o.xsi")
     compress_file(vcf, xsi, CompressorOptions(block_length=16))
     keep = "S004,S001,S009"
@@ -275,6 +277,23 @@ if stats is not None:
     a = [r.gt.tolist() for r in ga]
     b = [r.gt.tolist() for r in gb]
     assert len(a) == 60 and a == b
+
+    # the concatenated segments re-render EVERY column from disk: the
+    # header (written by process 0) must declare the AC/AN that every
+    # worker's records reference (round-4 corruption class, multi-host
+    # form)
+    from xsqueezeit_tpu.io.bcf import BcfReader
+    from xsqueezeit_tpu.io.sites import render_vcf_cols
+    r = BcfReader(multi)
+    assert "AC" in r.header.str2idx and "AN" in r.header.str2idx
+    n = 0
+    for rec in r:
+        cols = render_vcf_cols(r.header, rec)
+        assert "AN=" in cols[7]
+        assert rec.genotypes() is not None
+        n += 1
+    r.close()
+    assert n == 60
 
 
 def test_iter_sites_matches_full_iteration(tmp_path):
