@@ -263,3 +263,39 @@ def test_bitmap_variants(tmp_path):
         out = tmp_path / f"d_{mode}.bin"
         info = bitmap.dump_common(vcf, str(out), mode=mode, block_size=16)
         assert out.stat().st_size == info["rows"] * info["haps"] * width
+
+
+def test_native_scan_records_corrupt_var_file(tmp_path):
+    """xsi_scan_records walks the (untrusted) variant file natively: a
+    corrupt/truncated var.bcf must surface as a clean error, not a crash
+    or silent short read of garbage."""
+    pytest.importorskip("xsqueezeit_tpu.interop.native")
+    from xsqueezeit_tpu.interop.native import NativeAccessor
+    from xsqueezeit_tpu.cli import main as cli_main
+    from tests import fixtures
+
+    vcf = fixtures.micro_basic(str(tmp_path / "m.vcf"))
+    xsi = str(tmp_path / "m.xsi")
+    assert cli_main(["-c", "-f", vcf, "-o", xsi]) == 0
+
+    var = xsi + "_var.bcf"
+    import gzip
+
+    # rewrite the var file with a record frame word pointing past EOF
+    raw = gzip.decompress(open(var, "rb").read())
+    blob = bytearray(raw)
+    # corrupt the first record's l_shared (immediately after header text)
+    l_text = int.from_bytes(raw[5:9], "little")
+    frame = 9 + l_text
+    blob[frame:frame + 4] = (0x7FFFFFF0).to_bytes(4, "little")
+    import xsqueezeit_tpu.io.bgzf as bgzf
+    w = bgzf.BgzfWriter(var)
+    w.write(bytes(blob))
+    w.close()
+
+    acc = NativeAccessor(xsi)
+    try:
+        with pytest.raises(OSError):
+            acc.scan_records()
+    finally:
+        acc.close()
