@@ -389,11 +389,13 @@ struct ReaderImpl {
   // consumer (GT decode, filters, allele matching) is format-agnostic.
   bool text_mode = false;
   FILE *tf = nullptr;          // plain-text source (bgzf otherwise)
+  gzFile gzf = nullptr;        // plain-gzip (non-BGZF) .vcf.gz source
   std::string tbuf;            // line-assembly buffer
   size_t tpos = 0;
 
   ~ReaderImpl() {
     if (tf) fclose(tf);
+    if (gzf) gzclose(gzf);
   }
 
   bool read_line(std::string *out) {
@@ -408,8 +410,15 @@ struct ReaderImpl {
       tbuf.erase(0, tpos);
       tpos = 0;
       char chunk[1 << 16];
-      size_t n = tf ? fread(chunk, 1, sizeof chunk, tf)
-                    : bgzf->read(chunk, sizeof chunk);
+      size_t n;
+      if (tf) {
+        n = fread(chunk, 1, sizeof chunk, tf);
+      } else if (gzf) {
+        int g = gzread(gzf, chunk, sizeof chunk);
+        n = g > 0 ? size_t(g) : 0;
+      } else {
+        n = bgzf->read(chunk, sizeof chunk);
+      }
       if (n == 0) {
         if (tbuf.empty()) return false;
         out->swap(tbuf);                 // final unterminated line
@@ -468,7 +477,18 @@ struct ReaderImpl {
     bgzf = std::make_unique<ShimBgzf>(path);
     if (!bgzf->ok()) return false;
     char magic[5];
-    if (bgzf->read(magic, 5) != 5) return false;
+    if (bgzf->read(magic, 5) != 5) {
+      // plain-gzip (non-BGZF) .vcf.gz: htslib accepts these; stream
+      // through zlib instead (BCF is BGZF by definition, so a
+      // non-BGZF gzip here can only be VCF text).  The BGZF reader
+      // reports the missing BC subfield at first read, not at open.
+      bgzf.reset();
+      gzf = gzopen(path.c_str(), "rb");
+      if (!gzf) return false;
+      char head[1];
+      if (gzread(gzf, head, 1) != 1 || head[0] != '#') return false;
+      return open_text(std::string(head, 1));
+    }
     if (memcmp(magic, "BCF\2\2", 5) != 0) {
       if (magic[0] != '#') return false;
       return open_text(std::string(magic, 5));     // bgzipped VCF text

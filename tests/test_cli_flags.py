@@ -117,3 +117,21 @@ def test_empty_selection_non_x(rich, tmp_path):
                      "-O", "v"]) == 0
     assert _body(out) == []
     assert open(out).read().startswith("##")
+
+
+def test_plain_gzip_vcf_input(rich, tmp_path):
+    """Plain-gzip (non-BGZF) .vcf.gz input compresses like htslib would
+    accept it (reference rides hts_open; the from-scratch sniffer peeks
+    through gzip, io/unified.py::sniff_format)."""
+    import gzip as _gzip
+    td, vcf, xsi = rich
+    gz = str(tmp_path / "in.vcf.gz")
+    with open(vcf, "rb") as f, _gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    xz = str(tmp_path / "gz.xsi")
+    assert cli_main(["-c", "-f", gz, "-o", xz]) == 0
+    out = str(tmp_path / "gz.vcf")
+    assert cli_main(["-x", "-f", xz, "-o", out, "-O", "v"]) == 0
+    ref = str(tmp_path / "ref.vcf")
+    assert cli_main(["-x", "-f", xsi, "-o", ref, "-O", "v"]) == 0
+    assert _body(out) == _body(ref)

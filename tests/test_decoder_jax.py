@@ -249,3 +249,43 @@ def test_mixed_tracks_unphased_default():
                                 [na for _, na in recs])
     for i, ((gt, _), out) in enumerate(zip(recs, outs)):
         np.testing.assert_array_equal(out, gt, err_msg=f"record {i}")
+
+
+def test_pbwt_wah_weirdness_chains_on_device_path():
+    """WS_PBWT_WAH (v4) blocks now take the device main-bit decode; the
+    missing/EOV overlays replay the chained a_weird arrangement on host
+    (reference: gt_block.hpp WeirdnessPred chain; native parity
+    xsi_accessor.cpp:819).  eligible must be True and the decode must
+    equal ground truth with dense-enough exceptions that the arrangement
+    genuinely diverges from identity."""
+    from xsqueezeit_tpu.codec.decoder_jax import DeviceBlockDecoder
+
+    rng = np.random.default_rng(9)
+    recs = [make_record(rng, 50, p_alt=0.3, p_missing=0.15, p_eov=0.1)
+            for _ in range(30)]
+    payload = encode(recs, 50, ws=WeirdnessStrategy.WS_PBWT_WAH)
+    dev = DeviceBlockDecoder(payload, 50, 100, np.uint16)
+    assert dev.eligible          # no longer excluded by strategy
+    check(recs, 50, ws=WeirdnessStrategy.WS_PBWT_WAH)
+
+
+def test_pbwt_wah_multiallelic_and_phase():
+    """Multiallelic records under WS_PBWT_WAH: the chain advances once per
+    weird binary line (first line of each record), phase overlays stay in
+    natural order."""
+    rng = np.random.default_rng(10)
+    recs = []
+    for i in range(24):
+        recs.append(make_record(rng, 40, n_alts=2 if i % 3 == 0 else 1,
+                                p_alt=0.4, p_missing=0.12, p_eov=0.08,
+                                p_phase_flip=0.06))
+    check(recs, 40, ws=WeirdnessStrategy.WS_PBWT_WAH)
+
+
+def test_pbwt_wah_missing_only_and_eov_only():
+    """Chain updates with a single present track (the pbwt_sort_bool arm)."""
+    rng = np.random.default_rng(11)
+    recs = [make_record(rng, 50, p_alt=0.3, p_missing=0.2) for _ in range(20)]
+    check(recs, 50, ws=WeirdnessStrategy.WS_PBWT_WAH)
+    recs = [make_record(rng, 50, p_alt=0.3, p_eov=0.2) for _ in range(20)]
+    check(recs, 50, ws=WeirdnessStrategy.WS_PBWT_WAH)

@@ -442,6 +442,28 @@ def test_c_xcf_bgzipped_text_vcf(c_xcf_built, tmp_path):
     assert got_chk == want_chk
 
 
+def test_c_xcf_plain_gzip_text_vcf(c_xcf_built, tmp_path):
+    """Plain-gzip (non-BGZF) .vcf.gz input through the shim: htslib
+    accepts these, so the shim streams them through zlib when the BGZF
+    BC subfield is absent (c_api.cpp open() fallback)."""
+    import gzip as _gzip
+
+    vcf = fixtures.random_vcf(str(tmp_path / "in.vcf"), n_samples=9,
+                              n_records=40, seed=46)
+    gz = str(tmp_path / "in.vcf.gz")
+    with open(vcf, "rb") as f, _gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    out = subprocess.run([c_xcf_built, gz], check=True,
+                         capture_output=True, text=True).stdout
+    want_chk = []
+    for r in GtInput(vcf):
+        g = r.gt.astype(np.int64)
+        want_chk.append(int((g * np.arange(1, g.shape[0] + 1)).sum()))
+    got_chk = [int(line.split()[-1]) for line in out.splitlines()
+               if line.startswith("record ")]
+    assert got_chk == want_chk
+
+
 def test_c_xcf_targets_allele_subsetting(c_xcf_built, xcf_pair, tmp_path):
     """bcf_sr_set_targets with alleles != 0: records pass only when the
     targets file's (ref, alt) matches (reference consumers get this from

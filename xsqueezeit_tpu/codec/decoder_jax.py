@@ -12,8 +12,9 @@ Exception overlays (missing / EOV / phase) apply as vectorized host
 scatters (all-biallelic WS_SPARSE blocks) or per flagged record.
 Uniformly-haploid blocks run the same kernels at H = n_samples;
 MIXED-ploidy blocks take a dedicated parity-reconstruction device path
-(_decode_block_mixed).  Only exception-laden mixed blocks and WS_PBWT_WAH
-replay on the NumPy GtBlockDecoder.
+(_decode_block_mixed).  WS_PBWT_WAH (v4) exception tracks chain their
+arrangement in the host overlay loop; only WS_PBWT_WAH MIXED-ploidy
+blocks (producible by no encoder) replay on the NumPy GtBlockDecoder.
 """
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..format.constants import INT32_VECTOR_END, WeirdnessStrategy
-from ..ops import pbwt_jax, wah_jax, wah_np
+from ..ops import pbwt_jax, pbwt_np, wah_jax, wah_np
 from .gt_block_decoder import GtBlockDecoder
 from ..utils.jaxcache import ensure_compilation_cache
 
@@ -197,19 +198,18 @@ class DeviceBlockDecoder:
 
     @property
     def eligible(self) -> bool:
-        """Device path: uniformly diploid OR uniformly haploid block, no
-        PBWT-sorted weirdness arrangement (WS_PBWT_WAH v4 files replay on
-        the NumPy path), and sort == select (the batched kernels partition
-        after every WAH line; a file whose LINE_SORT track diverges replays
-        on the NumPy path)."""
-        has_weird = self.meta.has_weirdness
+        """Device path: uniformly diploid OR uniformly haploid block, and
+        sort == select (the batched kernels partition after every WAH
+        line; a file whose LINE_SORT track diverges replays on the NumPy
+        path).  The main-bit decode is weirdness-strategy independent;
+        WS_PBWT_WAH exception tracks (v4 files) chain their a_weird
+        arrangement in the host overlay loop (decode_block_records), the
+        same replay the native accessor does (xsi_accessor.cpp:819)."""
         return ((self.uniform_haploid
                  or not bool(self.meta.haploid_line.any()))
                 and self.meta.binary_lines > 0
                 and bool(np.array_equal(self.meta.line_is_sorting,
-                                        self.meta.line_is_wah))
-                and not (has_weird and self.meta.weirdness_strat
-                         == WeirdnessStrategy.WS_PBWT_WAH))
+                                        self.meta.line_is_wah)))
 
     @property
     def mixed_device_ok(self) -> bool:
@@ -725,19 +725,45 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
             sel = y.astype(bool) & (gt != np.int32(INT32_VECTOR_END))
             gt[sel] ^= (idx[sel] & 1).astype(np.int32)
 
-        # advance exception cursors over this record's binary lines
+        # advance exception cursors over this record's binary lines; a
+        # WS_PBWT_WAH (v4) block additionally chains the a_weird
+        # arrangement by each weird line's own bits, exactly like the
+        # scalar decoder (_weirdness_advance) and the native accessor
+        # (xsi_accessor.cpp:819).  Uniform-haploid blocks never sort
+        # a_weird (haploid lines are excluded from the chain).
+        chain = (ws == WeirdnessStrategy.WS_PBWT_WAH
+                 and not dev.uniform_haploid)
         for j in range(max(na - 1, 0)):
             p = first_line + j
+            y_m = y_e = None
             if m.line_has_missing is not None and m.line_has_missing[p]:
                 if wah_weird:
-                    miss_pos += wah_np.wah_words_consumed(m.missing_wah[miss_pos:], H)
+                    if chain:
+                        y_m, used = wah_np.wah_decode(
+                            m.missing_wah[miss_pos:], H)
+                        miss_pos += used
+                    else:
+                        miss_pos += wah_np.wah_words_consumed(
+                            m.missing_wah[miss_pos:], H)
                 else:
                     miss_pos += 1 + (int(m.missing_sparse[miss_pos]) & (msb - 1))
             if m.line_has_eov is not None and m.line_has_eov[p]:
                 if wah_weird:
-                    eov_pos += wah_np.wah_words_consumed(m.eov_wah[eov_pos:], H)
+                    if chain:
+                        y_e, used = wah_np.wah_decode(m.eov_wah[eov_pos:], H)
+                        eov_pos += used
+                    else:
+                        eov_pos += wah_np.wah_words_consumed(
+                            m.eov_wah[eov_pos:], H)
                 else:
                     eov_pos += 1 + (int(m.eov_sparse[eov_pos]) & (msb - 1))
+            if y_m is not None and y_e is not None:
+                a_weird = pbwt_np.pbwt_sort_two_bool(a_weird, y_m[:H],
+                                                     y_e[:H])
+            elif y_m is not None:
+                a_weird = pbwt_np.pbwt_sort_bool(a_weird, y_m[:H])
+            elif y_e is not None:
+                a_weird = pbwt_np.pbwt_sort_bool(a_weird, y_e[:H])
             if m.line_has_nup is not None and m.line_has_nup[p]:
                 phs_pos += wah_np.wah_words_consumed(m.phase_wah[phs_pos:], H)
 

@@ -195,9 +195,9 @@ class Decompressor:
             try:
                 return acc.fill_genotypes_bm(bm, n_alleles)
             except Exception as exc:
-                # unsupported block class (e.g. WS_PBWT_WAH) or old
-                # container: fall back to the NumPy decoder for good —
-                # say so, a silent 9x slowdown is undebuggable
+                # unsupported container (e.g. pre-v4 layout) — fall back
+                # to the NumPy decoder for good; say so, a silent 9x
+                # slowdown is undebuggable
                 import sys
                 print(f"xsi: native decode fell back to NumPy: {exc}",
                       file=sys.stderr)

@@ -28,10 +28,12 @@ def sniff_format(path: str) -> str:
     with open(path, "rb") as f:
         head = f.read(4)
     if head[:2] == b"\x1f\x8b":
-        # gzip container: BCF or vcf.gz -- peek decompressed magic
-        r = BgzfReader(path)
-        magic = r.read(5)
-        r.close()
+        # gzip container: BCF or vcf.gz -- peek decompressed magic.
+        # Plain-gzip (non-BGZF) .vcf.gz is accepted like htslib does;
+        # gzip.open decodes both framings (BGZF is valid gzip).
+        import gzip
+        with gzip.open(path, "rb") as r:
+            magic = r.read(5)
         return "bcf" if magic == BCF_MAGIC else "vcf"
     if head[:3] == b"BCF":
         return "bcf"
