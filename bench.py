@@ -389,31 +389,41 @@ def main():
     }))
 
 
-def _probe_device(timeout_s: int = 420) -> None:
-    """Fail FAST with a clear message when the device is unreachable.
+def _probe_device(timeout_s: int = 300, attempts: int = 4,
+                  sleep_s: int = 90) -> None:
+    """Fail with a clear message when the device is unreachable.
 
     A dead tunnel makes the first `jax.devices()` hang indefinitely with
     zero CPU; without this probe the bench dies only at the caller's
     timeout, with no diagnostic.  The probe runs in a subprocess so the
-    hang is killable."""
+    hang is killable, and retries across several minutes first — tunnel
+    stalls are usually transient, and a patient probe beats reporting
+    "unreachable" for a stall that clears in two minutes."""
     import subprocess
+    import time as _time
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, numpy as np, jax.numpy as jnp;"
-             "x = jnp.ones((128, 128)) @ jnp.ones((128, 128));"
-             "print(float(np.asarray(x)[0, 0]))"],
-            timeout=timeout_s, capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        print(f"bench: device unreachable — jax.devices() probe hung for "
-              f"{timeout_s}s (tunnel outage); no on-chip numbers can be "
-              f"produced", file=sys.stderr)
-        sys.exit(3)
-    if r.returncode != 0:
-        print(f"bench: device probe failed:\n{r.stderr[-2000:]}",
-              file=sys.stderr)
-        sys.exit(3)
+    last = ""
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp;"
+                 "x = jnp.ones((128, 128)) @ jnp.ones((128, 128));"
+                 "print(float(np.asarray(x)[0, 0]))"],
+                timeout=timeout_s, capture_output=True, text=True)
+            if r.returncode == 0:
+                return
+            last = f"probe failed:\n{r.stderr[-2000:]}"
+        except subprocess.TimeoutExpired:
+            last = (f"jax device probe hung for {timeout_s}s "
+                    f"(tunnel outage)")
+        if attempt + 1 < attempts:
+            print(f"bench: {last} — retrying ({attempt + 2}/{attempts})",
+                  file=sys.stderr)
+            _time.sleep(sleep_s)
+    print(f"bench: device unreachable after {attempts} probes — {last}; "
+          f"no on-chip numbers can be produced", file=sys.stderr)
+    sys.exit(3)
 
 
 def _main_with_retry():

@@ -102,6 +102,13 @@ def run(n_records: int = 20000, n_samples: int = 2504,
         # loop (the default route for an unfiltered `-x -O b` under auto).
         os.environ["XSI_DEVICE"] = "numpy" if device == "native" else device
 
+        if device not in ("native", "numpy"):
+            # warm the cached reachability probe OUTSIDE the timed
+            # sections so a stalled tunnel shows up as a downgrade note,
+            # not as 120 s inside compress_s
+            from ..utils.devprobe import device_reachable
+            device_reachable()
+
         t0 = time.perf_counter()
         rc = cli_main(["-c", "-f", inp, "-o", xsi]
                       + (["--zstd"] if zstd else []))

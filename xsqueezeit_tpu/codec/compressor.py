@@ -238,7 +238,15 @@ class BlockEncodeDispatcher:
         # through DRAM loses to cache-resident per-row work, so the block
         # formulation is device-only.)
         if self.device_cls and uniform and big_enough:
-            cls = self.device_cls
+            # force_device (XSI_DEVICE=jax / tests) demands the device
+            # unconditionally; auto-mode probes reachability first so a
+            # stalled tunnel downgrades instead of hanging (cached)
+            if self.force_device:
+                cls = self.device_cls
+            else:
+                from ..utils.devprobe import device_reachable
+                cls = self.device_cls if device_reachable() \
+                    else _host_encoder_cls()
         else:
             cls = _host_encoder_cls()
         enc = cls(**self._kw)
@@ -267,7 +275,15 @@ class BlockEncodeDispatcher:
         big_enough = (self.force_device
                       or self._n_records(records) * self.n_haps
                       >= _device_min_cells())
-        return self.device_cls is not None and uniform and big_enough
+        if not (self.device_cls is not None and uniform and big_enough):
+            return False
+        if self.force_device:
+            return True
+        # last: an unreachable accelerator (stalled tunnel) downgrades
+        # auto-mode runs to the host codec instead of hanging at the
+        # first dispatch (probe is cached per process)
+        from ..utils.devprobe import device_reachable
+        return device_reachable()
 
     def _probe_mesh(self):
         """Build the local-device Mesh once, on the first eligible block

@@ -242,6 +242,11 @@ class Decompressor:
                 return False
         try:
             import jax  # noqa: F401
+            from ..utils.devprobe import device_reachable
+            if device != "jax" and not device_reachable():
+                # stalled tunnel: decode on host instead of hanging at
+                # the first device dispatch (probe cached per process)
+                return False
             return True
         except Exception:
             if self.opts.device == "jax":
