@@ -57,6 +57,8 @@ int main(int argc, char **argv) {
     for (int i = 0; i < nfiles; ++i) {
         if (!bcf_sr_add_reader(sr, files[i])) {
             fprintf(stderr, "cannot open %s\n", files[i]);
+            bcf_sr_destroy(sr);
+            c_xcf_delete(x);
             return 1;
         }
     }
