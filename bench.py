@@ -159,8 +159,7 @@ def main():
     # --- decode: full mixed block, payload -> htslib gt codes --------------
     from xsqueezeit_tpu.codec.decoder_jax import (
         DeviceBlockDecoder,
-        _decode_block_full,
-        _fold_biallelic,
+        _decode_block_full_gt,
     )
 
     dec = DeviceBlockDecoder(payload, N_SAMPLES, H, np.uint16)
@@ -180,10 +179,31 @@ def main():
     def decode_once():
         hi = dec.host_inputs()           # real per-block host work
         assert hi[7] == h0 and hi[8] == w0
-        vals = _decode_block_full(*staged, h0, w0)
-        return _fold_biallelic(vals, jnp.int32(0))
+        # one fused program: payload streams -> htslib gt codes (the
+        # separate fold dispatch cost ~4 ms/block in an intermediate
+        # [L, H] HBM round trip; see decoder_jax._decode_block_full_gt)
+        return _decode_block_full_gt(*staged, jnp.int32(0), h0, w0)
 
     gt_out = np.asarray(decode_once())[:L]
+    mism = int(((gt_out >> 1) - 1 != alleles).sum())
+    if mism:
+        # Backend-miscompile guard (the v5e scatter-hint class produced
+        # silently wrong lowerings before — ops/wah_pallas notes): fall
+        # back to the two-dispatch decode+fold so the bench still
+        # reports a number for a correct program, and SAY so.
+        print(f"bench: fused decode program mismatched ({mism} entries)"
+              f" — falling back to two-dispatch decode+fold",
+              file=sys.stderr)
+        from xsqueezeit_tpu.codec.decoder_jax import (
+            _decode_block_full, _fold_biallelic)
+
+        def decode_once():  # noqa: F811
+            hi = dec.host_inputs()
+            assert hi[7] == h0 and hi[8] == w0
+            vals = _decode_block_full(*staged, h0, w0)
+            return _fold_biallelic(vals, jnp.int32(0))
+
+        gt_out = np.asarray(decode_once())[:L]
     dec_s = slope_time(decode_once, lambda o: np.asarray(o[0, :1]))
 
     # --- bit-exactness: every line, sparse and negated included ------------
@@ -297,7 +317,7 @@ def main():
 
     # --- missing-regime decode: payload -> gt codes incl. overlays ---------
     from xsqueezeit_tpu.codec.decoder_jax import (
-        _fold_biallelic_tracks,
+        _decode_block_full_gt_tracks,
         track_carriers,
     )
 
@@ -332,11 +352,29 @@ def main():
         hi = dec_m.host_inputs()         # real per-block host work
         assert hi[7] == mh0
         missing_track_pairs()
-        vals = _decode_block_full(*staged_md, mh0, mw_w0)
-        return _fold_biallelic_tracks(vals, jnp.int32(0), *staged_pairs,
-                                      empty_rec, empty_idx)
+        return _decode_block_full_gt_tracks(
+            *staged_md, jnp.int32(0), *staged_pairs, empty_rec, empty_idx,
+            mh0, mw_w0)
 
     gt_out_m = np.asarray(missing_decode_once())[:L]
+    if int((gt_out_m != gt_missing).sum()):
+        # same miscompile guard as the main regime: re-measure the
+        # two-dispatch form rather than dying without a number
+        print("bench: fused missing-decode program mismatched — falling "
+              "back to two-dispatch decode+fold", file=sys.stderr)
+        from xsqueezeit_tpu.codec.decoder_jax import (
+            _decode_block_full, _fold_biallelic_tracks)
+
+        def missing_decode_once():  # noqa: F811
+            hi = dec_m.host_inputs()
+            assert hi[7] == mh0
+            missing_track_pairs()
+            vals = _decode_block_full(*staged_md, mh0, mw_w0)
+            return _fold_biallelic_tracks(vals, jnp.int32(0),
+                                          *staged_pairs, empty_rec,
+                                          empty_idx)
+
+        gt_out_m = np.asarray(missing_decode_once())[:L]
     dec_m_s = slope_time(missing_decode_once, lambda o: np.asarray(o[0, :1]))
     missing_dec_gbps = gt_bytes / dec_m_s / 1e9
 

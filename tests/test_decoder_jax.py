@@ -289,3 +289,51 @@ def test_pbwt_wah_missing_only_and_eov_only():
     check(recs, 50, ws=WeirdnessStrategy.WS_PBWT_WAH)
     recs = [make_record(rng, 50, p_alt=0.3, p_eov=0.2) for _ in range(20)]
     check(recs, 50, ws=WeirdnessStrategy.WS_PBWT_WAH)
+
+
+def test_fused_gt_programs_match_two_dispatch_forms():
+    """_decode_block_full_gt(_tracks) — the one-program payload->gt-codes
+    forms the bench measures — equal the two-dispatch decode+fold they
+    fuse, bit for bit."""
+    import jax.numpy as jnp
+    from xsqueezeit_tpu.codec.decoder_jax import (
+        DeviceBlockDecoder, _decode_block_full, _decode_block_full_gt,
+        _decode_block_full_gt_tracks, _fold_biallelic,
+        _fold_biallelic_tracks, track_carriers)
+    from xsqueezeit_tpu.utils.shapes import bucket
+
+    rng = np.random.default_rng(12)
+    n_samples, n = 60, 24
+    recs = [make_record(rng, n_samples, p_alt=0.3, p_missing=0.06,
+                        p_eov=0.04) for _ in range(n)]
+    payload = encode(recs, n_samples, default_phasing=1)
+    dev = DeviceBlockDecoder(payload, n_samples, n_samples * 2, np.uint16)
+    assert dev.eligible
+    (padded, sorts_p, rank, is_wah_p, neg_p, car_line, car_idx,
+     H, W, L, _nw) = dev.host_inputs()
+    staged = [jnp.asarray(x) for x in (padded, sorts_p, rank, is_wah_p,
+                                       neg_p, car_line, car_idx)]
+    vals = _decode_block_full(*staged, H, W)
+    for dp in (0, 1):
+        two = _fold_biallelic(vals, jnp.int32(dp))
+        one = _decode_block_full_gt(*staged, jnp.int32(dp), H, W)
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+    m = dev.meta
+    Lp = int(vals.shape[0])
+
+    def pad_pairs(track, flagged):
+        rec, idx = track_carriers(track, np.flatnonzero(flagged), np.uint16)
+        k = bucket(len(rec) + 1)
+        r = np.full(k, Lp, np.int32)
+        r[:len(rec)] = rec
+        x = np.zeros(k, np.int32)
+        x[:len(idx)] = idx
+        return jnp.asarray(r), jnp.asarray(x)
+
+    mrec, midx = pad_pairs(m.missing_sparse, m.line_has_missing)
+    erec, eidx = pad_pairs(m.eov_sparse, m.line_has_eov)
+    two = _fold_biallelic_tracks(vals, jnp.int32(1), mrec, midx, erec, eidx)
+    one = _decode_block_full_gt_tracks(*staged, jnp.int32(1), mrec, midx,
+                                       erec, eidx, H, W)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(two))

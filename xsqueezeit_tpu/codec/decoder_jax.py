@@ -32,8 +32,7 @@ from ..utils.jaxcache import ensure_compilation_cache
 ensure_compilation_cache()
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w"))
-def _decode_block_full(stream, sorts, rank, is_wah, neg, car_line, car_idx,
+def _decode_block_vals(stream, sorts, rank, is_wah, neg, car_line, car_idx,
                        h, w):
     """Decode a whole mixed block (WAH + sparse lines) to natural-order bits.
 
@@ -66,6 +65,29 @@ def _decode_block_full(stream, sorts, rank, is_wah, neg, car_line, car_idx,
     # pairs.  Keep the default conservative scatter.
     vals = vals.at[car_line, car_idx].set(jnp.uint8(1), mode="drop")
     return vals ^ neg[:, None]
+
+
+_decode_block_full = functools.partial(jax.jit,
+                                       static_argnames=("h", "w"))(
+    _decode_block_vals)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _decode_block_full_gt(stream, sorts, rank, is_wah, neg, car_line,
+                          car_idx, default_phasing, h, w):
+    """_decode_block_full fused with the biallelic gt-code fold: one
+    device program from payload streams to htslib int32 gt codes.
+
+    A separate _fold_biallelic dispatch costs a full [L, H] HBM round
+    trip between two programs (measured ~4 ms/block at chr20 geometry
+    on a v5e — nearly the cost of the whole decode chain); consumers
+    that want device-resident gt arrays (dot_prod_device, bench) take
+    this fused form.  Extract-to-host paths keep the bits form:
+    fetching uint8 bits moves 4x less PCIe traffic than int32 codes."""
+    vals = _decode_block_vals(stream, sorts, rank, is_wah, neg, car_line,
+                              car_idx, h, w)
+    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
+    return ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w_max"))
@@ -125,6 +147,25 @@ def _fold_biallelic_tracks(vals, default_phasing, mrec, midx, erec, eidx):
     # on the v5e backend when the padding pairs sit out of bounds for
     # mode="drop" — even strictly-increasing unique padding miscompiled
     # (probed on chip; the CPU lowering is fine either way).
+    ov = jnp.zeros(gt.shape, jnp.uint8)
+    ov = ov.at[mrec, midx].set(jnp.uint8(1), mode="drop")
+    ov = ov.at[erec, eidx].set(jnp.uint8(2), mode="drop")
+    gt = jnp.where(ov == 1, phase[None, :], gt)
+    return jnp.where(ov == 2, jnp.int32(INT32_VECTOR_END), gt)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _decode_block_full_gt_tracks(stream, sorts, rank, is_wah, neg,
+                                 car_line, car_idx, default_phasing,
+                                 mrec, midx, erec, eidx, h, w):
+    """Fully fused missing-regime decode: payload streams -> gt codes
+    with missing/EOV overlays, one device program (the two-dispatch
+    _decode_block_full + _fold_biallelic_tracks form pays an extra
+    [L, H] HBM round trip between programs; see _decode_block_full_gt)."""
+    vals = _decode_block_vals(stream, sorts, rank, is_wah, neg, car_line,
+                              car_idx, h, w)
+    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
+    gt = ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
     ov = jnp.zeros(gt.shape, jnp.uint8)
     ov = ov.at[mrec, midx].set(jnp.uint8(1), mode="drop")
     ov = ov.at[erec, eidx].set(jnp.uint8(2), mode="drop")
