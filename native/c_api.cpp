@@ -415,7 +415,18 @@ struct ReaderImpl {
         n = fread(chunk, 1, sizeof chunk, tf);
       } else if (gzf) {
         int g = gzread(gzf, chunk, sizeof chunk);
-        n = g > 0 ? size_t(g) : 0;
+        if (g < 0) {
+          // a corrupt deflate stream must not read as a clean EOF —
+          // surface it once and stop (no errnum channel in the shim)
+          int errnum = 0;
+          const char *msg = gzerror(gzf, &errnum);
+          fprintf(stderr, "c_xcf: gzip read error (%s) — input truncated "
+                          "at this point\n",
+                  msg && *msg ? msg : "unknown zlib error");
+          n = 0;
+        } else {
+          n = size_t(g);
+        }
       } else {
         n = bgzf->read(chunk, sizeof chunk);
       }

@@ -10,6 +10,7 @@
 """
 from __future__ import annotations
 
+import sys
 import time
 
 import numpy as np
@@ -223,22 +224,32 @@ def af_stats(path: str, annotate_out: str | None = None) -> dict:
         if nat is not False and not annotate_out:
             # fully native walk: ONE crossing scans every (BM, n_allele)
             # off the variant file, ONE crossing counts every record off
-            # the compressed streams — no Python record objects at all
-            bms, nas = nat.scan_records()
-            flat = nat.count_alleles_range(bms, nas)
-            offs = np.zeros(len(nas) + 1, np.int64)
-            np.cumsum(nas, out=offs[1:])
-            for i in range(len(nas)):
-                counts = flat[offs[i]:offs[i + 1]]
-                out.append((int(counts.sum()),
-                            [int(c) for c in counts[1:]]))
-            seconds = time.perf_counter() - t0
-            logical = len(out) * n_haps * 4
-            return {"records": len(out), "stats": out, "seconds": seconds,
-                    "records_per_s": (round(len(out) / seconds, 1)
-                                      if seconds else 0),
-                    "logical_gb_s": (round(logical / seconds / 1e9, 3)
-                                     if seconds and logical else None)}
+            # the compressed streams — no Python record objects at all.
+            # Any native error demotes to the guarded Python-reader path
+            # below (same contract as Accessor.fill_allele_counts_range).
+            try:
+                bms, nas = nat.scan_records()
+                flat = nat.count_alleles_range(bms, nas)
+            except Exception as exc:
+                print(f"xsi: native af_stats walk failed ({exc}) — "
+                      "falling back to the record reader", file=sys.stderr)
+                acc._nat_acc = False
+            else:
+                offs = np.zeros(len(nas) + 1, np.int64)
+                np.cumsum(nas, out=offs[1:])
+                for i in range(len(nas)):
+                    counts = flat[offs[i]:offs[i + 1]]
+                    out.append((int(counts.sum()),
+                                [int(c) for c in counts[1:]]))
+                acc.close()
+                seconds = time.perf_counter() - t0
+                logical = len(out) * n_haps * 4
+                return {"records": len(out), "stats": out,
+                        "seconds": seconds,
+                        "records_per_s": (round(len(out) / seconds, 1)
+                                          if seconds else 0),
+                        "logical_gb_s": (round(logical / seconds / 1e9, 3)
+                                         if seconds and logical else None)}
         reader = BcfReader(acc.variant_filename())
         writer = None
         hdr = reader.header
@@ -278,6 +289,7 @@ def af_stats(path: str, annotate_out: str | None = None) -> dict:
         if writer is not None:
             writer.close()
         reader.close()
+        acc.close()
     else:
         for n_alleles, gt in iter_genotypes(path):
             alleles = (gt >> 1) - 1

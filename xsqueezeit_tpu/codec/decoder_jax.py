@@ -72,6 +72,47 @@ _decode_block_full = functools.partial(jax.jit,
     _decode_block_vals)
 
 
+def _fold_biallelic_impl(vals, default_phasing):
+    """htslib gt codes for biallelic records: ((allele+1)<<1) | phase.
+
+    Unjitted shared body — called inside the fused decode programs AND
+    wrapped as the standalone _fold_biallelic dispatch, so the fold can
+    never diverge between the two forms."""
+    h = vals.shape[1]
+    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
+    return ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
+
+
+def _fold_tracks_impl(vals, default_phasing, mrec, midx, erec, eidx):
+    """gt codes + missing/end-of-vector overlays (shared unjitted body).
+
+    (mrec, midx) / (erec, eidx) are the flat (record, haplotype) carrier
+    pairs of the block's WS_SPARSE missing / EOV tracks (padding rows use
+    record >= vals.shape[0]: dropped).  Missing slots take the bare phase
+    bit (reference: gt[tgt] = phase_term[tgt],
+    accessor_internals_new.hpp:292-319); EOV slots take INT32_VECTOR_END,
+    overwriting missing when both flag a slot (same order as the scalar
+    reference loop).
+
+    Overlay via a uint8 code plane + fused selects, NOT by scattering
+    into the int32 gt: a general scatter's cost rides the operand it
+    updates (measured on a v5e at [8192, 5008] with 410k pairs: 8.6 ms
+    into the int32 gt vs 3.8 ms into a uint8 plane; the two selects
+    fuse into the fold's existing elementwise pass).  Scatter hints are
+    deliberately OFF: indices_are_sorted=True computes WRONG scatters
+    on the v5e backend when the padding pairs sit out of bounds for
+    mode="drop" — even strictly-increasing unique padding miscompiled
+    (probed on chip; the CPU lowering is fine either way)."""
+    h = vals.shape[1]
+    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
+    gt = ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
+    ov = jnp.zeros(gt.shape, jnp.uint8)
+    ov = ov.at[mrec, midx].set(jnp.uint8(1), mode="drop")
+    ov = ov.at[erec, eidx].set(jnp.uint8(2), mode="drop")
+    gt = jnp.where(ov == 1, phase[None, :], gt)
+    return jnp.where(ov == 2, jnp.int32(INT32_VECTOR_END), gt)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def _decode_block_full_gt(stream, sorts, rank, is_wah, neg, car_line,
                           car_idx, default_phasing, h, w):
@@ -86,8 +127,7 @@ def _decode_block_full_gt(stream, sorts, rank, is_wah, neg, car_line,
     fetching uint8 bits moves 4x less PCIe traffic than int32 codes."""
     vals = _decode_block_vals(stream, sorts, rank, is_wah, neg, car_line,
                               car_idx, h, w)
-    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
-    return ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
+    return _fold_biallelic_impl(vals, default_phasing)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w_max"))
@@ -114,44 +154,10 @@ def _decode_block_mixed(stream, group_off, sorts, hap_w, rank, is_wah, neg,
     return vals ^ neg[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _fold_biallelic(vals, default_phasing):
-    """htslib gt codes for biallelic records: ((allele+1)<<1) | phase."""
-    h = vals.shape[1]
-    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
-    return ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
-
-
-@functools.partial(jax.jit, static_argnames=())
-def _fold_biallelic_tracks(vals, default_phasing, mrec, midx, erec, eidx):
-    """gt codes + missing/end-of-vector overlays in one device pass.
-
-    (mrec, midx) / (erec, eidx) are the flat (record, haplotype) carrier
-    pairs of the block's WS_SPARSE missing / EOV tracks (padding rows use
-    record >= vals.shape[0]: dropped).  Missing slots take the bare phase
-    bit (reference: gt[tgt] = phase_term[tgt],
-    accessor_internals_new.hpp:292-319); EOV slots take INT32_VECTOR_END,
-    overwriting missing when both flag a slot (same order as the scalar
-    reference loop).  The production Python driver applies identical
-    overlays with two vectorized host scatters (decode_block_records);
-    this fused form is the TPU-resident decode of a missing-regime block."""
-    h = vals.shape[1]
-    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
-    gt = ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
-    # Overlay via a uint8 code plane + fused selects, NOT by scattering
-    # into the int32 gt: a general scatter's cost rides the operand it
-    # updates (measured on a v5e at [8192, 5008] with 410k pairs: 8.6 ms
-    # into the int32 gt vs 3.8 ms into a uint8 plane; the two selects
-    # fuse into the fold's existing elementwise pass).  Scatter hints are
-    # deliberately OFF: indices_are_sorted=True computes WRONG scatters
-    # on the v5e backend when the padding pairs sit out of bounds for
-    # mode="drop" — even strictly-increasing unique padding miscompiled
-    # (probed on chip; the CPU lowering is fine either way).
-    ov = jnp.zeros(gt.shape, jnp.uint8)
-    ov = ov.at[mrec, midx].set(jnp.uint8(1), mode="drop")
-    ov = ov.at[erec, eidx].set(jnp.uint8(2), mode="drop")
-    gt = jnp.where(ov == 1, phase[None, :], gt)
-    return jnp.where(ov == 2, jnp.int32(INT32_VECTOR_END), gt)
+#: Standalone dispatch forms of the shared fold bodies (callers holding
+#: already-decoded bits; the fused programs above inline the same impls).
+_fold_biallelic = jax.jit(_fold_biallelic_impl)
+_fold_biallelic_tracks = jax.jit(_fold_tracks_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -164,13 +170,7 @@ def _decode_block_full_gt_tracks(stream, sorts, rank, is_wah, neg,
     [L, H] HBM round trip between programs; see _decode_block_full_gt)."""
     vals = _decode_block_vals(stream, sorts, rank, is_wah, neg, car_line,
                               car_idx, h, w)
-    phase = (jnp.arange(h, dtype=jnp.int32) & 1) * default_phasing
-    gt = ((vals.astype(jnp.int32) + 1) << 1) | phase[None, :]
-    ov = jnp.zeros(gt.shape, jnp.uint8)
-    ov = ov.at[mrec, midx].set(jnp.uint8(1), mode="drop")
-    ov = ov.at[erec, eidx].set(jnp.uint8(2), mode="drop")
-    gt = jnp.where(ov == 1, phase[None, :], gt)
-    return jnp.where(ov == 2, jnp.int32(INT32_VECTOR_END), gt)
+    return _fold_tracks_impl(vals, default_phasing, mrec, midx, erec, eidx)
 
 
 def track_carriers(stream: np.ndarray, flagged_lines: np.ndarray,
@@ -576,7 +576,6 @@ def decode_block_records(payload, n_samples, n_haps, aet_dtype,
             if not haploid:
                 return idx_m[sel]
             if hap_weird is None:
-                from ..ops import pbwt_np
                 hap_weird = pbwt_np.haploid_rearrangement_from_diploid(
                     np.arange(H))
             return hap_weird[sel]

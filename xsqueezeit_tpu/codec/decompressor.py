@@ -773,7 +773,8 @@ class Decompressor:
             default_phasing=default_phased, aet_dtype=aet_dtype,
             weirdness_strategy=WeirdnessStrategy.WS_SPARSE,
             device_cls=_device_encoder_cls(opts.device),
-            force_device=(os.environ.get("XSI_DEVICE") == "jax"))
+            force_device=(opts.device == "jax"
+                          or os.environ.get("XSI_DEVICE") == "jax"))
         entry_counter = variant_counter = 0
         bm_block = bm_offset = 0
         pending: deque = deque()

@@ -43,8 +43,23 @@ def device_reachable() -> bool:
     if "cpu" in plat.split(","):
         _cached = True
         return True
+    jx = sys.modules.get("jax")
+    if jx is not None:
+        # Library callers may already hold the accelerator in-process
+        # (libtpu grants are exclusive): a subprocess probe would then
+        # FAIL to acquire the device that demonstrably works right here.
+        # An already-initialized non-CPU backend is proof of
+        # reachability — skip the subprocess.
+        try:
+            live = list(jx._src.xla_bridge._backends)
+        except Exception:    # internal layout changed: fall through
+            live = []
+        if any(k != "cpu" for k in live):
+            _cached = True
+            return True
     import subprocess
     timeout_s = float(os.environ.get("XSI_DEVICE_PROBE_TIMEOUT", 120))
+    why = ""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -53,10 +68,15 @@ def device_reachable() -> bool:
              "print(float(np.asarray(x)[0, 0]))"],
             timeout=timeout_s, capture_output=True, text=True)
         _cached = r.returncode == 0
+        if not _cached:
+            tail = (r.stderr or "").strip().splitlines()
+            why = ("device probe failed: " + tail[-1] if tail
+                   else "device probe exited %d" % r.returncode)
     except subprocess.TimeoutExpired:
         _cached = False
+        why = "device probe timed out after %gs" % timeout_s
     if not _cached:
-        print("xsi: accelerator unreachable (device probe timed out) — "
+        print("xsi: accelerator unreachable (%s) — "
               "continuing on the host codec; set XSI_DEVICE=jax to wait "
-              "for the device instead", file=sys.stderr)
+              "for the device instead" % why, file=sys.stderr)
     return _cached
