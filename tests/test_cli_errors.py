@@ -89,6 +89,25 @@ def test_empty_ox_selection(tmp_path, capsys):
     assert not os.path.exists(tmp_path / "sub.xsi")
 
 
+def test_zero_block_length(tmp_path, capsys):
+    """--variant-block-length 0 used to reach the compress loop and die
+    on a modulo-by-zero traceback (found by CLI probing, round 5)."""
+    vcf = fixtures.micro_basic(str(tmp_path / "m.vcf"))
+    rc = cli_main(["-c", "-f", vcf, "-o", str(tmp_path / "m.xsi"),
+                   "--variant-block-length", "0"])
+    assert rc != 0
+    err = capsys.readouterr().err
+    assert "Traceback" not in err
+    assert "variant-block-length" in err
+
+
+def test_zero_block_length_library():
+    """Library callers get the same guard from CompressorOptions itself."""
+    from xsqueezeit_tpu.codec.compressor import CompressorOptions
+    with pytest.raises(ValueError):
+        CompressorOptions(block_length=0)
+
+
 def test_xsi_debug_reraises(tmp_path, capsys, monkeypatch):
     monkeypatch.setenv("XSI_DEBUG", "1")
     with pytest.raises(Exception):

@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = build_parser().parse_args(argv)
 
+    if args.variant_block_length is not None and args.variant_block_length < 1:
+        print("xsqueezeit: error: --variant-block-length must be >= 1",
+              file=sys.stderr)
+        return 1
+
     if args.profile:
         # the aux-subsystem counterpart of the reference's wall-clock
         # printElapsedTime tracing (SURVEY §5): full device+host trace

@@ -50,6 +50,11 @@ class CompressorOptions:
     verbose: bool = False
     device: str = "auto"  # "auto" | "jax" | "numpy"
 
+    def __post_init__(self):
+        if self.block_length < 1:
+            raise ValueError(
+                f"block_length must be >= 1, got {self.block_length}")
+
 
 def _device_min_cells() -> int:
     """Blocks below this many (lines x haplotypes) cells stay on the host
